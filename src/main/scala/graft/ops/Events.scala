@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (FIXTURES.md §B): JSON
+  * property extraction and event-time windowing — tumbling, sliding and
+  * session windows expressed with the exact Structured-Streaming expressions
+  * (`window()`, `session_window()`), verified here in batch mode per
+  * SURVEY.md §2.9 (the same expressions run unchanged under readStream; see
+  * graft.streaming.EventStreams).
+  *
+  * Scale notes: all window aggregations shuffle once on the (window, key)
+  * grouping; session windows shuffle on user_id then sort within partitions —
+  * exactly the plan a 1000-executor run wants. The ns→µs timestamp
+  * normalization lives in Tables.events.
+  */
+object Events {
+
+  val queries: Seq[Q] = Seq(
+
+    // JSON-in-string property extraction (events.props, SURVEY.md §2.7).
+    Q("q22_json_extract",
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // Tumbling event-time window (1 day). Spark's window() is epoch-aligned,
+    // which for whole days equals date_trunc in a UTC/NTZ world.
+    Q("q23_tumbling_window",
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("window.start").as("day_start"), col("n_events"),
+          col("total_value"), col("n_users"))
+        .orderBy(col("day_start"))
+    },
+
+    // Sliding window (1 day width, 6 h slide): each event lands in 4 windows.
+    // Oracle replays the same epoch-aligned window generation via a k∈0..3
+    // cross join on the 6-hour slot floor.
+    Q("q24_sliding_window",
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts)
+        |           - (CAST(EXTRACT(hour FROM ts) AS INT) % 6) * INTERVAL 1 HOUR AS slot,
+        |         value
+        |  FROM events)
+        |SELECT CAST(slot - k * INTERVAL 6 HOUR AS TIMESTAMP) AS win_start,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day", "6 hours"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("win_start"), col("n_events"), col("total_value"))
+        .orderBy(col("win_start"))
+    },
+
+    // Session window (30 min gap) per user. Spark semantics: a new session
+    // starts when the gap to the previous event is >= the timeout; session
+    // start = first event ts. Oracle: gaps-and-islands with the same >= gap.
+    Q("q25_session_window",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }
+  )
+}

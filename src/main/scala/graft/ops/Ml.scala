@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+import org.apache.spark.sql.functions._
+
+/** MLlib prediction surface (SURVEY.md §2.8) exercised on the test schema.
+  * Model internals are not SQL-expressible → rows-only driver checks; exact
+  * fit semantics are covered by unit tests on literal fixtures.
+  *
+  * Scale notes: tree-ensemble fits are MLlib's distributed implementation
+  * (per-tree bagging over partitioned data); feature assembly is a map-only
+  * projection. Grid sizes are kept smoke-budget-small here — the full
+  * reference grid (27×3 fits) is available via pipeline.Model.crossValidate.
+  */
+object Ml {
+
+  val queries: Seq[Q] = Seq(
+
+    // RandomForestRegressor pipeline (model.py:24-43) predicting
+    // l_extendedprice from quantity/discount/tax/flags.
+    Q.rowsOnly("q40_rf_regression") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_quantity", "l_discount", "l_tax", "l_returnflag",
+          "l_linestatus", "l_extendedprice")
+      val (_, scored, r2, rmse) = graft.pipeline.Model.fitPredict(
+        li, "l_extendedprice",
+        Seq("l_quantity", "l_discount", "l_tax", "l_returnflag", "l_linestatus"),
+        numTrees = 10, maxDepth = 5)
+      scored.agg(
+        count(lit(1)).as("n_scored"),
+        round(lit(r2), 4).as("r2"),
+        round(lit(rmse), 2).as("rmse"))
+    },
+
+    // KMeans over the embeddings table (seeded): cluster cardinalities.
+    Q.rowsOnly("q41_kmeans_embeddings") { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("arr"))
+        .map { r =>
+          (r.getLong(0), Vectors.dense(r.getSeq[Double](1).toArray))
+        }.toDF("vec_id", "features")
+      val model = new KMeans().setK(5).setSeed(42L).setFeaturesCol("features")
+        .fit(vecs)
+      model.transform(vecs)
+        .groupBy(col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("n"))
+        .orderBy(desc("n"))
+    }
+  )
+}

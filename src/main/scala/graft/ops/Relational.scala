@@ -1,0 +1,465 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory (SURVEY.md §2.2–§2.7), each exposed as
+  * a named, DuckDB-oracle-checked query over the test star schema.
+  *
+  * Scale notes: every query is a single declarative plan — filters/projections
+  * push to the parquet scan, dims are broadcast (nation/region always;
+  * customer under autoBroadcastJoinThreshold, sort-merge beyond), aggregates
+  * run partial+final, top-k uses TakeOrderedAndProject. No collect() loops,
+  * no repartition shims; the same plans hold on a 1000-executor cluster.
+  */
+object Relational {
+
+  /** Flagship (SURVEY.md §7 phase 0): the reference's signature shape —
+    * fact⋈dim left joins (Scripts/etl.py:35-36) + date features
+    * (etl.py:49-52) + per-key lag/trailing-avg window (etl.py:61-65) +
+    * group top-k (eda.py:129) — transplanted to the test schema. */
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
+      .join(c, col("o_custkey") === col("c_custkey"), "left")
+      .withColumn("yr", year(col("l_shipdate")))
+      .withColumn("price_lag1", lag(col("l_extendedprice"), 1).over(w))
+      .withColumn("price_roll4",
+        avg(col("l_extendedprice")).over(w.rowsBetween(-4, -1)))
+      .groupBy(col("c_mktsegment"), col("yr"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(coalesce(col("price_lag1"), lit(0.0))), 2).as("sum_lag1"),
+        round(avg(coalesce(col("price_roll4"), lit(0.0))), 4).as("avg_roll4"))
+      .orderBy(desc("n_items"), asc_nulls_first("c_mktsegment"), asc("yr"))
+      .limit(10)
+  }
+
+  private val flagshipSql =
+    """WITH win AS (
+      |  SELECT c.c_mktsegment,
+      |         CAST(year(l.l_shipdate) AS INT) AS yr,
+      |         lag(l.l_extendedprice, 1) OVER w AS price_lag1,
+      |         avg(l.l_extendedprice)
+      |           OVER (w ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS price_roll4
+      |  FROM lineitem l
+      |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WINDOW w AS (PARTITION BY l.l_partkey
+      |               ORDER BY l.l_shipdate, l.l_orderkey, l.l_linenumber)
+      |)
+      |SELECT c_mktsegment, yr, count(*) AS n_items,
+      |       round(sum(coalesce(price_lag1, 0)), 2) AS sum_lag1,
+      |       round(avg(coalesce(price_roll4, 0)), 4) AS avg_roll4
+      |FROM win GROUP BY c_mktsegment, yr
+      |ORDER BY n_items DESC, c_mktsegment NULLS FIRST, yr LIMIT 10""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q00_flagship", flagshipSql)(flagship),
+
+    // A2/A6/A9: grouped multi-aggregate (TPC-H Q1 shape), hash partial+final.
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // P1/P10/S2: projection + range predicates, both pushed to the scan.
+    Q("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_extendedprice > 90000
+        |  AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+        |                     AND TIMESTAMP '1997-12-31 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_extendedprice") > 90000 &&
+          col("l_shipdate").between(
+            lit("1997-01-01 00:00:00").cast("timestamp_ntz"),
+            lit("1997-12-31 00:00:00").cast("timestamp_ntz")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // J1+A9+O2: fact⋈dim join, grouped sum, top-k (TakeOrderedAndProject).
+    Q("q03_top_customers",
+      """SELECT c.c_custkey, c.c_name,
+        |       round(sum(o.o_totalprice), 2) AS total_spent,
+        |       count(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY total_spent DESC, c_custkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(desc("total_spent"), asc("c_custkey"))
+        .limit(10)
+    },
+
+    // J1×4 star join: nation/region broadcast; revenue rollup per region/nation.
+    Q("q04_region_revenue",
+      """SELECT r.r_name, n.n_name,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Left-semi join ≡ EXISTS.
+    Q("q05_semi_join",
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Left-anti join ≡ NOT EXISTS.
+    Q("q06_anti_join",
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // J1 left join + P7 conditional null-count (USING-style dedup of the key).
+    Q("q07_leftjoin_nulls",
+      """SELECT c.c_mktsegment,
+        |       count(*) AS n_rows,
+        |       count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_null_orders,
+        |       round(sum(coalesce(o.o_totalprice, 0)), 2) AS total_price
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("o_orderkey").isNull, lit(1))).as("n_null_orders"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // W1–W3: the Walmart lag/rolling signature on events (etl.py:61-65).
+    Q("q08_window_lag",
+      """SELECT event_id, user_id, value,
+        |       lag(value, 1) OVER w AS value_lag1,
+        |       lag(value, 4) OVER w AS value_lag4,
+        |       round(avg(value)
+        |         OVER (w ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 4) AS value_roll4
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("value_lag1"),
+          lag(col("value"), 4).over(w).as("value_lag4"),
+          round(avg(col("value")).over(w.rowsBetween(-4, -1)), 4).as("value_roll4"))
+        .orderBy(col("event_id"))
+    },
+
+    // Ranking window: top-3 orders per customer.
+    Q("q09_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // A3: mode = group-count → sort desc (tie-break on value) → top-1.
+    Q("q10_mode",
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |GROUP BY c_mktsegment ORDER BY cnt DESC, c_mktsegment LIMIT 1""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("c_mktsegment"))
+          .limit(1)
+    },
+
+    // A4/A5: exact quantiles + IQR bounds (eda.py:77-81). Bounds derive from
+    // rounded quartiles so both engines compute from identical inputs.
+    Q("q11_median_iqr",
+      """SELECT q1, median, q3,
+        |       round(q3 - q1, 4) AS iqr,
+        |       round(q1 - 1.5 * (q3 - q1), 4) AS lo_bound,
+        |       round(q3 + 1.5 * (q3 - q1), 4) AS hi_bound
+        |FROM (SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+        |             round(quantile_cont(l_extendedprice, 0.50), 4) AS median,
+        |             round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+        |      FROM lineitem)""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("median"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+        .select(col("q1"), col("median"), col("q3"),
+          round(col("q3") - col("q1"), 4).as("iqr"),
+          round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 4).as("lo_bound"),
+          round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 4).as("hi_bound"))
+    },
+
+    // A10/P10: IQR outlier count — scalar bounds broadcast into the filter.
+    Q("q12_outliers",
+      """WITH b AS (
+        |  SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+        |         round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+        |  FROM lineitem)
+        |SELECT count(*) AS n_outliers,
+        |       round(min(l_extendedprice), 2) AS min_out,
+        |       round(max(l_extendedprice), 2) AS max_out
+        |FROM lineitem, b
+        |WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
+        |   OR l_extendedprice > q3 + 1.5 * (q3 - q1)""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val b = li.agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+      li.crossJoin(broadcast(b))
+        .filter(col("l_extendedprice") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+          col("l_extendedprice") > col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        .agg(
+          count(lit(1)).as("n_outliers"),
+          round(min(col("l_extendedprice")), 2).as("min_out"),
+          round(max(col("l_extendedprice")), 2).as("max_out"))
+    },
+
+    // A6: describe() as one distributed pass (eda.py:58).
+    Q("q13_describe",
+      """SELECT count(l_quantity) AS qty_count,
+        |       round(avg(l_quantity), 4) AS qty_mean,
+        |       round(stddev_samp(l_quantity), 4) AS qty_std,
+        |       round(min(l_quantity), 4) AS qty_min,
+        |       round(max(l_quantity), 4) AS qty_max,
+        |       count(l_extendedprice) AS price_count,
+        |       round(avg(l_extendedprice), 4) AS price_mean,
+        |       round(stddev_samp(l_extendedprice), 4) AS price_std,
+        |       round(min(l_extendedprice), 4) AS price_min,
+        |       round(max(l_extendedprice), 4) AS price_max
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(col("l_quantity")).as("qty_count"),
+        round(avg(col("l_quantity")), 4).as("qty_mean"),
+        round(stddev_samp(col("l_quantity")), 4).as("qty_std"),
+        round(min(col("l_quantity")), 4).as("qty_min"),
+        round(max(col("l_quantity")), 4).as("qty_max"),
+        count(col("l_extendedprice")).as("price_count"),
+        round(avg(col("l_extendedprice")), 4).as("price_mean"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("price_std"),
+        round(min(col("l_extendedprice")), 4).as("price_min"),
+        round(max(col("l_extendedprice")), 4).as("price_max"))
+    },
+
+    // A8: Pearson correlation as a distributed aggregate (eda.py:88).
+    Q("q14_corr",
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+        |       round(corr(l_quantity, l_discount), 6) AS corr_qty_disc
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_price_disc"),
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"))
+    },
+
+    // F2–F5: date feature extraction (etl.py:49-52). DuckDB dayofweek is
+    // Sun=0..Sat=6; Spark is Sun=1..Sat=7 — oracle adds 1 (SURVEY.md §2.7).
+    Q("q15_date_features",
+      """SELECT CAST(year(l_shipdate) AS INT) AS yr,
+        |       CAST(month(l_shipdate) AS INT) AS mo,
+        |       CAST(weekofyear(l_shipdate) AS INT) AS wk,
+        |       CAST(dayofweek(l_shipdate) + 1 AS INT) AS dow,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          year(col("l_shipdate")).as("yr"),
+          month(col("l_shipdate")).as("mo"),
+          weekofyear(col("l_shipdate")).as("wk"),
+          dayofweek(col("l_shipdate")).as("dow"))
+        .groupBy("yr", "mo", "wk", "dow")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("yr", "mo", "wk", "dow")
+    },
+
+    // P5/P6/P8: CASE bucketing + literal columns.
+    Q("q16_case_bucket",
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 200000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 200000, "medium")
+            .otherwise("large"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("bucket")
+    },
+
+    // P5/P6/P9: the reference's "NA"-sentinel clean (etl.py:96-106) — string
+    // sentinel → null → cast. The when() guard is required under ANSI mode.
+    Q("q17_na_sentinel",
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |         CASE WHEN l_returnflag = 'N' THEN 'NA'
+        |              ELSE CAST(l_quantity AS VARCHAR) END AS qty_str
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag,
+        |         CAST(CASE WHEN qty_str = 'NA' THEN NULL ELSE qty_str END
+        |              AS DOUBLE) AS qty_clean
+        |  FROM w)
+        |SELECT l_returnflag, count(*) AS n_rows, count(qty_clean) AS n_nonnull,
+        |       round(avg(qty_clean), 4) AS avg_clean
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("qty_str",
+          when(col("l_returnflag") === "N", lit("NA"))
+            .otherwise(col("l_quantity").cast("string")))
+        .withColumn("qty_clean",
+          when(col("qty_str") === "NA", lit(null))
+            .otherwise(col("qty_str")).cast("double"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("qty_clean")).as("n_nonnull"),
+          round(avg(col("qty_clean")), 4).as("avg_clean"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Set operators: union / intersect / except over nation keys.
+    Q("q18_setops",
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn)
+        |ORDER BY op, nationkey""".stripMargin) { (s, d) =>
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct()
+      cn.except(sn).withColumn("op", lit("except"))
+        .union(cn.intersect(sn).withColumn("op", lit("intersect")))
+        .union(cn.union(sn).distinct().withColumn("op", lit("union")))
+        .select("op", "nationkey")
+        .orderBy("op", "nationkey")
+    },
+
+    // Exact distinct aggregates.
+    Q("q19_distinct_counts",
+      """SELECT count(DISTINCT l_partkey) AS nd_part,
+        |       count(DISTINCT l_suppkey) AS nd_supp,
+        |       count(DISTINCT l_orderkey) AS nd_order,
+        |       count(*) AS n_rows
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_orderkey")).as("nd_order"),
+        count(lit(1)).as("n_rows"))
+    },
+
+    // ROLLUP grouping sets (extension beyond the reference, SURVEY.md §2.4).
+    Q("q20_rollup",
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM region r
+        |JOIN nation n   ON r.r_regionkey = n.n_regionkey
+        |JOIN customer c ON n.n_nationkey = c.c_nationkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.region(s, d)
+        .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+
+    // O4/O5: seeded sample + randomSplit — deterministic per Spark seed but
+    // not SQL-expressible (partition-layout dependent) → rows-only check.
+    Q.rowsOnly("q21_sample_split") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val sampled = li.sample(withReplacement = false, 0.1, 42)
+        .agg(count(lit(1)).as("n")).withColumn("which", lit("sample_10pct"))
+      val Array(tr, te) = li.randomSplit(Array(0.8, 0.2), 42)
+      sampled
+        .union(tr.agg(count(lit(1)).as("n")).withColumn("which", lit("split_train")))
+        .union(te.agg(count(lit(1)).as("n")).withColumn("which", lit("split_test")))
+        .select("which", "n").orderBy("which")
+    }
+  )
+}

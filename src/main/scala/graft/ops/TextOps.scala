@@ -1,0 +1,214 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators over `documents` (BASELINE.json north star):
+  * exact + near dedup, language ID, quality scoring, token counting,
+  * fingerprinting. All pure `org.apache.spark.sql.functions` — codegen'd,
+  * whole-stage-compatible, no UDFs (SURVEY.md §2.7 extension surface).
+  *
+  * Scale notes: per-doc feature extraction is map-side only (no shuffle);
+  * the shingle self-join for n-gram Jaccard shuffles on the shingle key —
+  * at 100 TB one switches to Similarity.minHashLsh (banding keeps candidate
+  * pairs near-linear) which shares the same shingling front end.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased, trimmed text. */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Word n-gram shingle set (distinct) — requires >= n tokens. */
+  def shingles(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = df.withColumn("w", tokens(col(textCol))).filter(size(col("w")) >= n)
+    val grams = (0 until n).map(i => col("w")(col("i") + i - 1))
+    toks
+      .select(col("doc_id"), explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"), col("w"))
+      .select(col("doc_id"), concat_ws(" ", grams: _*).as("shingle"))
+      .distinct()
+  }
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"))
+
+  /** Count of tokens belonging to a stopword list (higher-order filter). */
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  private def duckStopHits(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> list_contains($list, x)))"
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact dedup accounting per source: raw vs normalized distinct texts.
+    Q("q26_dedup_exact",
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT text) AS n_unique,
+        |       count(DISTINCT trim(lower(text))) AS n_unique_norm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_unique"),
+          countDistinct(trim(lower(col("text")))).as("n_unique_norm"))
+        .orderBy(col("source"))
+    },
+
+    // Near-dup detection: word-3-gram shingle Jaccard over a shingle-key
+    // self-join. Filter on the raw ratio (bit-identical in both engines —
+    // small-integer division), round only for output.
+    Q("q27_ngram_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(w) - 1),
+        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |    FROM toks)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(inter / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+        |FROM p
+        |JOIN cnt ca ON p.doc_a = ca.doc_id
+        |JOIN cnt cb ON p.doc_b = cb.doc_id
+        |WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = shingles(Tables.documents(s, d), "text", 3)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.toDF("doc_a", "shingle")
+      val b = sh.toDF("doc_b", "shingle")
+      val pairs = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      val jac = col("inter") / (col("na") + col("nb") - col("inter"))
+      pairs
+        .join(cnt.toDF("doc_a", "na"), "doc_a")
+        .join(cnt.toDF("doc_b", "nb"), "doc_b")
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Language ID: deterministic stopword scoring with a fixed priority
+    // argmax (en > es > fr > de > unknown; zh wins on CJK presence).
+    Q("q28_lang_id", {
+      val en = duckStopHits(stop("en")); val es = duckStopHits(stop("es"))
+      val fr = duckStopHits(stop("fr")); val de = duckStopHits(stop("de"))
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |         CASE
+         |           WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |           WHEN $en = 0 AND $es = 0 AND $fr = 0 AND $de = 0 THEN 'unknown'
+         |           WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
+         |           WHEN $es >= $fr AND $es >= $de THEN 'es'
+         |           WHEN $fr >= $de THEN 'fr'
+         |           ELSE 'de' END AS predicted
+         |  FROM documents)
+         |SELECT lang, predicted, count(*) AS n
+         |FROM scored GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    }) { (s, d) =>
+      val toks = tokens(col("text"))
+      val sc = stop.map { case (l, ws) => l -> stopHits(toks, ws) }
+      val zh = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+      Tables.documents(s, d)
+        .withColumn("predicted",
+          when(zh > 0, "zh")
+            .when(sc("en") === 0 && sc("es") === 0 && sc("fr") === 0 && sc("de") === 0,
+              "unknown")
+            .when(sc("en") >= sc("es") && sc("en") >= sc("fr") && sc("en") >= sc("de"), "en")
+            .when(sc("es") >= sc("fr") && sc("es") >= sc("de"), "es")
+            .when(sc("fr") >= sc("de"), "fr")
+            .otherwise("de"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+
+    // Quality scoring: token stats, punctuation + stopword ratios, composite
+    // score — one codegen'd projection, no shuffle until the final sort.
+    Q("q29_quality_score", {
+      val en = duckStopHits(stop("en"))
+      s"""SELECT doc_id,
+         |       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |       length(text) AS n_chars,
+         |       round(length(text) /
+         |             greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+         |         AS chars_per_token,
+         |       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         |       round($en / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+         |         AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val nTokens = size(split(trim(col("text")), "\\s+"))
+      val nChars = length(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nTokens.cast("long").as("n_tokens"),
+          nChars.cast("long").as("n_chars"),
+          round(nChars.cast("double") / greatest(nTokens, lit(1)), 4).as("chars_per_token"),
+          size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("long").as("n_punct"),
+          round(stopHits(tokens(col("text")), stop("en")).cast("double") /
+            greatest(nTokens, lit(1)), 4).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token counting, whitespace + BPE-ish regex (letters | digits | other).
+    Q("q30_token_count",
+      """SELECT source,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+        |            AS BIGINT) AS bpe_tokens,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("ws_tokens"),
+          sum(size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")).as("bpe_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    },
+
+    // Document fingerprinting: 64-bit hash of the whitespace-normalized text.
+    // Oracle checks the collision-free *property* (distinct fingerprints ==
+    // distinct normalized texts) since hash algorithms differ across engines.
+    Q("q31_fingerprint",
+      """SELECT count(DISTINCT trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        |         AS n_fingerprints,
+        |       count(*) AS n_docs
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).agg(
+        countDistinct(xxhash64(trim(lower(regexp_replace(col("text"), "\\s+", " ")))))
+          .as("n_fingerprints"),
+        count(lit(1)).as("n_docs"))
+    },
+
+    // Multimodal-adjacent: byte-level metadata + content hash of the UTF-8
+    // payload (sha2 hex matches DuckDB sha256 on identical bytes).
+    Q("q32_content_hash",
+      """SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS content_sha
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          sha2(col("text").cast("binary"), 256).as("content_sha"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

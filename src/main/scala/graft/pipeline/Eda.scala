@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** The reference EDA stage (/root/reference/Scripts/eda.py) with every
+  * statistic moved back into distributed aggregates — the reference collects
+  * a 10% sample to pandas (eda.py:63) and computes single-node; here each
+  * stat is one Spark plan that scales to the full table (SURVEY.md §3).
+  * All outputs are DataFrames (plots are presentation, not computation). */
+object Eda {
+
+  def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }
+
+  /** Per-column null counts in one pass (eda.py:10-12). */
+  def nullCounts(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c =>
+      count(when(col(c).isNull, lit(1))).as(c)).toSeq: _*)
+
+  /** describe() as an explicit single aggregation (eda.py:58). */
+  def describe(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_count"),
+      avg(col(c)).as(s"${c}_mean"),
+      stddev_samp(col(c)).as(s"${c}_std"),
+      min(col(c)).as(s"${c}_min"),
+      max(col(c)).as(s"${c}_max"))): _*)
+
+  /** Exact quartiles for one column; [q1, median, q3]. */
+  def quartiles(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      expr(s"percentile($c, 0.25)").as("q1"),
+      expr(s"percentile($c, 0.50)").as("median"),
+      expr(s"percentile($c, 0.75)").as("q3"))
+
+  /** IQR outlier bounds + count (eda.py:77-85), two passes, no collect of
+    * data rows (only the two scalar bounds cross to the driver plan). */
+  def iqrOutliers(df: DataFrame, c: String): DataFrame = {
+    val b = df.agg(
+      expr(s"percentile($c, 0.25)").as("q1"),
+      expr(s"percentile($c, 0.75)").as("q3"))
+    df.crossJoin(broadcast(b))
+      .filter(col(c) < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+        col(c) > col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .agg(count(lit(1)).as("n_outliers"))
+  }
+
+  /** Pearson correlation of every numeric column vs a label, one pass
+    * (eda.py:88 runs pandas corr on a sample; this is exact + distributed). */
+  def corrVsLabel(df: DataFrame, label: String): DataFrame = {
+    val cols = numericCols(df).filter(_ != label)
+    df.agg(
+      corr(col(cols.head), col(label)).as(cols.head),
+      cols.tail.map(c => corr(col(c), col(label)).as(c)): _*)
+  }
+
+  /** Group means + top-k (eda.py:129). */
+  def groupTopK(df: DataFrame, key: String, value: String, k: Int): DataFrame =
+    df.groupBy(col(key))
+      .agg(avg(col(value)).as(s"avg_$value"))
+      .orderBy(desc(s"avg_$value"), asc(key))
+      .limit(k)
+}

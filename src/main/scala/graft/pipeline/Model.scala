@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.RandomForestRegressor
+import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StringType
+
+/** The reference model stage (/root/reference/Scripts/model.py) as a
+  * parameterized MLlib pipeline builder.
+  *
+  * Reference bugs fixed, not reproduced (SURVEY.md §2.8): the assembled
+  * feature list is de-duplicated (model.py:74-77 appends the lag columns a
+  * second time, yielding a 24-slot vector with 3 duplicates), and
+  * CrossValidator runs with parallelism > 1 (model.py fits 81 candidate
+  * pipelines strictly sequentially). */
+object Model {
+
+  /** StringIndexer(handleInvalid=keep) per string column + VectorAssembler +
+    * seeded RandomForestRegressor (model.py:24-42), feature list dedup'd. */
+  def pipeline(df: DataFrame, labelCol: String, featureCols: Seq[String],
+      numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): Pipeline = {
+    val distinctFeatures = featureCols.distinct.filter(_ != labelCol)
+    val catCols = df.schema.fields
+      .collect { case f if f.dataType == StringType => f.name }
+      .filter(distinctFeatures.contains)
+    val indexers = catCols.map(c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
+        .setHandleInvalid("keep"))
+    val assembled = distinctFeatures.map(c => if (catCols.contains(c)) s"${c}_idx" else c)
+    val assembler = new VectorAssembler()
+      .setInputCols(assembled.toArray).setOutputCol("features")
+    val rf = new RandomForestRegressor()
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+    new Pipeline().setStages((indexers :+ assembler :+ rf).toArray)
+  }
+
+  /** 80/20 split + fit + score + r2/rmse (model.py:69-113), no grid. */
+  def fitPredict(df: DataFrame, labelCol: String, featureCols: Seq[String],
+      numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L)
+      : (PipelineModel, DataFrame, Double, Double) = {
+    val Array(train, valid) = df.randomSplit(Array(0.8, 0.2), seed)
+    val model = pipeline(df, labelCol, featureCols, numTrees, maxDepth, seed).fit(train)
+    val scored = model.transform(valid)
+    val r2 = new RegressionEvaluator().setLabelCol(labelCol)
+      .setPredictionCol("prediction").setMetricName("r2").evaluate(scored)
+    val rmse = new RegressionEvaluator().setLabelCol(labelCol)
+      .setPredictionCol("prediction").setMetricName("rmse").evaluate(scored)
+    (model, scored, r2, rmse)
+  }
+
+  /** Grid-search CV (model.py:89-107) with setParallelism — the reference's
+    * 27-point grid × 3 folds runs sequentially; we parallelize fits and make
+    * the grid caller-sizable so the smoke budget stays bounded. */
+  def crossValidate(df: DataFrame, labelCol: String, featureCols: Seq[String],
+      numTreesGrid: Array[Int] = Array(10, 20),
+      maxDepthGrid: Array[Int] = Array(3, 5),
+      folds: Int = 3, parallelism: Int = 4, seed: Long = 42L): CrossValidatorModel = {
+    val pipe = pipeline(df, labelCol, featureCols, seed = seed)
+    val rf = pipe.getStages.last.asInstanceOf[RandomForestRegressor]
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.numTrees, numTreesGrid)
+      .addGrid(rf.maxDepth, maxDepthGrid)
+      .build()
+    new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(new RegressionEvaluator().setLabelCol(labelCol)
+        .setPredictionCol("prediction").setMetricName("r2"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(folds)
+      .setParallelism(parallelism)
+      .setSeed(seed)
+      .fit(df)
+  }
+}

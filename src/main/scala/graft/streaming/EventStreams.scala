@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming over the events table (SURVEY.md §2.9): the same
+  * window()/session_window() expressions the batch queries q23–q25 verify
+  * against DuckDB, run under readStream with watermarks. Batch/stream parity
+  * is asserted in unit tests (same expressions, same results on a static
+  * replay) — the pattern Spark's docs recommend for streaming correctness.
+  *
+  * Scale notes: each aggregation keeps per-(window,key) state bounded by the
+  * watermark horizon; at cluster scale state is HDFS/RocksDB-checkpointed
+  * and partitioned by the grouping key — nothing here is driver-resident.
+  */
+object EventStreams {
+
+  /** The events stream, replayed from the batch parquet. ts arrives as
+    * INT64 nanos (see Tables.events); normalized to µs TIMESTAMP_NTZ. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  /** Tumbling 1-day aggregate with a 1-hour watermark (≡ batch q23). */
+  def tumblingDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("day_start"), col("n_events"), col("total_value"))
+
+  /** Sliding 1-day/6-hour aggregate (≡ batch q24). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day", "6 hours"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("n_events"), col("total_value"))
+
+  /** Per-user session windows, 30-minute gap (≡ batch q25). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** Run a streaming DataFrame to completion against the static input via a
+    * memory sink; returns the collected result table. */
+  def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q: StreamingQuery = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}
