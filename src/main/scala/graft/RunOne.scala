@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: run one named query (or `entry`) against a sf dir, print
+  * timing, rows and optionally the formatted physical plan.
+  *
+  *   sbt "runMain graft.RunOne q34_similar_pairs /root/testdata/sf0.1 explain"
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val showPlan = args.contains("explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = if (name == "entry") SparkEntry.entry(spark)
+             else SparkEntry.queries(name)(spark, sfDir)
+    if (showPlan) df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    df.show(20, truncate = false)
+    println(f"[runone] $name rows=$n time=$secs%.3fs sf=$sfDir")
+    spark.stop()
+  }
+}

@@ -1,65 +1,34 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import graft.functions.ArrayMath
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over `embeddings.embedding: array<float>`
-  * (BASELINE.json north star). Everything is higher-order-function based —
-  * `zip_with`/`aggregate` fold in ascending index order, exactly like
-  * DuckDB's list_* fold, so cosine values are bit-comparable across engines.
+  * (BASELINE.json north star). All inner kernels run through the codegen'd
+  * graft.functions.DotProduct expression — a tight primitive loop inside
+  * whole-stage codegen — which accumulates in double precision in ascending
+  * index order, exactly like DuckDB's list_* fold, so cosine values are
+  * bit-comparable across engines.
   *
   * Scale notes: brute-force kNN is the correctness baseline (O(Q·N·dim),
-  * query side broadcast — no shuffle). The scale path is LSH: random
-  * hyperplane signatures bucket the corpus with one shuffle on the bucket
-  * key; candidate generation is then a bucket-local join. MinHash-LSH plays
-  * the same role for set similarity (near-dup text).
+  * query side broadcast — no shuffle). Two scale paths are implemented:
+  * banded random-hyperplane LSH (one shuffle on the (band, bucket) key;
+  * candidate generation is bucket-local) and IVF (k-means cell index; probe
+  * the nearest cells only). MinHash-LSH plays the same role for set
+  * similarity (near-dup text, see q36).
   */
 object Similarity {
 
-  /** Elementwise dot product in double precision, sequential fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Elementwise dot product in double precision (codegen'd expression). */
+  def dot(a: Column, b: Column): Column = ArrayMath.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = ArrayMath.norm(a)
 
   /** Cosine similarity, null on zero norm (ANSI-safe). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(null)).otherwise(dot(a, b) / d)
-  }
-
-  /** Brute-force top-k cosine neighbors for each query vector. */
-  def knn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim_raw"), asc("neighbor_id"))
-    c.crossJoin(broadcast(q))
-      .withColumn("sim_raw", cosine(col("cv"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim_raw"), 6).as("sim"),
-        col("rank"))
-  }
-
-  /** Random-hyperplane LSH signature: `planes` pseudo-random hyperplanes
-    * derived deterministically from (planeId, dim) via xxhash64 — sign bits
-    * packed into a long. Hamming-close signatures ⇒ cosine-close vectors. */
-  def hyperplaneSignature(emb: Column, planes: Int, dim: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      // plane component h(p, i) mapped to [-1, 1); dot(plane, emb) sign bit
-      val proj = (0 until dim).map { i =>
-        val h = xxhash64(lit(p * 131071 + i))
-        (h % 1000000).cast("double") / 1000000.0 * emb(i).cast("double")
-      }.reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def cosine(a: Column, b: Column): Column = ArrayMath.cosine(a, b)
 
   val queries: Seq[Q] = Seq(
 
@@ -90,9 +59,9 @@ object Similarity {
     },
 
     // All near-duplicate embedding pairs above a cosine threshold.
-    // Norms are computed once per vector *before* the O(n²) join (3× fewer
-    // folds in the hot loop); the oracle normalizes identically so the
-    // per-pair dot product is the same double-precision fold in both engines.
+    // Norms are computed once per vector *before* the O(n²) join; the
+    // per-pair kernel is then a single codegen'd dot product. The oracle
+    // normalizes identically so the fold is the same in both engines.
     Q("q34_similar_pairs",
       """WITH n AS (
         |  SELECT vec_id,
@@ -123,20 +92,19 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     },
 
-    // ANN scale path: 16-bit random-hyperplane LSH bucketing, then exact
-    // cosine only within buckets. Deterministic but hash-function-specific
-    // → rows-only check; recall vs brute force is asserted in unit tests.
-    Q.rowsOnly("q35_ann_lsh") { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .withColumn("sig", hyperplaneSignature(col("embedding"), 16, 64))
-      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("sig"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("sig"))
-      a.join(b, Seq("sig")).filter(col("vec_a") < col("vec_b"))
-        .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
-        .filter(col("sim") >= 0.5)
-        .select(col("sig"), col("vec_a"), col("vec_b"), col("sim"))
-        .orderBy("vec_a", "vec_b")
-    },
+    // ANN scale path: banded random-hyperplane LSH (32 bands × 6 bits),
+    // exact cosine only on bucket-colliding candidates. Candidate pairs are
+    // deduplicated as bare (id, id) keys — vectors are re-joined afterwards,
+    // the shape that keeps the candidate shuffle narrow at 100 TB.
+    // Hash-function-specific → rows-only check; recall vs the q34 brute
+    // force is asserted in unit tests (SimilaritySpec).
+    Q.rowsOnly("q35_ann_lsh") { (s, d) => annLsh(s, d, threshold = 0.5) },
+
+    // IVF scale path: k-means cell index over the corpus (the "train the
+    // index" step), queries probe their 2 nearest cells, exact cosine only
+    // within probed cells. Centroid-dependent → rows-only; cell-recall vs
+    // brute force asserted in unit tests.
+    Q.rowsOnly("q48_ivf_ann") { (s, d) => ivfAnn(s, d, k = 8, probes = 2, topK = 5) },
 
     // MinHash-LSH near-dup candidates on documents: 3-gram shingles →
     // 16 minhashes (xxhash64 with per-function salt) → 4 bands of 4 →
@@ -161,4 +129,93 @@ object Similarity {
         .orderBy("doc_a", "doc_b")
     }
   )
+
+  /** Brute-force top-k cosine neighbors for each query vector. */
+  def knn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim_raw"), asc("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("sim_raw", cosine(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim_raw"), 6).as("sim"),
+        col("rank"))
+  }
+
+  /** Banded-LSH all-pairs: candidates from bucket collisions, then exact
+    * cosine ≥ `threshold`. Exposed for the recall unit test.
+    *
+    * 32 bands × 6 bits targets the mid-similarity regime this corpus has
+    * (top pairs ≈ 0.5–0.6 cosine): recall ≈ 95% at sim 0.51, ≈ 99% at 0.6,
+    * with ~2× fewer exact-cosine evaluations than brute force at sf0.1. A
+    * production near-dup dedup (threshold ≥ 0.9) would raise bits to 12–16,
+    * where candidate counts drop by orders of magnitude. */
+  def annLsh(s: SparkSession, d: String, threshold: Double,
+      bands: Int = 32, bits: Int = 6): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val sigs = emb.select(col("vec_id"),
+      graft.functions.Lsh.hyperplaneBands(col("embedding"), bands, bits, 64).as("bands"))
+    val exploded = sigs.select(col("vec_id"), posexplode(col("bands")))
+      .toDF("vec_id", "band", "bh")
+    val a = exploded.select(col("vec_id").as("vec_a"), col("band"), col("bh"))
+    val b = exploded.select(col("vec_id").as("vec_b"), col("band"), col("bh"))
+    val cand = a.join(b, Seq("band", "bh")).filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** IVF: k-means centroids as the coarse quantizer; every corpus vector is
+    * assigned to its nearest cell, queries probe the `probes` nearest cells,
+    * exact cosine runs only inside probed cells. */
+  def ivfAnn(s: SparkSession, d: String, k: Int, probes: Int, topK: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(s, d)
+    val vecs = emb.select(col("vec_id"),
+      array_to_vector(col("embedding")).as("features")).cache()
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").fit(vecs)
+    vecs.unpersist(blocking = false)
+    // Centroids collected once (driver-side index metadata, k·dim doubles)
+    // and rebroadcast as a tiny dimension table — the IVF index itself.
+    val spark = s
+    import spark.implicits._
+    val cdf = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+    // nearest cell = argmin ||x||² − 2x·c + ||c||²; ||x||² constant per x.
+    def rankCells(df: DataFrame, idCol: String, embCol: String, n: Int) = {
+      val w = Window.partitionBy(col(idCol)).orderBy(asc("dist2"), asc("cell"))
+      df.crossJoin(broadcast(cdf))
+        .withColumn("dist2",
+          dot(col("cvec"), col("cvec")) - lit(2.0) * dot(col(embCol), col("cvec")))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= n)
+        .drop("cvec", "dist2", "cell_rank")
+    }
+    val assigned = rankCells(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      "neighbor_id", "cv", 1)
+    val probed = rankCells(
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "query_id", "qv", probes)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim_raw"), asc("neighbor_id"))
+    probed.join(assigned, Seq("cell"))
+      .withColumn("sim_raw", cosine(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim_raw"), 6).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
 }

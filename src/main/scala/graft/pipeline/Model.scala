@@ -21,7 +21,8 @@ object Model {
   /** StringIndexer(handleInvalid=keep) per string column + VectorAssembler +
     * seeded RandomForestRegressor (model.py:24-42), feature list dedup'd. */
   def pipeline(df: DataFrame, labelCol: String, featureCols: Seq[String],
-      numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L): Pipeline = {
+      numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L,
+      maxBins: Int = 32, subsamplingRate: Double = 1.0): Pipeline = {
     val distinctFeatures = featureCols.distinct.filter(_ != labelCol)
     val catCols = df.schema.fields
       .collect { case f if f.dataType == StringType => f.name }
@@ -35,15 +36,18 @@ object Model {
     val rf = new RandomForestRegressor()
       .setLabelCol(labelCol).setFeaturesCol("features")
       .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+      .setMaxBins(maxBins).setSubsamplingRate(subsamplingRate)
     new Pipeline().setStages((indexers :+ assembler :+ rf).toArray)
   }
 
   /** 80/20 split + fit + score + r2/rmse (model.py:69-113), no grid. */
   def fitPredict(df: DataFrame, labelCol: String, featureCols: Seq[String],
-      numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L)
+      numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L,
+      maxBins: Int = 32, subsamplingRate: Double = 1.0)
       : (PipelineModel, DataFrame, Double, Double) = {
     val Array(train, valid) = df.randomSplit(Array(0.8, 0.2), seed)
-    val model = pipeline(df, labelCol, featureCols, numTrees, maxDepth, seed).fit(train)
+    val model = pipeline(df, labelCol, featureCols, numTrees, maxDepth, seed,
+      maxBins, subsamplingRate).fit(train)
     val scored = model.transform(valid)
     val r2 = new RegressionEvaluator().setLabelCol(labelCol)
       .setPredictionCol("prediction").setMetricName("r2").evaluate(scored)

@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark's package-private Expression ↔ Column converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`, Spark 4.x column-node
+  * API). Custom Catalyst expressions (graft.functions.*) need exactly these
+  * two hooks to participate in the public DataFrame API; the rest of the
+  * engine stays in the graft.* namespace. This is the conventional pattern
+  * for Spark-native extension libraries building typed Column functions on
+  * top of custom expressions.
+  */
+object GraftSql {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
