@@ -107,12 +107,17 @@ object Similarity {
     Q.rowsOnly("q48_ivf_ann") { (s, d) => ivfAnn(s, d, k = 8, probes = 2, topK = 5) },
 
     // MinHash-LSH near-dup candidates on documents: 3-gram shingles →
-    // 16 minhashes (xxhash64 with per-function salt) → 4 bands of 4 →
-    // banded join. Engine-hash-specific → rows-only; banding recall is
-    // unit-tested against q27's exact Jaccard pairs.
+    // 16 minhashes (xxhash64 with per-function salt) → 8 bands of 2 →
+    // banded join. Band size 2 (not 4): docs here have ~30-shingle sets, so
+    // a single rare shingle winning a few minima spreads mismatches across
+    // wide bands and kills recall (observed: a 0.96-Jaccard pair with 12/16
+    // matching minhashes missed ALL 4 4-wide bands). With 2-wide bands the
+    // same pair collides in 4 bands; recall at j≥0.9 is 1-(1-j²)^8 ≈ 1-3e-6.
+    // Engine-hash-specific → rows-only; recall is unit-tested against q27's
+    // exact Jaccard pairs.
     Q.rowsOnly("q36_minhash_lsh") { (s, d) =>
       val numHashes = 16
-      val bandSize = 4
+      val bandSize = 2
       val sh = TextOps.shingles(Tables.documents(s, d), "text", 3)
       val mins = (0 until numHashes).map(i =>
         min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))

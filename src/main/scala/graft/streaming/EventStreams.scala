@@ -22,8 +22,15 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    // Watermarks require TIMESTAMP (with zone), not TIMESTAMP_NTZ — with a
+    // UTC session the wall-clock values are identical to the batch NTZ form;
+    // each aggregate casts window bounds back to NTZ for batch parity.
+    // The file-stream source wants a directory: stream the table dir with a
+    // glob picking just the events file.
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-day aggregate with a 1-hour watermark (≡ batch q23). */
@@ -32,7 +39,8 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-      .select(col("window.start").as("day_start"), col("n_events"), col("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("day_start"),
+        col("n_events"), col("total_value"))
 
   /** Sliding 1-day/6-hour aggregate (≡ batch q24). */
   def sliding(events: DataFrame): DataFrame =
@@ -40,7 +48,8 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day", "6 hours"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-      .select(col("window.start").as("win_start"), col("n_events"), col("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("n_events"), col("total_value"))
 
   /** Per-user session windows, 30-minute gap (≡ batch q25). */
   def sessions(events: DataFrame): DataFrame =
@@ -48,7 +57,8 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-      .select(col("user_id"), col("session_window.start").as("session_start"),
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"), col("total_value"))
 
   /** Run a streaming DataFrame to completion against the static input via a

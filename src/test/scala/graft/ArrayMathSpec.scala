@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.ArrayMath
+import org.apache.spark.sql.functions._
+
+/** graft.functions.DotProduct: codegen vs interpreted parity, numeric
+  * semantics, type coverage (array<float> and array<double>). */
+class ArrayMathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def floats(xs: Double*) = xs.map(_.toFloat).toArray
+
+  test("dot product over float arrays matches hand computation") {
+    val df = Seq((floats(1, 2, 3), floats(4, 5, 6))).toDF("a", "b")
+    val r = df.select(ArrayMath.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("dot product over double arrays and mixed float/double") {
+    val df = Seq((Array(1.5, -2.0), floats(2, 3))).toDF("a", "b")
+    val r = df.select(ArrayMath.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(r == 1.5 * 2 - 2.0 * 3)
+  }
+
+  test("length mismatch folds over the common prefix") {
+    val df = Seq((floats(1, 2, 3), floats(10, 10))).toDF("a", "b")
+    val r = df.select(ArrayMath.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(r == 30.0)
+  }
+
+  test("null input yields null") {
+    val df = Seq((Option(floats(1, 2)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(ArrayMath.dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("norm and cosine: known values, zero-norm null") {
+    val df = Seq(
+      (floats(3, 4), floats(3, 4)),
+      (floats(1, 0), floats(0, 1)),
+      (floats(0, 0), floats(1, 1))).toDF("a", "b")
+    val rows = df.select(
+      ArrayMath.norm(col("a")).as("n"),
+      ArrayMath.cosine(col("a"), col("b")).as("c")).collect()
+    assert(rows(0).getDouble(0) == 5.0 && rows(0).getDouble(1) == 1.0)
+    assert(rows(1).getDouble(1) == 0.0)
+    assert(rows(2).isNullAt(1)) // zero norm -> null, not NaN/divide-by-zero
+  }
+
+  test("codegen and interpreted paths agree bit-for-bit") {
+    val rnd = new scala.util.Random(42)
+    val data = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = data.toDF("a", "b")
+    def run() = df.select(ArrayMath.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(withCodegen.sameElements(interpreted))
+  }
+
+  test("dot matches the higher-order-function fold it replaced") {
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(20)((
+      Array.fill(16)(rnd.nextFloat()), Array.fill(16)(rnd.nextFloat())))
+      .toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(ArrayMath.dot(col("a"), col("b")).as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+}
