@@ -15,7 +15,8 @@ object SparkEntry {
     ops.Similarity.queries ++
     ops.Imputation.queries ++
     ops.Ml.queries ++
-    ops.Multimodal.queries
+    ops.Multimodal.queries ++
+    ops.Sources.queries
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")

@@ -449,6 +449,38 @@ object Relational {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     },
 
+    // CUBE grouping sets — all 2^2 grouping combinations in one shuffle
+    // (partial aggregation expands grouping ids map-side).
+    Q("q45_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("total_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // PIVOT: long→wide on a known value set (explicit values keep the plan
+    // single-pass; without them Spark runs an extra distinct job). Oracle is
+    // the equivalent conditional aggregation.
+    Q("q46_pivot",
+      """SELECT o_orderpriority,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(round(sum(col("o_totalprice")), 2))
+          .orderBy(col("o_orderpriority"))
+    },
+
     // O4/O5: seeded sample + randomSplit — deterministic per Spark seed but
     // not SQL-expressible (partition-layout dependent) → rows-only check.
     Q.rowsOnly("q21_sample_split") { (s, d) =>

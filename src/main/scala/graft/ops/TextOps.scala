@@ -198,6 +198,53 @@ object TextOps {
         count(lit(1)).as("n_docs"))
     },
 
+    // SimHash near-dup detection (the third dedup family after exact/q26,
+    // MinHash/q36), production two-stage shape: (1) a 64-bit fingerprint of
+    // each doc's SHINGLE SET via the codegen'd graft.functions.SimHash64 —
+    // shingles, unlike raw tokens, are near-unique per doc, so random pairs
+    // land at Hamming ≈ 32 (measured: 0.1th pct = 19) while true near-dups
+    // sit at h ≤ 7; (2) 8×8-bit chunk join for candidates (pigeonhole:
+    // h ≤ 7 ⇒ ≥ 1 identical chunk ⇒ candidate set is complete for true
+    // pairs), Hamming filter, then exact Jaccard verification against the
+    // stored shingle sets (array_intersect — no shingle-key self-join
+    // anywhere). This is the 100 TB shape: fingerprints prune 12.5M pairs
+    // to a few hundred, verification touches only those. Hash-specific →
+    // rows-only; agreement with q27's exact pairs is unit-tested.
+    Q.rowsOnly("q44_simhash_dedup") { (s, d) =>
+      val chunksN = 8
+      val bitsPer = 64 / chunksN
+      val mask = (1L << bitsPer) - 1
+      val sets = shingles(Tables.documents(s, d), "text", 3)
+        .groupBy("doc_id")
+        .agg(collect_set(col("shingle")).as("ss"))
+        .select(col("doc_id"), col("ss"), size(col("ss")).as("n_sh"),
+          graft.functions.TextHash.simhash64(col("ss")).as("sh"))
+      val chunks = sets.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until chunksN).map(i =>
+          shiftrightunsigned(col("sh"), i * bitsPer).bitwiseAND(lit(mask))): _*)))
+        .toDF("doc_id", "sh", "chunk", "ck")
+      val a = chunks.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+        col("chunk"), col("ck"))
+      val b = chunks.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+        col("chunk"), col("ck"))
+      val cand = a.join(b, Seq("chunk", "ck")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(sha ^ shb)").cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 10)
+      val jac = col("inter") / (col("na") + col("nb") - col("inter"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"),
+          col("n_sh").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"),
+          col("n_sh").as("nb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))))
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          round(jac, 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Multimodal-adjacent: byte-level metadata + content hash of the UTF-8
     // payload (sha2 hex matches DuckDB sha256 on identical bytes).
     Q("q32_content_hash",

@@ -42,6 +42,31 @@ class TextOpsSpec extends SparkSpec {
     assert(r("en") >= 4 && r("es") == 0 && r("unknown") == 0)
   }
 
+  test("q44 simhash two-stage dedup: subset of exact pairs, misses only h>7") {
+    val exact = SparkEntry.queries("q27_ngram_jaccard")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simhash = SparkEntry.queries("q44_simhash_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simhash.nonEmpty)
+    assert(simhash.subsetOf(exact),
+      s"simhash+verify produced non-near-dup pairs: ${simhash -- exact}")
+    val missed = exact -- simhash
+    if (missed.nonEmpty) {
+      // every miss must be a fingerprint miss (hamming > the h<=10 output
+      // threshold can only drop pairs with h > 7 guaranteed candidates),
+      // never a verification bug
+      val docs = TextOps.shingles(Tables.documents(spark, sf0001), "text", 3)
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("ss"))
+        .select(col("doc_id"),
+          graft.functions.TextHash.simhash64(col("ss")).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      missed.foreach { case (a, b) =>
+        val h = java.lang.Long.bitCount(docs(a) ^ docs(b))
+        assert(h > 7, s"pair ($a,$b) had hamming $h but was missed")
+      }
+    }
+  }
+
   test("q27 exact Jaccard finds the planted near-dup and skips distinct docs") {
     val a = "alpha beta gamma delta epsilon zeta"
     val b = "alpha beta gamma delta epsilon eta" // 1 word differs
