@@ -10,9 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up (uncounted): first query in a fresh JVM otherwise absorbs
+    // one-time costs — noop-sink init, codegen/JIT, parquet footer reads —
+    // that belong to the session, not that query.
+    SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: forces full evaluation of every output column. A bare
+      // count() lets Catalyst prune expensive expressions (a global
+      // aggregate's row count needs none of them), under-measuring any
+      // query whose hot columns are prunable.
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

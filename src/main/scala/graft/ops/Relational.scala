@@ -257,18 +257,27 @@ object Relational {
         |             round(quantile_cont(l_extendedprice, 0.50), 4) AS median,
         |             round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
         |      FROM lineitem)""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
-          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("median"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+      // sort-based exact quantiles (see Eda.exactQuantiles: the built-in
+      // exact percentile agg is GC-bound on high-cardinality doubles)
+      val Seq(q1, med, q3) = graft.pipeline.Eda.exactQuantiles(
+        Tables.lineitem(s, d), "l_extendedprice", Seq(0.25, 0.50, 0.75))
+      s.range(1)
+        .select(
+          round(lit(q1), 4).as("q1"),
+          round(lit(med), 4).as("median"),
+          round(lit(q3), 4).as("q3"))
         .select(col("q1"), col("median"), col("q3"),
           round(col("q3") - col("q1"), 4).as("iqr"),
           round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 4).as("lo_bound"),
           round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 4).as("hi_bound"))
     },
 
-    // A10/P10: IQR outlier count — scalar bounds broadcast into the filter.
+    // A10/P10: IQR outlier count. The quartiles are collected to the driver
+    // (the reference's own approxQuantile-to-driver pattern, eda.py:77-81)
+    // so the outlier predicate is a LITERAL range — pushed down to the
+    // parquet scan (row-group skipping at 100 TB). The crossJoin(broadcast)
+    // alternative keeps one declarative plan but routes 600k rows through an
+    // interpreted BroadcastNestedLoopJoin: measured 6× slower.
     Q("q12_outliers",
       """WITH b AS (
         |  SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
@@ -281,12 +290,13 @@ object Relational {
         |WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
         |   OR l_extendedprice > q3 + 1.5 * (q3 - q1)""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
-      val b = li.agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
-      li.crossJoin(broadcast(b))
-        .filter(col("l_extendedprice") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
-          col("l_extendedprice") > col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      val Seq(q1r, q3r) = graft.pipeline.Eda.exactQuantiles(
+        li, "l_extendedprice", Seq(0.25, 0.75))
+      // round(x, 4) with Spark/DuckDB HALF_UP semantics (values positive)
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (q1, q3) = (r4(q1r), r4(q3r))
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      li.filter(col("l_extendedprice") < lo || col("l_extendedprice") > hi)
         .agg(
           count(lit(1)).as("n_outliers"),
           round(min(col("l_extendedprice")), 2).as("min_out"),

@@ -47,6 +47,39 @@ object Eda {
       .agg(count(lit(1)).as("n_outliers"))
   }
 
+  /** Exact quantile_cont order statistics via distributed sort + index
+    * lookup, DuckDB-compatible interpolation (lo + (hi−lo)·frac at rank
+    * p·(n−1)).
+    *
+    * Why not the built-in exact `percentile` aggregate: its buffer is a
+    * per-partition OpenHashMap keyed by VALUE, so on a high-cardinality
+    * double column every partial holds (value→count) for ~all its rows —
+    * at sf0.1 that's 32 maps of ~19k boxed entries merged through a
+    * single-partition exchange, measured 16–57 s and GC-bound. A range-
+    * partitioned sort of the raw doubles plus a filter on the handful of
+    * needed ranks is 3 short jobs and stays primitive end to end. (The
+    * 100 TB path for quantiles is approx_percentile; exact quantiles are
+    * inherently a sort.) */
+  def exactQuantiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] = {
+    val sorted = df.select(col(c).cast("double")).na.drop()
+      .rdd.map(_.getDouble(0)).sortBy(identity)
+    sorted.cache()
+    try {
+      val n = sorted.count()
+      require(n > 0, s"exactQuantiles on empty column $c")
+      val ranks = probs.map(p => p * (n - 1))
+      val needed = ranks.flatMap(r =>
+        Seq(math.floor(r).toLong, math.ceil(r).toLong)).toSet
+      val byIdx = sorted.zipWithIndex().map(_.swap)
+        .filter { case (i, _) => needed(i) }.collect().toMap
+      ranks.map { r =>
+        val lo = byIdx(math.floor(r).toLong)
+        val hi = byIdx(math.ceil(r).toLong)
+        lo + (hi - lo) * (r - math.floor(r))
+      }
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Pearson correlation of every numeric column vs a label, one pass
     * (eda.py:88 runs pandas corr on a sample; this is exact + distributed). */
   def corrVsLabel(df: DataFrame, label: String): DataFrame = {
