@@ -84,9 +84,13 @@ object Eda {
     * (eda.py:88 runs pandas corr on a sample; this is exact + distributed). */
   def corrVsLabel(df: DataFrame, label: String): DataFrame = {
     val cols = numericCols(df).filter(_ != label)
+    // try_divide: a zero-variance column yields null (pandas corr's NaN),
+    // not an ANSI DIVIDE_BY_ZERO error
+    def safeCorr(c: String) =
+      expr(s"try_divide(covar_samp($c, $label), stddev_samp($c) * stddev_samp($label))")
     df.agg(
-      corr(col(cols.head), col(label)).as(cols.head),
-      cols.tail.map(c => corr(col(c), col(label)).as(c)): _*)
+      safeCorr(cols.head).as(cols.head),
+      cols.tail.map(c => safeCorr(c).as(c)): _*)
   }
 
   /** Group means + top-k (eda.py:129). */

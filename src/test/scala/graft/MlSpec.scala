@@ -1,0 +1,63 @@
+package graft
+
+import graft.pipeline.{Eda, Model}
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.tuning.CrossValidatorModel
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val synth = {
+    // y = 3x + noise-free deterministic offset; rf should track it closely
+    val rows = (1 to 400).map(i => (i % 20 + 1.0, (i % 7).toDouble, 3.0 * (i % 20 + 1) + (i % 7)))
+    rows.toDF("x1", "x2", "y").cache()
+  }
+
+  test("fitPredict learns a deterministic signal (r2 high, rmse low)") {
+    val (_, scored, r2, rmse) = Model.fitPredict(synth, "y", Seq("x1", "x2"),
+      numTrees = 10, maxDepth = 5)
+    assert(scored.columns.contains("prediction"))
+    assert(r2 > 0.95, s"r2 was $r2")
+    assert(rmse < 3.0, s"rmse was $rmse")
+  }
+
+  test("crossValidate (M5-M7): grid search picks a model, parallel fits") {
+    val cv: CrossValidatorModel = Model.crossValidate(synth, "y", Seq("x1", "x2"),
+      numTreesGrid = Array(5, 10), maxDepthGrid = Array(3, 5),
+      folds = 2, parallelism = 4)
+    assert(cv.avgMetrics.length == 4) // 2x2 grid
+    assert(cv.avgMetrics.max > 0.9)  // best r2 on an exact signal
+    val scored = cv.transform(synth)
+    assert(scored.select(avg(abs(col("prediction") - col("y")))).head().getDouble(0) < 3.0)
+  }
+
+  test("model persistence (S5): save + load round-trips predictions") {
+    val cv = Model.crossValidate(synth, "y", Seq("x1", "x2"),
+      numTreesGrid = Array(5), maxDepthGrid = Array(3), folds = 2)
+    val dir = Files.createTempDirectory("graft_model_").toString + "/rf"
+    cv.bestModel.asInstanceOf[PipelineModel].write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val before = cv.bestModel.transform(synth).select("prediction")
+      .collect().map(_.getDouble(0))
+    val after = loaded.transform(synth).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(before.sameElements(after))
+  }
+
+  test("exactQuantiles matches the built-in exact percentile aggregate") {
+    val df = (1 to 1001).map(i => ((i * 7919) % 1001).toDouble).toDF("v")
+    val got = Eda.exactQuantiles(df, "v", Seq(0.25, 0.5, 0.75, 0.9))
+    val want = df.agg(expr("percentile(v, array(0.25, 0.5, 0.75, 0.9))"))
+      .head().getSeq[Double](0)
+    assert(got == want.toSeq)
+  }
+
+  test("exactQuantiles interpolates between ranks like quantile_cont") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    // p=0.5 over n=4: rank 1.5 -> 2 + 0.5*(3-2) = 2.5
+    assert(Eda.exactQuantiles(df, "v", Seq(0.5)) == Seq(2.5))
+    assert(Eda.exactQuantiles(df, "v", Seq(0.0, 1.0)) == Seq(1.0, 4.0))
+  }
+}
