@@ -63,9 +63,10 @@ object EventStreams {
 
   /** Run a streaming DataFrame to completion against the static input via a
     * memory sink; returns the collected result table. */
-  def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
     val q: StreamingQuery = agg.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .start()

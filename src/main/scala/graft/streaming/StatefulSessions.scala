@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state via flatMapGroupsWithState (SURVEY.md §2.9): a
+  * hand-rolled per-user sessionizer equivalent to `session_window` but with
+  * arbitrary state logic — the extension point `session_window` cannot
+  * express (e.g. value-dependent gaps, per-session aggregates beyond
+  * sum/count, emitting mid-session checkpoints).
+  *
+  * State design for scale: one small record per ACTIVE user (last-event
+  * time + running aggregates), partitioned by the grouping key across
+  * executors, checkpointed by the state store, and expired with an event-
+  * time timeout tied to the watermark — bounded state, no driver residency.
+  * Closed sessions are emitted as soon as the gap elapses or the group sees
+  * a later event.
+  */
+object StatefulSessions {
+
+  /** `ts_us` = MICROSECONDS since epoch, the working representation —
+    * java.sql.Timestamp.getTime truncates to millis, which would shift
+    * sub-ms session starts vs session_window. `ts` stays only because the
+    * event-time timeout requires the watermarked column to survive into the
+    * stateful operator. */
+  case class Event(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  case class Session(
+      user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  val GapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Pure transition function: fold sorted events into closed sessions +
+    * the still-open tail. Exposed for direct unit testing. */
+  def fold(events: Seq[(Long, Double)], open: Option[SessionState])
+      : (Seq[SessionState], Option[SessionState]) =
+    events.foldLeft((Vector.empty[SessionState], open)) {
+      case ((closed, None), (t, v)) =>
+        (closed, Some(SessionState(t, t, 1, v)))
+      case ((closed, Some(s)), (t, v)) if t - s.lastTs >= GapUs =>
+        (closed :+ s, Some(SessionState(t, t, 1, v)))
+      case ((closed, Some(s)), (t, v)) =>
+        (closed, Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + v)))
+    }
+
+  private def emit(user: Long, s: SessionState): Session = {
+    val ts = new java.sql.Timestamp(s.start / 1000000 * 1000)
+    ts.setNanos(((s.start % 1000000) * 1000).toInt)
+    Session(user, ts, s.n, s.total)
+  }
+
+  def sessionize(user: Long, it: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    val sorted = it.toSeq.sortBy(e => (e.ts_us, e.value))
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(emit(user, _)).iterator
+      state.remove()
+      out
+    } else {
+      val (closed, open) =
+        fold(sorted.map(e => (e.ts_us, e.value)), state.getOption)
+      open match {
+        case Some(s) =>
+          state.update(s)
+          if (state.getCurrentWatermarkMs() > 0) {
+            state.setTimeoutTimestamp(s.lastTs / 1000 + GapUs / 1000)
+          }
+        case None => state.remove()
+      }
+      closed.iterator.map(emit(user, _))
+    }
+  }
+
+  /** The streaming query: watermarked event stream → per-user custom state.
+    * Append mode: sessions are emitted only once closed. */
+  def run(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionize)
+  }
+
+  /** Batch reference for parity tests: the same fold applied per user to
+    * the full static table. `includeOpen=true` closes every tail session at
+    * end-of-input (≡ session_window batch semantics, q25);
+    * `includeOpen=false` keeps only sessions closed by a later event —
+    * exactly what a single-microbatch append-mode stream can emit. */
+  def batchReference(spark: SparkSession, events: DataFrame,
+      includeOpen: Boolean = true): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts").cast("timestamp"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (user, it) =>
+        val sorted = it.toSeq.sortBy(e => (e.ts_us, e.value))
+        val (closed, open) = fold(sorted.map(e => (e.ts_us, e.value)), None)
+        (if (includeOpen) closed ++ open else closed).map(emit(user, _)).iterator
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.{EventStreams, StatefulSessions}
+import org.apache.spark.sql.functions._
+
+/** flatMapGroupsWithState sessionizer (SURVEY.md §2.9 custom state):
+  * transition-function unit tests + two parity contracts — the custom fold
+  * must reproduce session_window's batch semantics (q25), and the streaming
+  * run must emit exactly the closed sessions of that fold. */
+class StatefulSessionsSpec extends SparkSpec {
+
+  test("fold: gap >= 30min closes a session, state carries across calls") {
+    val m = 60L * 1000 * 1000 // one minute in micros
+    val (closed, open) = StatefulSessions.fold(
+      Seq((0L, 1.0), (29 * m, 2.0), (58 * m, 4.0), (200 * m, 8.0)), None)
+    assert(closed.map(s => (s.start, s.n, s.total)) ==
+      Seq((0L, 3L, 7.0))) // first three chain (29-min gaps), 4th splits
+    assert(open.map(s => (s.start, s.n, s.total)).contains((200 * m, 1L, 8.0)))
+    // resuming from open state chains or splits the same way
+    val (closed2, open2) = StatefulSessions.fold(Seq((229 * m, 1.0)), open)
+    assert(closed2.isEmpty && open2.get.n == 2)
+    val (closed3, open3) = StatefulSessions.fold(Seq((500 * m, 1.0)), open2)
+    assert(closed3.map(_.n) == Seq(2L) && open3.get.start == 500 * m)
+  }
+
+  test("custom fold reproduces session_window batch semantics (q25)") {
+    val q25 = SparkEntry.queries("q25_session_window")(spark, sf0001)
+      .select(col("user_id"), col("session_start").cast("string").as("st"),
+        col("n_events"), col("total_value"))
+      .collect().map(_.toSeq).toSet
+    val ref = StatefulSessions.batchReference(spark,
+      Tables.events(spark, sf0001), includeOpen = true)
+      .select(col("user_id"), col("session_start").cast("string").as("st"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .collect().map(_.toSeq).toSet
+    assert(ref == q25)
+  }
+
+  test("streaming run emits exactly the closed sessions of the fold") {
+    val got = EventStreams.runToMemory(spark,
+      StatefulSessions.run(spark, EventStreams.readEvents(spark, sf0001)).toDF(),
+      "t_stateful_sessions", outputMode = "append")
+      .select(col("user_id"), col("session_start").cast("string").as("st"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .collect().map(_.toSeq).toSet
+    val want = StatefulSessions.batchReference(spark,
+      Tables.events(spark, sf0001), includeOpen = false)
+      .select(col("user_id"), col("session_start").cast("string").as("st"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
