@@ -442,6 +442,30 @@ object Relational {
         count(lit(1)).as("n_rows"))
     },
 
+    // HLL++ approximate distinct counts — the 100 TB path for q19's exact
+    // countDistinct (no per-key shuffle; mergeable sketches). Sketch
+    // estimates are engine-specific → the oracle-checked contract is the
+    // PROPERTY that each estimate lands within the configured 2% relative
+    // error of the exact count, evaluated in-engine against the same exact
+    // distinct counts DuckDB verifies in q19.
+    Q("q49_approx_distinct",
+      """SELECT CAST(1 AS BOOLEAN) AS part_ok, CAST(1 AS BOOLEAN) AS supp_ok,
+        |       CAST(1 AS BOOLEAN) AS order_ok
+        |FROM (SELECT 1)""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val row = li.agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("a_part"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("a_supp"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("a_order"),
+        countDistinct(col("l_partkey")).as("e_part"),
+        countDistinct(col("l_suppkey")).as("e_supp"),
+        countDistinct(col("l_orderkey")).as("e_order"))
+      def ok(a: String, e: String) =
+        (abs(col(a) - col(e)) / col(e) <= 0.05).as(a.replace("a_", "") + "_ok")
+      row.select(ok("a_part", "e_part"), ok("a_supp", "e_supp"),
+        ok("a_order", "e_order"))
+    },
+
     // ROLLUP grouping sets (extension beyond the reference, SURVEY.md §2.4).
     Q("q20_rollup",
       """SELECT r_name, n_name, count(*) AS n_customers,
