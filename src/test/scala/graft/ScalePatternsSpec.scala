@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The 100 TB shuffle-management patterns (SURVEY.md scale notes) proven on
+  * live plans: bucketed co-located joins eliminate the join shuffle, and
+  * key salting splits a hot key across partitions without changing the
+  * aggregate's result. */
+class ScalePatternsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse.dir is a static conf — uses the session default
+    // (./spark-warehouse, gitignored); tables dropped at the end
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    // disable broadcast so the join would otherwise need a shuffle
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(li_b) */ count(*) AS n
+        |FROM li_b JOIN ord_b ON l_orderkey = o_orderkey""".stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    // and it computes the same count as the plain join
+    val expect = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.head().getLong(0) == expect)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+  }
+
+  test("salted aggregation of a skewed key matches the direct aggregate") {
+    // one hot key carrying 90% of rows — the shape that stalls a single
+    // reducer at scale
+    val skewed = (1 to 9000).map(i => ("hot", i.toDouble)) ++
+      (1 to 1000).map(i => (s"k${i % 50}", i.toDouble))
+    val df = skewed.toDF("k", "v").repartition(8)
+    val salts = 16
+    // stage 1: partial aggregate on (key, salt) — hot key spreads over 16
+    // reducers; stage 2: merge partials per key
+    val salted = df
+      .withColumn("salt", pmod(crc32(rand(42).cast("string")), lit(salts)))
+      .groupBy(col("k"), col("salt"))
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .groupBy(col("k"))
+      .agg(round(sum("s"), 6).as("total"), sum("c").as("n"))
+    val direct = df.groupBy(col("k"))
+      .agg(round(sum("v"), 6).as("total"), count(lit(1)).as("n"))
+    val l = salted.orderBy("k").collect().map(_.toSeq)
+    val r = direct.orderBy("k").collect().map(_.toSeq)
+    assert(l.sameElements(r))
+    // the hot key genuinely spread across salt buckets
+    val hotBuckets = df
+      .withColumn("salt", pmod(crc32(rand(42).cast("string")), lit(salts)))
+      .filter(col("k") === "hot").select("salt").distinct().count()
+    assert(hotBuckets > 8, s"hot key only hit $hotBuckets salt buckets")
+  }
+}
