@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over the `events` table (FIXTURES.md §B): JSON
@@ -77,6 +78,51 @@ object Events {
           round(sum(col("value")), 2).as("total_value"))
         .select(col("window.start").as("win_start"), col("n_events"), col("total_value"))
         .orderBy(col("win_start"))
+    },
+
+    // As-of join: each 'purchase' gets the most recent preceding 'view' of
+    // the same user. Spark has no ASOF JOIN operator; the Spark-first
+    // composition (SURVEY.md custom-operator preference (a)) is a tagged
+    // union + last_value window over (user, time) — ONE shuffle on user_id,
+    // no join at all, versus a range join's quadratic candidate blowup.
+    // DuckDB oracle uses its native ASOF JOIN. Ties (equal ts): the view
+    // with the larger event_id wins, matching ASOF's <= bound plus a
+    // deterministic tie-break on event_id.
+    Q("q50_asof_join",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |       v.event_id AS view_id,
+        |       round(v.value, 2) AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM (
+        |       SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                 ORDER BY event_id DESC) AS rn
+        |       FROM events WHERE event_type = 'view') WHERE rn = 1) v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_view").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev
+        .withColumn("is_view", (col("event_type") === "view").cast("int"))
+        .withColumn("view_id",
+          last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true)
+            .over(w))
+        .withColumn("view_value",
+          last(when(col("event_type") === "view", col("value")), ignoreNulls = true)
+            .over(w))
+        // a view at the same ts as the purchase is admissible (ASOF <=):
+        // include current-row-at-equal-ts views by ordering views first at
+        // equal ts and extending the frame to the previous row only — views
+        // at the exact purchase ts sort before the purchase (is_view col)
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          col("view_id"), round(col("view_value"), 2).as("view_value"))
+        .orderBy("purchase_id")
     },
 
     // Session window (30 min gap) per user. Spark semantics: a new session
