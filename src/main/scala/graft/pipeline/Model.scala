@@ -64,7 +64,8 @@ object Model {
       .select(col(labelCol), col("features")).cache()
     val rfModel = try rf.fit(trainFeat) finally trainFeat.unpersist(blocking = false)
     val transformers: Seq[Transformer] = featModel.stages.toSeq :+ rfModel
-    val scored = transformers.foldLeft(valid)((d, t) => t.transform(d))
+    // cached: consumed once for metrics here and again by the caller
+    val scored = transformers.foldLeft(valid)((d, t) => t.transform(d)).cache()
     val m = scored.agg(
       count(lit(1)).cast("double").as("n"),
       avg(col(labelCol)).as("ybar"),

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.{ArrayMath, Lsh}
+import graft.streaming.StatefulSessions
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck properties (SURVEY.md §5.3) for the custom kernels, with a
+  * fixed seed so runs are reproducible. */
+class GraftPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(50)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.containerOfN[Array, Float](16, Gen.chooseNum(-10f, 10f))
+
+  test("property: dot product is symmetric, bit for bit") {
+    val cases = Gen.listOfN(60, Gen.zip(vecGen, vecGen)).sample.get
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      ArrayMath.dot(col("a"), col("b")).as("ab"),
+      ArrayMath.dot(col("b"), col("a")).as("ba")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("property: simhash is token-order invariant and deterministic") {
+    val tokGen = Gen.listOfN(12, Gen.alphaNumStr.suchThat(_.nonEmpty))
+    check(Prop.forAll(tokGen) { toks =>
+      val shuffled = scala.util.Random.shuffle(toks)
+      val df = Seq(Tuple1(toks), Tuple1(shuffled)).toDF("t")
+      val hs = df.select(graft.functions.TextHash.simhash64(col("t")))
+        .collect().map(_.getLong(0))
+      hs(0) == hs(1)
+    })
+  }
+
+  test("property: LSH planes are deterministic and band count is exact") {
+    check(Prop.forAll(Gen.chooseNum(0, 1000), Gen.chooseNum(2, 128)) { (p, dim) =>
+      Lsh.planeVector(p, dim).sameElements(Lsh.planeVector(p, dim)) &&
+        Lsh.planeVector(p, dim).length == dim
+    })
+  }
+
+  test("property: incremental session fold equals whole-batch fold") {
+    val us = 60L * 1000 * 1000
+    val evGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 600L), Gen.chooseNum(1, 100)))
+      .map(_.map { case (minute, v) => (minute * us, v.toDouble) }
+        .sortBy(x => x))
+    check(Prop.forAll(evGen, Gen.chooseNum(0, 30)) { (events, splitAt) =>
+      val (first, second) = events.splitAt(splitAt)
+      val whole = StatefulSessions.fold(events, None)
+      val (c1, open1) = StatefulSessions.fold(first, None)
+      val (c2, open2) = StatefulSessions.fold(second, open1)
+      (c1 ++ c2, open2) == whole
+    })
+  }
+}
