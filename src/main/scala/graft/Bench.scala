@@ -14,7 +14,8 @@ object Bench {
     // one-time costs — noop-sink init, codegen/JIT, parquet footer reads —
     // that belong to the session, not that query.
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted: deterministic run order, comparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column. A bare
       // count() lets Catalyst prune expensive expressions (a global
@@ -24,9 +25,9 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toMap.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

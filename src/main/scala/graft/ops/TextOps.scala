@@ -245,6 +245,45 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Rolling-hash document fingerprinting via winnowing (the fourth dedup
+    // family): graft.functions.Winnow emits each doc's fingerprint set
+    // map-side (rolling 16-gram polynomial hash, window-of-8 minima — at
+    // k=8 the median fingerprint hit 19 docs of this template-heavy corpus
+    // and carried no signal; at k=16 the median fingerprint is unique), the
+    // candidate join runs on the 8-byte fingerprints, pairs are scored by
+    // fingerprint overlap — local similarity that survives insertions and
+    // reorderings whole-document hashing (q31/q32) cannot. Hash-specific →
+    // rows-only; overlap-vs-Jaccard agreement is unit-tested.
+    Q.rowsOnly("q51_winnow_dedup") { (s, d) =>
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TextHash.winnow(col("text"), 16, 8)).as("fp"))
+      // stop-fingerprint filter (standard winnowing practice): a fingerprint
+      // present in many docs is boilerplate, not duplication signal, and
+      // quadratically inflates the candidate join; overlap is measured on
+      // the surviving (discriminative) fingerprint universe
+      val rare = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 10).select("fp")
+      val exRare = ex.join(rare, "fp").cache()
+      val cnt = exRare.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      val a = exRare.toDF("fp", "doc_a")
+      val b = exRare.toDF("fp", "doc_b")
+      val overlap = col("shared") / least(col("na"), col("nb"))
+      val out = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("shared"))
+        .join(cnt.toDF("doc_a", "na"), "doc_a")
+        .join(cnt.toDF("doc_b", "nb"), "doc_b")
+        // ratio + absolute-support floor: a 2-of-3 coincidence is not a
+        // near-dup; winnowing guarantees ≥1 shared fp per shared substring
+        // of length ≥ w+k−1, so real duplication shares many
+        .filter(overlap >= 0.5 && col("shared") >= 8)
+        .select(col("doc_a"), col("doc_b"), col("shared").cast("long").as("shared"),
+          round(overlap, 4).as("overlap"))
+        .orderBy("doc_a", "doc_b")
+      out
+    },
+
     // Multimodal-adjacent: byte-level metadata + content hash of the UTF-8
     // payload (sha2 hex matches DuckDB sha256 on identical bytes).
     Q("q32_content_hash",

@@ -38,12 +38,12 @@ object Eda {
   /** IQR outlier bounds + count (eda.py:77-85), two passes, no collect of
     * data rows (only the two scalar bounds cross to the driver plan). */
   def iqrOutliers(df: DataFrame, c: String): DataFrame = {
-    val b = df.agg(
-      expr(s"percentile($c, 0.25)").as("q1"),
-      expr(s"percentile($c, 0.75)").as("q3"))
-    df.crossJoin(broadcast(b))
-      .filter(col(c) < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
-        col(c) > col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    // driver-collected bounds → literal predicate → parquet pushdown; and
+    // sort-based quantiles (the percentile aggregate is GC-bound on
+    // high-cardinality columns — see exactQuantiles)
+    val Seq(q1, q3) = exactQuantiles(df, c, Seq(0.25, 0.75))
+    val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+    df.filter(col(c) < lo || col(c) > hi)
       .agg(count(lit(1)).as("n_outliers"))
   }
 

@@ -67,6 +67,38 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnow: shared substrings guarantee shared fingerprints; edits stay local") {
+    import graft.functions.TextHash
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val edited = "PREFIX " + base + " SUFFIX" // insertions at the edges
+    val unrelated = "entirely different content with nothing in common here at all ok"
+    val df = Seq((1L, base), (2L, edited), (3L, unrelated)).toDF("id", "t")
+    val sets = df.select(col("id"), TextHash.winnow(col("t"), 16, 8).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee: a shared substring of length >= w+k-1 (23 chars)
+    // yields at least one shared fingerprint — base is fully contained
+    val shared12 = sets(1L) & sets(2L)
+    assert(shared12.size >= sets(1L).size / 2,
+      s"edit destroyed fingerprints: ${shared12.size} of ${sets(1L).size}")
+    assert((sets(1L) & sets(3L)).isEmpty)
+    // deterministic
+    val again = df.select(col("id"), TextHash.winnow(col("t"), 16, 8).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(again == sets)
+  }
+
+  test("q51 winnow dedup covers the exact near-dup pairs") {
+    val exact = SparkEntry.queries("q27_ngram_jaccard")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = SparkEntry.queries("q51_winnow_dedup")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(winnow.nonEmpty)
+    // substring overlap and shingle Jaccard are different similarity
+    // notions; require strong mutual coverage rather than equality
+    val covered = (exact & winnow).size.toDouble / exact.size
+    assert(covered >= 0.8, s"winnow covered only ${(covered * 100).round}% of exact pairs")
+  }
+
   test("q27 exact Jaccard finds the planted near-dup and skips distinct docs") {
     val a = "alpha beta gamma delta epsilon zeta"
     val b = "alpha beta gamma delta epsilon eta" // 1 word differs
