@@ -234,6 +234,58 @@ object Relational {
         .orderBy("o_custkey", "rn")
     },
 
+    // Ranking-window statistics beyond row_number: ntile quartiles,
+    // percent_rank and cume_dist per customer segment — one window sort,
+    // aggregated per (segment, quartile) for a compact oracle-able result.
+    Q("q53_window_stats",
+      """WITH w AS (
+        |  SELECT c_mktsegment,
+        |         ntile(4) OVER win AS quartile,
+        |         percent_rank() OVER win AS pr,
+        |         cume_dist() OVER win AS cd
+        |  FROM customer
+        |  WINDOW win AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+        |SELECT c_mktsegment, CAST(quartile AS INT) AS quartile,
+        |       count(*) AS n,
+        |       round(max(pr), 6) AS max_pr, round(max(cd), 6) AS max_cd
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val win = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"),
+          ntile(4).over(win).as("quartile"),
+          percent_rank().over(win).as("pr"),
+          cume_dist().over(win).as("cd"))
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("pr")), 6).as("max_pr"),
+          round(max(col("cd")), 6).as("max_cd"))
+        .orderBy("c_mktsegment", "quartile")
+    },
+
+    // Scalar string-function parity (F-family extension): case mapping,
+    // substrings, padding, replacement and edit distance, all computed
+    // identically by both engines.
+    Q("q54_string_funcs",
+      """SELECT n_name,
+        |       lower(n_name) AS lo, upper(n_name) AS up,
+        |       substr(n_name, 1, 6) AS pre,
+        |       lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+        |       replace(n_name, 'NATION', 'N') AS short_name,
+        |       length(n_name) AS len,
+        |       levenshtein(n_name, 'NATION_0') AS dist
+        |FROM nation ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .select(col("n_name"),
+          lower(col("n_name")).as("lo"), upper(col("n_name")).as("up"),
+          substring(col("n_name"), 1, 6).as("pre"),
+          lpad(col("n_nationkey").cast("string"), 4, "0").as("padded"),
+          regexp_replace(col("n_name"), "NATION", "N").as("short_name"),
+          length(col("n_name")).cast("long").as("len"),
+          levenshtein(col("n_name"), lit("NATION_0")).cast("long").as("dist"))
+        .orderBy("n_name")
+    },
+
     // A3: mode = group-count → sort desc (tie-break on value) → top-1.
     Q("q10_mode",
       """SELECT c_mktsegment, count(*) AS cnt FROM customer

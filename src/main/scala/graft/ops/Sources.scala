@@ -33,6 +33,35 @@ object Sources {
   }
 
   val queries: Seq[Q] = Seq(
+
+    // Multi-format round-trip (S2/S3 beyond parquet+CSV): the same slice of
+    // lineitem written to ORC and JSON-lines, read back with explicit
+    // schemas, and aggregated from BOTH copies — the oracle computes the
+    // same aggregate straight from the parquet table, so any loss in either
+    // format's write→read cycle (types, nulls, precision) breaks the hash.
+    Q("q52_format_roundtrip",
+      """SELECT count(*) AS n_rows,
+        |       round(sum(l_extendedprice), 2) AS total_price,
+        |       round(sum(l_quantity), 2) AS total_qty,
+        |       count(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin) { (s, d) =>
+      val slice = Tables.lineitem(s, d).filter(col("l_linenumber") === 1)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      val dir = Files.createTempDirectory("graft_fmt_")
+      slice.write.mode("overwrite").orc(s"$dir/li_orc")
+      slice.write.mode("overwrite").json(s"$dir/li_json")
+      val orc = s.read.schema(slice.schema).orc(s"$dir/li_orc")
+      val json = s.read.schema(slice.schema).json(s"$dir/li_json")
+      // halves from different formats must re-combine to the exact total
+      val a = orc.filter(col("l_orderkey") % 2 === 0)
+      val b = json.filter(col("l_orderkey") % 2 =!= 0)
+      a.union(b).agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"),
+        round(sum(col("l_quantity")), 2).as("total_qty"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+    },
+
     Q("q47_csv_source",
       """WITH injected AS (
         |  SELECT n_nationkey,
