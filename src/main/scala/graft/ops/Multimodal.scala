@@ -57,6 +57,43 @@ object Multimodal {
     mediaTable(spark, dir).mapPartitions(decodeStub).toDF()
   }
 
+  /** STUB resize: deterministic integer box-fit of decoded dimensions to
+    * `maxDim` (a real deployment calls the image library's resampler; the
+    * aspect-preserving geometry and the map-only plumbing are what stays). */
+  def resizeStub(f: MediaFeatures, maxDim: Int): MediaFeatures = {
+    val longest = math.max(f.width, f.height)
+    if (longest <= maxDim) f
+    else f.copy(
+      width = math.max(1, f.width * maxDim / longest),
+      height = math.max(1, f.height * maxDim / longest))
+  }
+
+  case class Frame(media_id: Long, media_type: String, frame_idx: Int,
+      n_bytes: Int, checksum: Long)
+
+  /** STUB frame sampling: treat the payload as fixed-size frames and keep
+    * every k-th (a video decoder would seek keyframes; the explode shape —
+    * one media row → many frame rows, batched per partition — is the real
+    * plumbing a cluster job keeps). */
+  def frameSample(rows: Iterator[MediaRow], frameBytes: Int, everyK: Int)
+      : Iterator[Frame] =
+    rows.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % everyK == 0 }
+        .map { case (chunk, i) =>
+          var h = 1469598103934665603L
+          var j = 0
+          while (j < chunk.length) { h ^= chunk(j); h *= 1099511628211L; j += 1 }
+          Frame(r.media_id, r.media_type, i, chunk.length, h)
+        }
+    }
+
+  def sampleFrames(spark: SparkSession, dir: String,
+      frameBytes: Int = 64, everyK: Int = 2): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(frameSample(_, frameBytes, everyK)).toDF()
+  }
+
   val queries: Seq[Q] = Seq(
     // Payload metadata aggregation per media type; the binary column rides
     // the whole plan as opaque bytes (never stringified).
@@ -85,6 +122,33 @@ object Multimodal {
           round(avg(col("width")), 2).as("avg_width"),
           round(avg(col("height")), 2).as("avg_height"),
           sum(col("n_bytes")).as("total_bytes"))
+        .orderBy(col("media_type"))
+    },
+
+    // Frame sampling + resize (the remaining multimodal transforms): one
+    // media row explodes to sampled frame rows per partition, decoded dims
+    // are box-fit to 256 — per-type frame statistics (rows-only: stub
+    // checksums). The oracle-equivalent COUNT shape is pinned by
+    // MultimodalSpec against the payload sizes.
+    Q.rowsOnly("q55_media_frames") { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val frames = sampleFrames(s, d, frameBytes = 64, everyK = 2)
+      val resized = extractFeatures(s, d)
+        .map(r => resizeStub(MediaFeatures(
+          r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getLong(5)), 256))
+        .toDF()
+      frames.groupBy(col("media_type"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          countDistinct(col("media_id")).as("n_media"),
+          sum(col("n_bytes")).as("sampled_bytes"),
+          countDistinct(col("checksum")).as("n_distinct_frames"))
+        .join(
+          resized.groupBy(col("media_type"))
+            .agg(max(greatest(col("width"), col("height"))).as("max_dim_resized")),
+          "media_type")
         .orderBy(col("media_type"))
     }
   )
