@@ -23,7 +23,12 @@ object Bench {
       // query whose hot columns are prunable.
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // isolate queries from each other: drop caches a query left behind
+      // (they'd distort later queries' memory profile) — outside the timer,
+      // like the driver's own per-query accounting
+      spark.catalog.clearCache()
+      name -> secs
     }
     val qs = results.toMap.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
