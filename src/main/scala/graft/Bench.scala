@@ -30,7 +30,8 @@ object Bench {
       spark.catalog.clearCache()
       name -> secs
     }
-    val qs = results.toMap.map { case (k, v) => s"\"" + k + "\":" + v }
+    // keep the sorted Seq order in the JSON — toMap would hash-scramble it
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -20,12 +20,15 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the timer wraps closure construction + count: several queries do
+    // eager driver-side work (ML fits, quantile jobs, file writes) inside
+    // the closure, which a count()-only timer would miss entirely
+    val t0 = System.nanoTime()
     val df = if (name == "entry") SparkEntry.entry(spark)
              else SparkEntry.queries(name)(spark, sfDir)
-    if (showPlan) df.explain("formatted")
-    val t0 = System.nanoTime()
     val n = df.count()
     val secs = (System.nanoTime() - t0) / 1e9
+    if (showPlan) df.explain("formatted")
     df.show(20, truncate = false)
     println(f"[runone] $name rows=$n time=$secs%.3fs sf=$sfDir")
     spark.stop()

@@ -37,14 +37,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     var t = 0
     while (t < n) {
       if (!arr.isNullAt(t)) {
-        val bytes = arr.getUTF8String(t).getBytes
-        var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-        var i = 0
-        while (i < bytes.length) {
-          h ^= (bytes(i) & 0xffL)
-          h *= 0x100000001b3L
-          i += 1
-        }
+        val h = Fnv.hash64(arr.getUTF8String(t).getBytes)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -41,11 +41,8 @@ object Multimodal {
   def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
     // (decoder init would go here — once per partition)
     rows.map { r =>
-      val n = r.payload.length
-      var checksum = 1469598103934665603L // FNV-1a 64
-      var i = 0
-      while (i < n) { checksum ^= r.payload(i); checksum *= 1099511628211L; i += 1 }
-      MediaFeatures(r.media_id, r.media_type, n,
+      val checksum = graft.functions.Fnv.hash64(r.payload)
+      MediaFeatures(r.media_id, r.media_type, r.payload.length,
         width = 64 + (math.abs(checksum % 1024)).toInt,
         height = 64 + (math.abs((checksum >> 10) % 1024)).toInt,
         checksum = checksum)
@@ -81,10 +78,8 @@ object Multimodal {
       r.payload.grouped(frameBytes).zipWithIndex
         .filter { case (_, i) => i % everyK == 0 }
         .map { case (chunk, i) =>
-          var h = 1469598103934665603L
-          var j = 0
-          while (j < chunk.length) { h ^= chunk(j); h *= 1099511628211L; j += 1 }
-          Frame(r.media_id, r.media_type, i, chunk.length, h)
+          Frame(r.media_id, r.media_type, i, chunk.length,
+            graft.functions.Fnv.hash64(chunk))
         }
     }
 

@@ -497,9 +497,10 @@ object Relational {
     // HLL++ approximate distinct counts — the 100 TB path for q19's exact
     // countDistinct (no per-key shuffle; mergeable sketches). Sketch
     // estimates are engine-specific → the oracle-checked contract is the
-    // PROPERTY that each estimate lands within the configured 2% relative
-    // error of the exact count, evaluated in-engine against the same exact
-    // distinct counts DuckDB verifies in q19.
+    // PROPERTY that each estimate lands within a 5% tolerance of the exact
+    // count (the sketch is configured at rsd=2%; the asserted bound leaves
+    // ~2.5σ slack for sketch variance), evaluated in-engine against the
+    // same exact distinct counts DuckDB verifies in q19.
     Q("q49_approx_distinct",
       """SELECT CAST(1 AS BOOLEAN) AS part_ok, CAST(1 AS BOOLEAN) AS supp_ok,
         |       CAST(1 AS BOOLEAN) AS order_ok

@@ -47,7 +47,9 @@ object Sources {
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin) { (s, d) =>
       val slice = Tables.lineitem(s, d).filter(col("l_linenumber") === 1)
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
-      val dir = Files.createTempDirectory("graft_fmt_")
+      // fixed path + overwrite mode: repeated bench/verify runs rewrite in
+      // place instead of accumulating temp directories until /tmp fills
+      val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_fmt_rt")
       slice.write.mode("overwrite").orc(s"$dir/li_orc")
       slice.write.mode("overwrite").json(s"$dir/li_json")
       val orc = s.read.schema(slice.schema).orc(s"$dir/li_orc")
@@ -76,7 +78,9 @@ object Sources {
       val rows = Tables.nation(s, d)
         .select("n_nationkey", "n_name", "n_regionkey").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
-      val dir = Files.createTempDirectory("graft_csv_")
+      // fixed path, rewritten in place (see q52) — no temp-dir accumulation
+      val dir = Files.createDirectories(
+        Paths.get(System.getProperty("java.io.tmpdir"), "graft_csv_rt"))
       val file = dir.resolve("nation.csv")
       Files.write(file, nationCsv(rows).getBytes(StandardCharsets.UTF_8))
       val schema = StructType(Seq(

@@ -264,7 +264,11 @@ object TextOps {
       // the surviving (discriminative) fingerprint universe
       val rare = ex.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 10).select("fp")
-      val exRare = ex.join(rare, "fp").cache()
+      // not cached: a cache created here would outlive the query (leaking
+      // executor storage for library callers); the three consumers each
+      // re-evaluate a cheap explode + join, and a production pipeline would
+      // materialize the fingerprint table to storage instead
+      val exRare = ex.join(rare, "fp")
       val cnt = exRare.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
       val a = exRare.toDF("fp", "doc_a")
       val b = exRare.toDF("fp", "doc_b")

@@ -64,8 +64,10 @@ object Model {
       .select(col(labelCol), col("features")).cache()
     val rfModel = try rf.fit(trainFeat) finally trainFeat.unpersist(blocking = false)
     val transformers: Seq[Transformer] = featModel.stages.toSeq :+ rfModel
-    // cached: consumed once for metrics here and again by the caller
-    val scored = transformers.foldLeft(valid)((d, t) => t.transform(d)).cache()
+    // not cached: the metrics read below + one caller pass would each hit a
+    // cache exactly once (no win over recompute), and a cache here would
+    // outlive this call — a storage leak for library callers
+    val scored = transformers.foldLeft(valid)((d, t) => t.transform(d))
     val m = scored.agg(
       count(lit(1)).cast("double").as("n"),
       avg(col(labelCol)).as("ybar"),

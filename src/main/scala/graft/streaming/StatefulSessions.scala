@@ -64,9 +64,11 @@ object StatefulSessions {
       open match {
         case Some(s) =>
           state.update(s)
-          if (state.getCurrentWatermarkMs() > 0) {
-            state.setTimeoutTimestamp(s.lastTs / 1000 + GapUs / 1000)
-          }
+          // always register the timeout — a group that gets no further
+          // events is only re-invoked (to emit + expire its session) if a
+          // timeout exists; skipping registration while the watermark is
+          // still 0 (first microbatch) would leak that state forever
+          state.setTimeoutTimestamp(s.lastTs / 1000 + GapUs / 1000)
         case None => state.remove()
       }
       closed.iterator.map(emit(user, _))

@@ -49,8 +49,9 @@ class MultimodalSpec extends SparkSpec {
     val payload = "hello".getBytes("UTF-8")
     val row = Multimodal.MediaRow(1L, "img/type0", payload)
     val feat = Multimodal.decodeStub(Iterator(row)).next()
-    var expect = 1469598103934665603L
-    payload.foreach { b => expect ^= b; expect *= 1099511628211L }
+    // independent FNV-1a 64 fold (unsigned bytes)
+    var expect = 0xcbf29ce484222325L
+    payload.foreach { b => expect ^= (b & 0xffL); expect *= 0x100000001b3L }
     assert(feat.checksum == expect)
     assert(feat.n_bytes == 5)
   }

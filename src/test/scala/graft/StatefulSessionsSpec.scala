@@ -36,19 +36,26 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(ref == q25)
   }
 
-  test("streaming run emits exactly the closed sessions of the fold") {
-    val got = EventStreams.runToMemory(spark,
+  test("streaming run emits closed sessions plus watermark-expired tails") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_start").cast("string").as("st"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .collect().map(_.toSeq).toSet
+    val got = canon(EventStreams.runToMemory(spark,
       StatefulSessions.run(spark, EventStreams.readEvents(spark, sf0001)).toDF(),
-      "t_stateful_sessions", outputMode = "append")
-      .select(col("user_id"), col("session_start").cast("string").as("st"),
-        col("n_events"), round(col("total_value"), 2).as("total_value"))
-      .collect().map(_.toSeq).toSet
-    val want = StatefulSessions.batchReference(spark,
-      Tables.events(spark, sf0001), includeOpen = false)
-      .select(col("user_id"), col("session_start").cast("string").as("st"),
-        col("n_events"), round(col("total_value"), 2).as("total_value"))
-      .collect().map(_.toSeq).toSet
-    assert(got == want)
-    assert(got.nonEmpty)
+      "t_stateful_sessions", outputMode = "append"))
+    val closedByEvent = canon(StatefulSessions.batchReference(spark,
+      Tables.events(spark, sf0001), includeOpen = false))
+    val all = canon(StatefulSessions.batchReference(spark,
+      Tables.events(spark, sf0001), includeOpen = true))
+    // sessions closed by a later event are always emitted; tails are
+    // emitted only once the event-time timeout fires (watermark = max ts −
+    // 1 h passes lastTs + gap); nothing else may appear
+    assert(closedByEvent.subsetOf(got),
+      s"missing closed sessions: ${closedByEvent -- got}")
+    assert(got.subsetOf(all), s"phantom sessions: ${got -- all}")
+    // with a 30-day event spread and a 1-hour delay, almost every tail has
+    // expired — the stream must emit (far) more than the event-closed set
+    assert(got.size > closedByEvent.size)
   }
 }
