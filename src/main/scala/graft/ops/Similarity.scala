@@ -106,6 +106,40 @@ object Similarity {
     // brute force asserted in unit tests.
     Q.rowsOnly("q48_ivf_ann") { (s, d) => ivfAnn(s, d, k = 8, probes = 2, topK = 5) },
 
+    // Higher-order array functions as a first-class family (SURVEY.md §2.7
+    // extension surface): transform / filter / exists / aggregate / zip_with
+    // / slice over the embedding vectors, each mirrored by a DuckDB list_*
+    // lambda. These are the building blocks the similarity kernels compose;
+    // here they are oracle-checked directly.
+    Q("q56_array_functions",
+      """SELECT vec_id,
+        |       round(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * 2)), 4) AS sum_doubled,
+        |       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+        |       CAST(len(list_filter(embedding, x -> abs(x) > 2)) > 0
+        |            AS BOOLEAN) AS any_large,
+        |       round(list_sum(list_transform(list_zip(embedding, embedding),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+        |         AS self_dot,
+        |       round(list_sum(list_transform(embedding[1:8],
+        |             x -> CAST(x AS DOUBLE))), 4) AS head8_sum
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          round(aggregate(transform(col("embedding"),
+            x => x.cast("double") * 2), lit(0.0), (acc, x) => acc + x), 4)
+            .as("sum_doubled"),
+          size(filter(col("embedding"), x => x > 0)).as("n_positive"),
+          exists(col("embedding"), x => abs(x) > 2).as("any_large"),
+          round(aggregate(zip_with(col("embedding"), col("embedding"),
+            (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 4).as("self_dot"),
+          round(aggregate(transform(slice(col("embedding"), 1, 8),
+            x => x.cast("double")), lit(0.0), (acc, x) => acc + x), 4)
+            .as("head8_sum"))
+        .orderBy("vec_id")
+    },
+
     // MinHash-LSH near-dup candidates on documents: 3-gram shingles →
     // 16 minhashes (xxhash64 with per-function salt) → 8 bands of 2 →
     // banded join. Band size 2 (not 4): docs here have ~30-shingle sets, so

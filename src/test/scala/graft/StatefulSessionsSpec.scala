@@ -36,6 +36,25 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(ref == q25)
   }
 
+  test("streaming dropDuplicatesWithinWatermark equals batch dedup") {
+    // streaming dedup state (SURVEY.md §7): duplicate (user_id, event_type)
+    // arrivals inside the watermark horizon are suppressed with bounded
+    // state; on this static replay every duplicate is in-horizon, so the
+    // result must match the batch distinct count per user
+    val stream = EventStreams.readEvents(spark, sf0001)
+      .withWatermark("ts", "31 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_types"))
+    val got = EventStreams.runToMemory(spark, stream, "t_stream_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Tables.events(spark, sf0001)
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_types"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    assert(want.values.forall(_ <= 5)) // at most the 5 event types each
+  }
+
   test("streaming run emits closed sessions plus watermark-expired tails") {
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .select(col("user_id"), col("session_start").cast("string").as("st"),
