@@ -21,6 +21,25 @@ import java.nio.file.{Files, Paths}
   */
 object Sources {
 
+  /** Scratch dir keyed by Spark applicationId: stable within a session
+    * (repeated query runs overwrite in place), unique across concurrent
+    * JVMs, removed on JVM exit. */
+  def scratchDir(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): java.nio.file.Path = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${spark.sparkContext.applicationId}")
+    if (!Files.exists(dir)) {
+      Files.createDirectories(dir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }))
+    }
+    dir
+  }
+
   /** Deterministic CSV bytes for the nation table: regionkey becomes "NA"
     * whenever nationkey % 5 == 0; lines joined with bare CR. */
   private def nationCsv(rows: Seq[(Int, String, Int)]): String = {
@@ -47,9 +66,10 @@ object Sources {
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin) { (s, d) =>
       val slice = Tables.lineitem(s, d).filter(col("l_linenumber") === 1)
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
-      // fixed path + overwrite mode: repeated bench/verify runs rewrite in
-      // place instead of accumulating temp directories until /tmp fills
-      val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_fmt_rt")
+      // per-application path, rewritten in place within a session (no
+      // accumulation across invocations) yet unique per JVM (no race when
+      // two processes bench/verify concurrently); deleted on JVM exit
+      val dir = Sources.scratchDir(s, "graft_fmt")
       slice.write.mode("overwrite").orc(s"$dir/li_orc")
       slice.write.mode("overwrite").json(s"$dir/li_json")
       val orc = s.read.schema(slice.schema).orc(s"$dir/li_orc")
@@ -78,9 +98,8 @@ object Sources {
       val rows = Tables.nation(s, d)
         .select("n_nationkey", "n_name", "n_regionkey").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
-      // fixed path, rewritten in place (see q52) — no temp-dir accumulation
-      val dir = Files.createDirectories(
-        Paths.get(System.getProperty("java.io.tmpdir"), "graft_csv_rt"))
+      // per-application scratch (see q52) — no accumulation, no races
+      val dir = Sources.scratchDir(s, "graft_csv")
       val file = dir.resolve("nation.csv")
       Files.write(file, nationCsv(rows).getBytes(StandardCharsets.UTF_8))
       val schema = StructType(Seq(

@@ -64,10 +64,12 @@ object Model {
       .select(col(labelCol), col("features")).cache()
     val rfModel = try rf.fit(trainFeat) finally trainFeat.unpersist(blocking = false)
     val transformers: Seq[Transformer] = featModel.stages.toSeq :+ rfModel
-    // not cached: the metrics read below + one caller pass would each hit a
-    // cache exactly once (no win over recompute), and a cache here would
-    // outlive this call — a storage leak for library callers
-    val scored = transformers.foldLeft(valid)((d, t) => t.transform(d))
+    // cached: the metrics pass below populates it and the caller's read
+    // hits it (without the cache the whole featurize+score lineage runs
+    // twice). CONTRACT: the caller owns the returned frame and should
+    // unpersist it when done (Walmart.runModel does; Bench clears caches
+    // between queries).
+    val scored = transformers.foldLeft(valid)((d, t) => t.transform(d)).cache()
     val m = scored.agg(
       count(lit(1)).cast("double").as("n"),
       avg(col(labelCol)).as("ybar"),

@@ -115,9 +115,9 @@ object Walmart {
     (scored, testScored, r2, rmse)
   }
 
-  /** The DAG (airflow_dag.py:51) as a call graph; partitioned parquet
-    * writes (by Store — the natural pruning key), never coalesce(1). */
-  def run(spark: SparkSession, rawDir: String, outDir: String): Unit = {
+  /** Stage 1 — ETL (run_etl): CSV ingest → merged parquet, partitioned by
+    * Store (the natural pruning key), never coalesce(1). */
+  def runEtl(spark: SparkSession, rawDir: String, outDir: String): Unit = {
     val train = readCsv(spark, s"$rawDir/train.csv", trainSchema)
     val test = readCsv(spark, s"$rawDir/test.csv", testSchema)
     val stores = readCsv(spark, s"$rawDir/stores.csv", storesSchema,
@@ -126,13 +126,37 @@ object Walmart {
     val (mergedTrain, mergedTest) = etl(train, test, stores, features)
     mergedTrain.write.mode("overwrite").partitionBy("Store")
       .parquet(s"$outDir/merged_train.parquet")
+    mergedTest.write.mode("overwrite").partitionBy("Store")
+      .parquet(s"$outDir/merged_test.parquet")
+  }
+
+  /** Stage 2 — EDA (run_eda): reads the merged parquet back (the same
+    * parquet handoff the reference's DAG uses between processes). */
+  def runEda(spark: SparkSession, outDir: String): Unit = {
+    val mergedTrain = spark.read.parquet(s"$outDir/merged_train.parquet")
     eda(mergedTrain).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/eda_$name.parquet")
     }
+  }
+
+  /** Stage 3 — model (run_model): parquet in, predictions out. */
+  def runModel(spark: SparkSession, outDir: String): Unit = {
+    val mergedTrain = spark.read.parquet(s"$outDir/merged_train.parquet")
+    val mergedTest = spark.read.parquet(s"$outDir/merged_test.parquet")
     val (valScored, testScored, _, _) = model(mergedTrain, mergedTest)
     valScored.select("Store", "Dept", "Date", "Weekly_Sales", "prediction")
       .write.mode("overwrite").parquet(s"$outDir/validation_predictions.parquet")
+    valScored.unpersist(blocking = false) // fitPredict caches it; stage done
     testScored.select("Store", "Dept", "Date", "prediction")
       .write.mode("overwrite").parquet(s"$outDir/test_predictions.parquet")
+  }
+
+  /** The DAG (airflow_dag.py:51 `run_etl >> run_eda >> run_model`) as a
+    * sequential call graph with parquet handoffs between stages — exactly
+    * the reference's inter-process contract (SURVEY.md §2.10 D1/D2). */
+  def run(spark: SparkSession, rawDir: String, outDir: String): Unit = {
+    runEtl(spark, rawDir, outDir)
+    runEda(spark, outDir)
+    runModel(spark, outDir)
   }
 }

@@ -4,12 +4,13 @@ import org.apache.spark.sql.SparkSession
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-/** Reference-scale throughput check: synthesize the Walmart corpus at the
-  * reference's exact row counts (train ≈ 421,570 = 45 stores × 81 depts ×
-  * ~115 weeks; features = 8,190; stores = 45 — BASELINE.md), run the full
-  * ETL → EDA → model DAG, and print one JSON timing line. The reference
-  * publishes no timings (BASELINE.md), so this records OUR single-node
-  * number for the same workload shape at the same scale.
+/** Reference-magnitude throughput check: synthesize a Walmart corpus at the
+  * reference's scale (419,175 train rows vs its 421,570 — 45 stores ×
+  * 81 depts × 115 weeks; 45 stores; 6,345 features rows spanning train +
+  * test dates — BASELINE.md), run the full ETL → EDA → model DAG through
+  * the same staged parquet handoffs as Walmart.run, and print one JSON
+  * timing line per stage. The reference publishes no timings (BASELINE.md),
+  * so this records OUR single-node number for the same workload shape.
   *
   *   sbt "runMain graft.pipeline.WalmartBench"
   */
@@ -73,29 +74,11 @@ object WalmartBench {
       val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
     }
     val t0 = System.nanoTime()
-    val train = Walmart.readCsv(spark, s"$raw/train.csv", Walmart.trainSchema)
-    val test = Walmart.readCsv(spark, s"$raw/test.csv", Walmart.testSchema)
-    val stores = Walmart.readCsv(spark, s"$raw/stores.csv", Walmart.storesSchema,
-      Map("lineSep" -> "\r"))
-    val features = Walmart.readCsv(spark, s"$raw/features.csv", Walmart.featuresSchema)
-    val ((mergedTrain, mergedTest), etlSec) = time {
-      val r = Walmart.etl(train, test, stores, features)
-      r._1.write.mode("overwrite").partitionBy("Store")
-        .parquet(s"$out/merged_train.parquet")
-      r
-    }
-    val (_, edaSec) = time {
-      Walmart.eda(mergedTrain).foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$out/eda_$name.parquet")
-      }
-    }
-    val (_, modelSec) = time {
-      val (valScored, testScored, _, _) = Walmart.model(mergedTrain, mergedTest)
-      valScored.select("Store", "Dept", "Date", "Weekly_Sales", "prediction")
-        .write.mode("overwrite").parquet(s"$out/validation_predictions.parquet")
-      testScored.select("Store", "Dept", "Date", "prediction")
-        .write.mode("overwrite").parquet(s"$out/test_predictions.parquet")
-    }
+    // the exact staged DAG users run, timed per stage — each stage reads
+    // the previous stage's parquet, so timings are attributable
+    val (_, etlSec) = time(Walmart.runEtl(spark, raw, out))
+    val (_, edaSec) = time(Walmart.runEda(spark, out))
+    val (_, modelSec) = time(Walmart.runModel(spark, out))
     val secs = (System.nanoTime() - t0) / 1e9
     val nTrain = spark.read.parquet(s"$out/merged_train.parquet").count()
     println(f"""{"metric":"walmart_ref_scale","total_sec":$secs%.2f,""" +

@@ -33,7 +33,14 @@ object StatefulSessions {
   val GapUs: Long = 30L * 60 * 1000 * 1000
 
   /** Pure transition function: fold sorted events into closed sessions +
-    * the still-open tail. Exposed for direct unit testing. */
+    * the still-open tail. Exposed for direct unit testing.
+    *
+    * Cross-batch late events (t < open.lastTs but inside the watermark):
+    * merged into the open session WITHOUT regressing lastTs — `max` below.
+    * Letting lastTs move backwards would re-arm the event-time timeout too
+    * early and split one real session into two (a later on-time event
+    * within the gap of the true lastTs would land after a premature
+    * expiry). Within one batch events are pre-sorted, so max is a no-op. */
   def fold(events: Seq[(Long, Double)], open: Option[SessionState])
       : (Seq[SessionState], Option[SessionState]) =
     events.foldLeft((Vector.empty[SessionState], open)) {
@@ -42,7 +49,9 @@ object StatefulSessions {
       case ((closed, Some(s)), (t, v)) if t - s.lastTs >= GapUs =>
         (closed :+ s, Some(SessionState(t, t, 1, v)))
       case ((closed, Some(s)), (t, v)) =>
-        (closed, Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + v)))
+        (closed, Some(s.copy(lastTs = math.max(s.lastTs, t),
+          n = s.n + 1, total = s.total + v,
+          start = math.min(s.start, t))))
     }
 
   private def emit(user: Long, s: SessionState): Session = {

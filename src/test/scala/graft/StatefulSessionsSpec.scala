@@ -23,6 +23,21 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(closed3.map(_.n) == Seq(2L) && open3.get.start == 500 * m)
   }
 
+  test("fold: cross-batch late event merges without regressing lastTs") {
+    val m = 60L * 1000 * 1000
+    val open = Some(StatefulSessions.SessionState(50 * m, 80 * m, 2, 5.0))
+    val (c1, o1) = StatefulSessions.fold(Seq((100 * m, 1.0)), open)
+    assert(c1.isEmpty && o1.get.lastTs == 100 * m && o1.get.n == 3)
+    // a late event at 60min (watermark-admitted, earlier than lastTs) must
+    // extend the session but keep the timeout anchored at the true lastTs —
+    // regressing it would expire and split the session prematurely
+    val (c2, o2) = StatefulSessions.fold(Seq((60 * m, 2.0)), o1)
+    assert(c2.isEmpty)
+    assert(o2.get.lastTs == 100 * m)
+    assert(o2.get.n == 4 && o2.get.total == 8.0)
+    assert(o2.get.start == 50 * m)
+  }
+
   test("custom fold reproduces session_window batch semantics (q25)") {
     val q25 = SparkEntry.queries("q25_session_window")(spark, sf0001)
       .select(col("user_id"), col("session_start").cast("string").as("st"),
