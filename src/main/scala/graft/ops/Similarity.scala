@@ -140,6 +140,60 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // Int8 scalar quantization of the embedding column — the storage/IO
+    // lever for a 100 TB vector corpus (4× smaller than float32, dot
+    // products on bytes): per-vector min/max affine mapping to 0..255,
+    // then per-vector reconstruction quality — max absolute error (bounded
+    // by range/510 per the rounding) and cosine between the original and
+    // the dequantized vector (through the codegen'd kernel). All
+    // arithmetic is deterministic, so the oracle replays it exactly.
+    Q("q57_quantize_int8",
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_min(embedding) AS lo, list_max(embedding) AS hi,
+        |         embedding
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding, x ->
+        |           lo + round((CAST(x AS DOUBLE) - lo) / (hi - lo) * 255, 0)
+        |                * (hi - lo) / 255) AS deq
+        |  FROM q WHERE hi > lo),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(list_zip(embedding, deq),
+        |             p -> abs(CAST(p[1] AS DOUBLE) - p[2]))) AS max_err,
+        |         list_sum(list_transform(list_zip(embedding, deq),
+        |             p -> CAST(p[1] AS DOUBLE) * p[2]))
+        |         / (sqrt(list_sum(list_transform(embedding,
+        |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(deq, x -> x * x)))) AS cos_sim
+        |  FROM d)
+        |SELECT count(*) AS n_vectors,
+        |       round(avg(max_err), 6) AS avg_max_err,
+        |       round(max(max_err), 6) AS worst_err,
+        |       round(min(cos_sim), 6) AS min_cosine
+        |FROM e""".stripMargin) { (s, d) =>
+      val lo = array_min(col("embedding")).cast("double")
+      val hi = array_max(col("embedding")).cast("double")
+      val deq = transform(col("embedding"), x =>
+        col("lo") + round((x.cast("double") - col("lo")) /
+          (col("hi") - col("lo")) * 255, 0) * (col("hi") - col("lo")) / 255)
+      Tables.embeddings(s, d)
+        .withColumn("lo", lo).withColumn("hi", hi)
+        .filter(col("hi") > col("lo"))
+        .withColumn("deq", deq)
+        .withColumn("max_err",
+          array_max(zip_with(col("embedding"), col("deq"),
+            (a, b) => abs(a.cast("double") - b))))
+        .withColumn("cos_sim", cosine(col("embedding"), col("deq")))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          round(avg(col("max_err")), 6).as("avg_max_err"),
+          round(max(col("max_err")), 6).as("worst_err"),
+          round(min(col("cos_sim")), 6).as("min_cosine"))
+    },
+
     // MinHash-LSH near-dup candidates on documents: 3-gram shingles →
     // 16 minhashes (xxhash64 with per-function salt) → 8 bands of 2 →
     // banded join. Band size 2 (not 4): docs here have ~30-shingle sets, so
