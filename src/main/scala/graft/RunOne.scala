@@ -26,8 +26,11 @@ object RunOne {
     val t0 = System.nanoTime()
     val df = if (name == "entry") SparkEntry.entry(spark)
              else SparkEntry.queries(name)(spark, sfDir)
-    val n = df.count()
+    // noop sink like Bench: a count() here would let Catalyst prune the
+    // expensive expressions out of aggregate-only queries
+    df.write.mode("overwrite").format("noop").save()
     val secs = (System.nanoTime() - t0) / 1e9
+    val n = df.count()
     if (showPlan) df.explain("formatted")
     df.show(20, truncate = false)
     println(f"[runone] $name rows=$n time=$secs%.3fs sf=$sfDir")

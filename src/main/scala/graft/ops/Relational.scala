@@ -506,17 +506,25 @@ object Relational {
         |       CAST(1 AS BOOLEAN) AS order_ok
         |FROM (SELECT 1)""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
-      val row = li.agg(
+      // three HLL sketches ride ONE scan (no expand — sketches are not
+      // distinct aggregates); the exact references run as three separate
+      // narrow dedup jobs. Packing exact countDistincts into the same
+      // aggregate would plan a 4-way Expand (row count ×4 through the
+      // first shuffle) — measured 2.5× slower than this split.
+      val approx = li.agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("a_part"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("a_supp"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("a_order"),
-        countDistinct(col("l_partkey")).as("e_part"),
-        countDistinct(col("l_suppkey")).as("e_supp"),
-        countDistinct(col("l_orderkey")).as("e_order"))
-      def ok(a: String, e: String) =
-        (abs(col(a) - col(e)) / col(e) <= 0.05).as(a.replace("a_", "") + "_ok")
-      row.select(ok("a_part", "e_part"), ok("a_supp", "e_supp"),
-        ok("a_order", "e_order"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("a_order")).head()
+      def exact(c: String) = li.select(c).distinct().count()
+      val checks = Seq("l_partkey", "l_suppkey", "l_orderkey").zipWithIndex
+        .map { case (c, i) =>
+          val e = exact(c)
+          math.abs(approx.getLong(i) - e).toDouble / e <= 0.05
+        }
+      s.range(1).select(
+        lit(checks(0)).as("part_ok"),
+        lit(checks(1)).as("supp_ok"),
+        lit(checks(2)).as("order_ok"))
     },
 
     // ROLLUP grouping sets (extension beyond the reference, SURVEY.md §2.4).
