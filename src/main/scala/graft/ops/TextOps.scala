@@ -19,15 +19,14 @@ object TextOps {
   /** Whitespace tokens of the lowercased, trimmed text. */
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** Word n-gram shingle set (distinct) — requires >= n tokens. */
-  def shingles(df: DataFrame, textCol: String, n: Int): DataFrame = {
-    val toks = df.withColumn("w", tokens(col(textCol))).filter(size(col("w")) >= n)
-    val grams = (0 until n).map(i => col("w")(col("i") + i - 1))
-    toks
-      .select(col("doc_id"), explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"), col("w"))
-      .select(col("doc_id"), concat_ws(" ", grams: _*).as("shingle"))
-      .distinct()
-  }
+  /** Word n-gram shingle set (distinct), one (doc_id, shingle) row each.
+    * The per-doc dedup happens inside the codegen'd WordShingles expression
+    * (map-side), so no distinct shuffle is needed here — the old
+    * explode(sequence) + concat_ws + distinct() form paid a full exchange
+    * of every shingle string before any consumer did its own join. */
+  def shingles(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(col("doc_id"),
+      explode(graft.functions.Shingles.wordShingles(col(textCol), n)).as("shingle"))
 
   private val stop = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),

@@ -18,6 +18,29 @@ class TextOpsSpec extends SparkSpec {
       (3L, "a a a"))) // distinct collapses the repeated shingle; doc 2 dropped
   }
 
+  test("WordShingles expression matches the SQL split/explode form exactly") {
+    // edge cases: leading tab (space-only trim must NOT remove it — Spark
+    // and DuckDB trim are space-only), repeated shingles, mixed case,
+    // too-short docs, empty string
+    val docs = Seq(
+      (1L, "\tThe Quick brown FOX jumps"),
+      (2L, "a a a a a"),
+      (3L, "one two"),
+      (4L, ""),
+      (5L, "  padded   with   runs  ")).toDF("doc_id", "text")
+    val viaExpr = TextOps.shingles(docs, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val grams = (0 until 3).map(i => col("w")(col("i") + i - 1))
+    val viaSql = docs.withColumn("w", toks).filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 2)).as("i"), col("w"))
+      .select(col("doc_id"), concat_ws(" ", grams: _*).as("shingle"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaExpr == viaSql)
+  }
+
   test("tokens lowercases, trims and splits on whitespace runs") {
     val df = Seq(Tuple1("  Hello   WORLD\tfoo ")).toDF("t")
     val toks = df.select(TextOps.tokens(col("t"))).head().getSeq[String](0)
