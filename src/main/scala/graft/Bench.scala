@@ -15,26 +15,36 @@ object Bench {
     // that belong to the session, not that query.
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     // sorted: deterministic run order, comparable across rounds
+    val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column. A bare
       // count() lets Catalyst prune expensive expressions (a global
       // aggregate's row count needs none of them), under-measuring any
       // query whose hot columns are prunable.
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+          false
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       // isolate queries from each other: drop caches a query left behind
       // (they'd distort later queries' memory profile) — outside the timer,
       // like the driver's own per-query accounting
       spark.catalog.clearCache()
-      name -> secs
+      // failed query → negated time: visibly broken in the JSON instead of
+      // masquerading as a (suspiciously fast) success
+      name -> (if (ok) secs else -secs)
     }
     // keep the sorted Seq order in the JSON — toMap would hash-scramble it
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

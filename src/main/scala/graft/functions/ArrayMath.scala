@@ -24,8 +24,13 @@ import org.apache.spark.sql.types._
   * the inner kernel a native engine would use, expressed as a first-class
   * Catalyst operator that composes with every other Spark expression.
   *
-  * Semantics: length mismatch folds over the common prefix; array elements
-  * must be non-null (embedding vectors are — enforced upstream by schema).
+  * Semantics: length mismatch folds over the common prefix; a null element
+  * inside the common prefix makes the result null — exactly what the
+  * `zip_with`/`aggregate` fold it replaces produces (null * x = null,
+  * null + s = null). Parquet list columns arrive as containsNull=true even
+  * when no element is ever null, so the check is explicit rather than
+  * rejected at type-check time; when BOTH inputs declare containsNull=false
+  * the codegen path skips the per-element null test entirely.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,15 +55,24 @@ case class DotProduct(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** Either input may legally contain null elements (parquet default). */
+  private def elementsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = super.nullable || elementsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val lf = isFloat(left)
     val rf = isFloat(right)
+    val checkNulls = elementsNullable
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -74,10 +88,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      // per-element null test only when the schema allows null elements —
+      // non-null-typed inputs keep the branch-free tight loop
+      val nullCheck = if (elementsNullable) {
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      } else ""
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |}
          |${ev.value} = $s;

@@ -43,12 +43,25 @@ case class HyperplaneBands(child: Expression, bands: Int, bits: Int, dim: Int)
   @transient private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** Parquet list columns arrive containsNull=true even when no element is
+    * ever null; a null element yields a null signature (propagated, not
+    * silently read as garbage). */
+  @transient private lazy val elementsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = super.nullable || elementsNullable
+
   /** planes(p)(i): component i of hyperplane p, uniform in [-1, 1). */
   @transient lazy val planes: Array[Array[Double]] =
     Array.tabulate(bands * bits)(Lsh.planeVector(_, dim))
 
+  /** Returns null if a consumed element is null (caller propagates). */
   def computeBands(x: ArrayData): ArrayData = {
     val n = math.min(dim, x.numElements())
+    if (elementsNullable) {
+      var i = 0
+      while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    }
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -75,8 +88,13 @@ case class HyperplaneBands(child: Expression, bands: Int, bits: Int, dim: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("hpb", this, classOf[HyperplaneBands].getName)
+    // the isNull store only exists when the schema allows null elements —
+    // otherwise ev.isNull is the literal `false` (not assignable)
+    val nullStore =
+      if (elementsNullable) s"${ev.isNull} = ${ev.value} == null;" else ""
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = (${classOf[ArrayData].getName}) $ref.computeBands($c);")
+      s"""${ev.value} = (${classOf[ArrayData].getName}) $ref.computeBands($c);
+         |$nullStore""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

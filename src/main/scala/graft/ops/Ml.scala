@@ -36,8 +36,14 @@ object Ml {
           li, "l_extendedprice",
           Seq("l_quantity", "l_discount", "l_tax", "l_returnflag", "l_linestatus"),
           numTrees = 10, maxDepth = 5, maxBins = 16, subsamplingRate = 0.5)
-        scored.agg(
-          count(lit(1)).as("n_scored"),
+        // drain the cached validation frame eagerly and unpersist it HERE:
+        // fitPredict's contract makes the caller owner of `scored`, and a
+        // library caller (Verify, REPL) has no Bench-style clearCache sweep
+        // to fall back on. The result is a literal row — no live lineage
+        // back to the unpersisted frame.
+        val n = try scored.count() finally scored.unpersist(blocking = false)
+        s.range(1).select(
+          lit(n).as("n_scored"),
           round(lit(r2), 4).as("r2"),
           round(lit(rmse), 2).as("rmse"))
       } finally li.unpersist(blocking = false)

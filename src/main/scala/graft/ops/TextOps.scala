@@ -204,7 +204,9 @@ object TextOps {
     // land at Hamming ≈ 32 (measured: 0.1th pct = 19) while true near-dups
     // sit at h ≤ 7; (2) 8×8-bit chunk join for candidates (pigeonhole:
     // h ≤ 7 ⇒ ≥ 1 identical chunk ⇒ candidate set is complete for true
-    // pairs), Hamming filter, then exact Jaccard verification against the
+    // pairs — the Hamming filter below uses the SAME bound, so the output
+    // is exactly "all pairs at h ≤ 7", not an opportunistic superset),
+    // Hamming filter, then exact Jaccard verification against the
     // stored shingle sets (array_intersect — no shingle-key self-join
     // anywhere). This is the 100 TB shape: fingerprints prune 12.5M pairs
     // to a few hundred, verification touches only those. Hash-specific →
@@ -230,7 +232,10 @@ object TextOps {
         .select(col("doc_a"), col("doc_b"),
           expr("bit_count(sha ^ shb)").cast("int").as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 10)
+        // <= 7 is the pigeonhole completeness bound for 8 chunks: every pair
+        // in the output band is guaranteed found; 8-10 would be found only
+        // when a chunk coincidentally matched (opportunistic semantics)
+        .filter(col("hamming") <= 7)
       val jac = col("inter") / (col("na") + col("nb") - col("inter"))
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"),

@@ -34,6 +34,34 @@ class ArrayMathSpec extends SparkSpec {
     assert(df.select(ArrayMath.dot(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("null ELEMENT inside the common prefix propagates null (HOF parity)") {
+    // Seq[Option] columns get containsNull=true schemas — the nullable path
+    val df = Seq(
+      (Seq(Option(1.0f), None, Option(3.0f)), Seq(Option(4.0f), Option(5.0f), Option(6.0f))),
+      (Seq(Option(1.0f), Option(2.0f)), Seq(Option(4.0f), Option(5.0f))))
+      .toDF("a", "b")
+    val rows = df.select(ArrayMath.dot(col("a"), col("b"))).collect()
+    assert(rows(0).isNullAt(0)) // null*5 = null, null+s = null — like zip_with/aggregate
+    assert(rows(1).getDouble(0) == 14.0)
+    // null element PAST the common prefix is never consumed -> non-null
+    val past = Seq((Seq(Option(1.0f), None), Seq(Option(2.0f))))
+      .toDF("a", "b")
+      .select(ArrayMath.dot(col("a"), col("b"))).head()
+    assert(past.getDouble(0) == 2.0)
+  }
+
+  test("hyperplane bands: null element yields null signature") {
+    import graft.functions.Lsh
+    val df = Seq(
+      (1L, Seq(Option(1.0f), None, Option(3.0f))),
+      (2L, Seq(Option(1.0f), Option(2.0f), Option(3.0f))))
+      .toDF("id", "emb")
+    val rows = df.select(col("id"), Lsh.hyperplaneBands(col("emb"), 4, 6, 3).as("sig"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(!rows(1).isNullAt(1) && rows(1).getSeq[Long](1).length == 4)
+  }
+
   test("norm and cosine: known values, zero-norm null") {
     val df = Seq(
       (floats(3, 4), floats(3, 4)),

@@ -75,8 +75,8 @@ class TextOpsSpec extends SparkSpec {
       s"simhash+verify produced non-near-dup pairs: ${simhash -- exact}")
     val missed = exact -- simhash
     if (missed.nonEmpty) {
-      // every miss must be a fingerprint miss (hamming > the h<=10 output
-      // threshold can only drop pairs with h > 7 guaranteed candidates),
+      // every miss must be a fingerprint miss (the query outputs exactly the
+      // h <= 7 band, which the 8-chunk pigeonhole join finds completely),
       // never a verification bug
       val docs = TextOps.shingles(Tables.documents(spark, sf0001), "text", 3)
         .groupBy("doc_id").agg(collect_set(col("shingle")).as("ss"))
