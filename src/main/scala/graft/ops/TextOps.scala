@@ -119,18 +119,25 @@ object TextOps {
          |SELECT lang, predicted, count(*) AS n
          |FROM scored GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
     }) { (s, d) =>
-      val toks = tokens(col("text"))
-      val sc = stop.map { case (l, ws) => l -> stopHits(toks, ws) }
-      val zh = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+      // The priority-ordered CASE is an argmax with ties going to the earlier
+      // language, so encode it as array_max over (hits, priority, lang)
+      // structs. Each stopword count is computed ONCE in its own projection
+      // (the naive when-chain inlines the tokenize+filter subtree ~16×, and
+      // the resulting generated method takes seconds of Janino compile time —
+      // measured as a flat ~3.5s regardless of scale factor).
+      val prio = Seq("en" -> 4, "es" -> 3, "fr" -> 2, "de" -> 1)
+      val best = array_max(array(prio.map { case (l, p) =>
+        struct(stopHits(col("_toks"), stop(l)).as("h"), lit(p).as("p"), lit(l).as("l"))
+      }: _*))
       Tables.documents(s, d)
+        .withColumn("_toks", tokens(col("text")))
+        .withColumn("_zh",
+          size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))))
+        .withColumn("_best", best)
         .withColumn("predicted",
-          when(zh > 0, "zh")
-            .when(sc("en") === 0 && sc("es") === 0 && sc("fr") === 0 && sc("de") === 0,
-              "unknown")
-            .when(sc("en") >= sc("es") && sc("en") >= sc("fr") && sc("en") >= sc("de"), "en")
-            .when(sc("es") >= sc("fr") && sc("es") >= sc("de"), "es")
-            .when(sc("fr") >= sc("de"), "fr")
-            .otherwise("de"))
+          when(col("_zh") > 0, "zh")
+            .when(col("_best.h") === 0, "unknown")
+            .otherwise(col("_best.l")))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
