@@ -10,6 +10,7 @@ object SparkEntry {
   /** Every named query, in registration order. */
   val registry: Seq[Q] =
     ops.Relational.queries ++
+    ops.Advanced.queries ++
     ops.Events.queries ++
     ops.TextOps.queries ++
     ops.Similarity.queries ++

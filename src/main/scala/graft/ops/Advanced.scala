@@ -1,0 +1,253 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 operator families extending SURVEY.md §2 coverage: range/theta
+  * joins, GROUPING SETS, unpivot (wide→long), map-typed columns, explicit
+  * skew salting, date arithmetic, sketch-accuracy property checks
+  * (Greenwald–Khanna quantiles, frequent-items), and value-based RANGE
+  * window frames. All stock `org.apache.spark.sql` — no custom Catalyst
+  * needed for any of these.
+  *
+  * Scale notes are per query; the common theme is that every join here
+  * keeps an equi component (range predicates ride on top of a hash/sort
+  * key), so nothing degenerates to a nested-loop cross product at 100 TB.
+  */
+object Advanced {
+
+  val queries: Seq[Q] = Seq(
+
+    // Range/theta join (SURVEY.md §2.3 extension): views within the hour
+    // preceding each purchase by the same user. The equi component
+    // (user_id) carries the shuffle; the time-range predicate is evaluated
+    // inside each joined group — no BroadcastNestedLoopJoin anywhere in the
+    // plan. At 100 TB this is the bucketable shape: both sides co-partition
+    // on user_id and the range filter stays local.
+    Q("q58_range_join",
+      """SELECT p.event_id AS purchase_id,
+        |       count(v.ts) AS n_views,
+        |       round(coalesce(sum(v.value), 0), 2) AS views_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("value").as("v_value"))
+      p.join(v,
+          col("p_user") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") < col("p_ts"),
+          "left")
+        .groupBy(col("purchase_id"))
+        .agg(
+          count(col("v_ts")).as("n_views"),
+          round(coalesce(sum(col("v_value")), lit(0.0)), 2).as("views_value"))
+        .orderBy(col("purchase_id"))
+    },
+
+    // GROUPING SETS beyond rollup/cube (q20/q45): explicitly chosen
+    // grouping combinations — per-flag, per-status, and grand total — in
+    // ONE shuffle (map-side Expand tags each row with its grouping id).
+    Q("q59_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("total_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // Unpivot (wide→long), the inverse of q46's pivot: per-flag aggregate
+    // columns melt into (metric, val) rows map-side — no shuffle beyond the
+    // feeding aggregation. Oracle replays the melt as UNION ALL.
+    Q("q60_unpivot",
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |         round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_price,
+        |         round(avg(l_discount), 6) AS avg_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, val FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'avg_disc', avg_disc FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+          "metric", "val")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+
+    // Map-typed columns (SURVEY.md §1 extension): parse the JSON props into
+    // map<string,int>, extend it with a computed entry (map_concat + map),
+    // explode to key/value rows, aggregate per key. The test corpus carries
+    // one JSON key ('k'); the oracle enumerates the key universe explicitly
+    // since DuckDB lacks a map-explode over JSON.
+    Q("q61_map_functions",
+      """WITH kv AS (
+        |  SELECT 'etype_len' AS k, CAST(length(event_type) AS INT) AS v FROM events
+        |  UNION ALL
+        |  SELECT 'k' AS k, CAST(json_extract_string(props, '$.k') AS INT) AS v
+        |  FROM events)
+        |SELECT k, count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+        |       round(avg(v), 4) AS avg_v
+        |FROM kv GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(explode(map_concat(
+          from_json(col("props"), "map<string,int>", Map.empty[String, String]),
+          map(lit("etype_len"), length(col("event_type")))))
+          .as(Seq("k", "v")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"), round(avg(col("v")), 4).as("avg_v"))
+        .orderBy(col("k"))
+    },
+
+    // Explicit skew salting (SURVEY.md §8 "bucketed co-located joins / skew
+    // salting", now driver-checked): the fact side spreads each join key
+    // over 8 salt buckets (deterministic salt from l_linenumber), the other
+    // side replicates 8×, and the join runs on (key, salt) — a hot orderkey
+    // lands on 8 reducers instead of stalling one. The aggregate is
+    // salt-invariant, so the oracle is the PLAIN join — same result, skew-
+    // proof plan. (AQE skew-join split does this adaptively; the salt form
+    // is the portable, planner-independent pattern.)
+    Q("q62_salted_join",
+      """SELECT o.o_orderpriority,
+        |       count(*) AS n_items,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val salts = 8
+      val li = Tables.lineitem(s, d)
+        .withColumn("l_salt", pmod(col("l_linenumber"), lit(salts)))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("o_salt", explode(array((0 until salts).map(lit): _*)))
+      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_salt") === col("o_salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Date arithmetic (F-family extension): datediff vs an epoch, month
+    // boundaries (last_day / trunc), month offsets (add_months), quarters —
+    // aggregated per (year, quarter) for a compact deterministic result.
+    Q("q63_date_arith",
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od FROM orders)
+        |SELECT CAST(year(od) AS INT) AS yr, CAST(quarter(od) AS INT) AS qtr,
+        |       count(*) AS n,
+        |       CAST(min(date_diff('day', DATE '1995-01-01', od)) AS INT) AS min_dd,
+        |       CAST(max(date_diff('day', DATE '1995-01-01', od)) AS INT) AS max_dd,
+        |       count(DISTINCT last_day(od)) AS n_month_ends,
+        |       count(DISTINCT date_trunc('month', od)) AS n_months,
+        |       CAST(min(od + INTERVAL 1 MONTH) AS DATE) AS min_plus_month
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("od"))
+        .select(
+          year(col("od")).as("yr"), quarter(col("od")).as("qtr"),
+          datediff(col("od"), lit("1995-01-01").cast("date")).as("dd"),
+          last_day(col("od")).as("eom"),
+          trunc(col("od"), "month").as("som"),
+          add_months(col("od"), 1).as("plus_m"))
+        .groupBy(col("yr"), col("qtr"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("dd")).as("min_dd"), max(col("dd")).as("max_dd"),
+          countDistinct(col("eom")).as("n_month_ends"),
+          countDistinct(col("som")).as("n_months"),
+          min(col("plus_m")).as("min_plus_month"))
+        .orderBy(col("yr"), col("qtr"))
+    },
+
+    // Greenwald–Khanna sketch accuracy (the 100 TB path for q11's exact
+    // quantiles — single pass, mergeable, no sort). Sketch output is
+    // engine-specific → the oracle-checked contract is the PROPERTY that
+    // each approxQuantile(relErr=0.01) lands within the exact p±0.02
+    // quantile band (2× the configured rank-error bound).
+    Q("q64_gk_quantile",
+      """SELECT CAST(1 AS BOOLEAN) AS q25_ok, CAST(1 AS BOOLEAN) AS q50_ok,
+        |       CAST(1 AS BOOLEAN) AS q75_ok
+        |FROM (SELECT 1)""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val approx = li.stat.approxQuantile(
+        "l_extendedprice", Array(0.25, 0.50, 0.75), 0.01)
+      val bands = graft.pipeline.Eda.exactQuantiles(li, "l_extendedprice",
+        Seq(0.23, 0.27, 0.48, 0.52, 0.73, 0.77))
+      val ok = approx.zipWithIndex.map { case (a, i) =>
+        a >= bands(2 * i) && a <= bands(2 * i + 1)
+      }
+      s.range(1).select(
+        lit(ok(0)).as("q25_ok"), lit(ok(1)).as("q50_ok"), lit(ok(2)).as("q75_ok"))
+    },
+
+    // Frequent-items sketch (heavy hitters, single pass, mergeable — the
+    // scale path for "which values dominate this column"). The sketch
+    // returns a SUPERSET of the true heavy hitters (false positives allowed,
+    // false negatives not) → the property checked is that every value with
+    // true frequency > 25% appears in freqItems(support=0.25).
+    Q("q65_freq_items",
+      """SELECT CAST(1 AS BOOLEAN) AS heavy_hitters_covered
+        |FROM (SELECT 1)""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val items = li.stat.freqItems(Array("l_returnflag"), 0.25)
+        .head().getSeq[String](0).toSet
+      val n = li.count()
+      val heavy = li.groupBy(col("l_returnflag")).count()
+        .filter(col("count") > n * 0.25)
+        .collect().map(_.getString(0))
+      s.range(1).select(lit(heavy.forall(items.contains)).as("heavy_hitters_covered"))
+    },
+
+    // Value-based RANGE window frame (vs the ROWS frames of q08/q39): each
+    // event's trailing-hour sum/count over (user, epoch-second) — frame
+    // bounds are VALUES, so same-second peers are excluded identically in
+    // both engines regardless of tie order. One shuffle on user_id + one
+    // sort, exactly like any ordered window at scale.
+    Q("q66_range_frame",
+      """SELECT event_id, user_id,
+        |       round(coalesce(sum(value) OVER w, 0), 2) AS hour_sum,
+        |       count(*) OVER w AS hour_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600, -1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(coalesce(sum(col("value")).over(w), lit(0.0)), 2).as("hour_sum"),
+          count(lit(1)).over(w).as("hour_n"))
+        .orderBy(col("event_id"))
+    }
+  )
+}
