@@ -226,6 +226,46 @@ object Advanced {
       s.range(1).select(lit(heavy.forall(items.contains)).as("heavy_hitters_covered"))
     },
 
+    // Deterministic hash-based train/test assignment — the production
+    // alternative to q21's seeded randomSplit: membership depends only on
+    // the key (first hex nibble of md5 < 'd' ⇒ 13/16 ≈ 81% train), so the
+    // split is reproducible across engines, partition layouts and reruns,
+    // and co-partitions with any other table split the same way. Fully
+    // oracle-checkable, unlike RNG-based splits.
+    Q("q68_hash_split",
+      """SELECT CASE WHEN substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < 'd'
+        |            THEN 'train' ELSE 'test' END AS split,
+        |       count(*) AS n,
+        |       round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("split",
+          when(substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 1) < "d",
+            "train").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), round(avg(col("l_extendedprice")), 4).as("avg_price"))
+        .orderBy(col("split"))
+    },
+
+    // Per-group exact quantiles (grouped A4/A5): exact interpolating
+    // percentile per source — group cardinality is small so the exact agg
+    // is safe; the 100 TB path for high-cardinality groups is
+    // percentile_approx (q64 proves its error bound).
+    Q("q71_group_quantiles",
+      """SELECT source,
+        |       round(quantile_cont(n_chars, 0.5), 2) AS p50,
+        |       round(quantile_cont(n_chars, 0.9), 2) AS p90,
+        |       count(*) AS n
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    },
+
     // Value-based RANGE window frame (vs the ROWS frames of q08/q39): each
     // event's trailing-hour sum/count over (user, epoch-second) — frame
     // bounds are VALUES, so same-second peers are excluded identically in

@@ -299,6 +299,105 @@ object TextOps {
       out
     },
 
+    // Text normalization (the cleaning front of a training-data pipeline):
+    // lowercase, whitespace-collapse, stopword-strip — all map-side
+    // higher-order functions, re-joined to a normalized string. Counts are
+    // integers → no fp-comparison risk in the oracle.
+    Q("q67_text_normalize", {
+      val en = stop("en").map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, len(toks) AS n_toks,
+         |         array_to_string(
+         |           list_filter(toks, x -> NOT list_contains($en, x)), ' ') AS norm
+         |  FROM t)
+         |SELECT doc_id, n_toks,
+         |       len(string_split_regex(norm, '\\s+')) AS n_kept,
+         |       length(norm) AS norm_chars
+         |FROM n ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val stoplist = array(stop("en").map(lit): _*)
+      val toks = tokens(col("text"))
+      Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .withColumn("norm",
+          concat_ws(" ", filter(col("toks"), t => !array_contains(stoplist, t))))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          size(split(col("norm"), "\\s+")).as("n_kept"),
+          length(col("norm")).cast("long").as("norm_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Vocabulary building (BPE/tokenizer prep): global token frequencies,
+    // top-20. One explode + one hash aggregate + TakeOrdered — the plan
+    // scales linearly in corpus size; vocabulary cutoffs (top-K) are the
+    // standard first step of tokenizer training at 100 TB.
+    Q("q69_vocab_topk",
+      """SELECT tok, count(*) AS freq
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |      FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("tok"))
+        .limit(20)
+    },
+
+    // TF-IDF: each document's highest-scoring term (smoothed idf,
+    // ln((N+1)/(df+1))). Expression shapes mirror the oracle exactly
+    // ((c/len) * ln(...)) so both engines produce bit-identical doubles for
+    // the argmax; the emitted score is rounded. Two aggregates + one join —
+    // the df table is tiny (vocabulary-sized) and broadcasts at any scale.
+    Q("q70_tfidf",
+      """WITH t AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |len AS (SELECT doc_id, count(*) AS len FROM t GROUP BY 1),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |         (tf.c / CAST(len.len AS DOUBLE)) *
+        |         ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE)) AS score
+        |  FROM tf JOIN len USING (doc_id) JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok AS top_term, round(score, 6) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY score DESC, tok) AS rn
+        |      FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val t = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val len = t.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+      val dfT = t.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(len, "doc_id").join(broadcast(dfT), "tok")
+        .withColumn("score",
+          (col("c") / col("len").cast("double")) *
+            log(lit(n + 1) / (col("df") + 1).cast("double")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("tok"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal-adjacent: byte-level metadata + content hash of the UTF-8
     // payload (sha2 hex matches DuckDB sha256 on identical bytes).
     Q("q32_content_hash",
