@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The SparkSessionExtensions surface: custom Catalyst expressions resolve
+  * as SQL functions, both via the `spark.sql.extensions` injector on a fresh
+  * session and via GraftExtensions.register on a live one, and agree with
+  * the Column API. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("register() exposes the kernels to spark.sql, matching the Column API") {
+    val s = spark.newSession()
+    GraftExtensions.register(s)
+    import s.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("v")
+    assert(s.sql("SELECT graft_dot(a, b) AS d FROM v").head().getDouble(0) == 32.0)
+    val sqlSh = s.sql(
+      "SELECT graft_word_shingles('The quick brown fox', 2) AS sh")
+      .head().getSeq[String](0)
+    assert(sqlSh == Seq("the quick", "quick brown", "brown fox"))
+    val sqlSim = s.sql(
+      "SELECT graft_simhash64(graft_word_shingles('a b c d', 2)) AS h")
+      .head().getLong(0)
+    val colSim = df.sparkSession.range(1)
+      .select(graft.functions.TextHash.simhash64(
+        graft.functions.Shingles.wordShingles(
+          org.apache.spark.sql.functions.lit("a b c d"), 2)))
+      .head().getLong(0)
+    assert(sqlSim == colSim)
+    assert(s.sql("SELECT size(graft_winnow('abcdefghijklmnopqrstuvwxyz', 8, 4)) AS n")
+      .head().getInt(0) > 0)
+    assert(s.sql(
+      "SELECT size(graft_hyperplane_bands(array(1.0D, 2.0D), 4, 6, 2)) AS n")
+      .head().getInt(0) == 4)
+  }
+
+  test("SparkSessionExtensions injector wires the functions at session build") {
+    // build a brand-new SparkSession (same SparkContext) through the
+    // injector via Builder.withExtensions — the programmatic twin of
+    // `spark-submit --conf spark.sql.extensions=graft.GraftExtensions`
+    // (the conf form is static, read from the SparkContext at JVM start, so
+    // it cannot be exercised inside a shared-context test JVM); active and
+    // default sessions are restored afterwards.
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      assert(s ne orig)
+      assert(s.sql("SELECT graft_dot(array(2.0D), array(8.0D)) AS d")
+        .head().getDouble(0) == 16.0)
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+
+  test("non-literal codegen parameters are rejected with a clear error") {
+    val s = spark.newSession()
+    GraftExtensions.register(s)
+    val e = intercept[Exception] {
+      s.sql("SELECT graft_word_shingles('a b', cast(rand() * 3 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
