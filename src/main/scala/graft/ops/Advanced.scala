@@ -219,10 +219,12 @@ object Advanced {
       val li = Tables.lineitem(s, d)
       val items = li.stat.freqItems(Array("l_returnflag"), 0.25)
         .head().getSeq[String](0).toSet
-      val n = li.count()
-      val heavy = li.groupBy(col("l_returnflag")).count()
-        .filter(col("count") > n * 0.25)
-        .collect().map(_.getString(0))
+      // exact per-value counts; n derives from their sum (no separate
+      // full-table count job — the flag column is low-cardinality)
+      val counts = li.groupBy(col("l_returnflag")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val n = counts.map(_._2).sum
+      val heavy = counts.collect { case (v, c) if c > n * 0.25 => v }
       s.range(1).select(lit(heavy.forall(items.contains)).as("heavy_hitters_covered"))
     },
 
