@@ -268,6 +268,76 @@ object Advanced {
         .orderBy(col("source"))
     },
 
+    // Full- and right-outer joins (completing the join family: inner q03,
+    // left q07, semi q05, anti q06, asof q50, range q58). One side is a
+    // literal segment table with rows that can't match, so unmatched rows
+    // on BOTH sides are deterministic at every scale factor.
+    Q("q72_outer_joins",
+      """WITH c AS (SELECT c_mktsegment AS seg, count(*) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |v(seg2, pri) AS (VALUES ('AUTOMOBILE', 1), ('BUILDING', 2), ('ORBITAL', 9)),
+        |f AS (SELECT coalesce(c.seg, v.seg2) AS seg,
+        |             coalesce(n_cust, -1) AS n_cust, coalesce(pri, -1) AS pri
+        |      FROM c FULL OUTER JOIN v ON c.seg = v.seg2),
+        |r AS (SELECT coalesce(c.seg, v.seg2) AS seg,
+        |             coalesce(n_cust, -1) AS n_cust, coalesce(pri, -1) AS pri
+        |      FROM c RIGHT JOIN v ON c.seg = v.seg2)
+        |SELECT 'full' AS op, seg, n_cust, pri FROM f
+        |UNION ALL
+        |SELECT 'right' AS op, seg, n_cust, pri FROM r
+        |ORDER BY op, seg""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_cust"))
+      val v = Seq(("AUTOMOBILE", 1), ("BUILDING", 2), ("ORBITAL", 9))
+        .toDF("seg2", "pri")
+      def shape(joined: org.apache.spark.sql.DataFrame, op: String) =
+        joined.select(lit(op).as("op"),
+          coalesce(col("seg"), col("seg2")).as("seg"),
+          coalesce(col("n_cust"), lit(-1L)).as("n_cust"),
+          coalesce(col("pri"), lit(-1)).as("pri"))
+      shape(c.join(v, col("seg") === col("seg2"), "full_outer"), "full")
+        .union(shape(c.join(v, col("seg") === col("seg2"), "right_outer"), "right"))
+        .orderBy(col("op"), col("seg"))
+    },
+
+    // Window navigation functions (first/last/nth value): per-segment
+    // extremes attached to every customer row, aggregated compactly. The
+    // frame must be the FULL partition (unbounded both ways) — last_value
+    // over the default running frame would just echo the current row.
+    Q("q73_window_navigation",
+      """WITH w AS (
+        |  SELECT c_mktsegment,
+        |         first_value(c_acctbal) OVER win AS first_bal,
+        |         last_value(c_acctbal) OVER win AS last_bal,
+        |         nth_value(c_acctbal, 3) OVER win AS third_bal
+        |  FROM customer
+        |  WINDOW win AS (PARTITION BY c_mktsegment
+        |                 ORDER BY c_acctbal, c_custkey
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT c_mktsegment, count(*) AS n,
+        |       round(min(first_bal), 2) AS min_bal,
+        |       round(max(last_bal), 2) AS max_bal,
+        |       round(min(third_bal), 2) AS third_bal
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"),
+          first(col("c_acctbal")).over(win).as("first_bal"),
+          last(col("c_acctbal")).over(win).as("last_bal"),
+          nth_value(col("c_acctbal"), 3).over(win).as("third_bal"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("first_bal")), 2).as("min_bal"),
+          round(max(col("last_bal")), 2).as("max_bal"),
+          round(min(col("third_bal")), 2).as("third_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Value-based RANGE window frame (vs the ROWS frames of q08/q39): each
     // event's trailing-hour sum/count over (user, epoch-second) — frame
     // bounds are VALUES, so same-second peers are excluded identically in
