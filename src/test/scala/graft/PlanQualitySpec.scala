@@ -1,0 +1,84 @@
+package graft
+
+/** Physical-plan contracts for the scale-critical queries: these assert the
+  * plan SHAPE (pushdown, pruning, broadcast, partial aggregation, top-k)
+  * rather than results — the properties that decide whether the same query
+  * is viable at 100 TB. A regression here can leave every result correct
+  * and still make the plan 100× more expensive at scale. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: range + price predicates and column pruning reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_extendedprice"),
+      s"price predicate not pushed:\n$p")
+    // pruned read schema — none of the untouched wide columns
+    assert(!p.contains("l_comment") && !p.contains("l_tax"),
+      s"scan reads columns the query never touches:\n$p")
+  }
+
+  test("q04: dimension tables broadcast, no nested-loop join anywhere") {
+    val p = planOf("q04_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested-loop join in a pure equi-join star query:\n$p")
+  }
+
+  test("q01: aggregation runs partial (map-side) before the shuffle") {
+    val p = planOf("q01_pricing_summary")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0, s"no hash aggregate:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"no partial aggregation before the exchange:\n$p")
+  }
+
+  test("q03: top-k plans as TakeOrdered, not a global sort") {
+    val p = planOf("q03_top_customers")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 missing TakeOrdered:\n$p")
+  }
+
+  test("q58: range join keeps its equi component (hash/merge join, no BNLJ)") {
+    val p = planOf("q58_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to nested-loop:\n$p")
+    assert(p.contains("Join LeftOuter") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"no keyed join operator:\n$p")
+  }
+
+  test("q33: brute-force kNN broadcasts the query side (no shuffle of the corpus)") {
+    val p = planOf("q33_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+    // the corpus side must not be exchanged before the join
+    assert(p.contains("graft_dot"), s"custom kernel absent from the plan:\n$p")
+  }
+
+  test("whole-stage codegen covers the custom expressions (no interpreted islands)") {
+    // q33 keeps rows at sf0.001 (q34's empty result would let AQE collapse
+    // the plan to EmptyRelation, hiding every stage); AQE only finalizes
+    // (and codegen-wraps) stages on execution, hence the collect first.
+    val df = SparkEntry.queries("q33_knn_cosine")(spark, sf0001)
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" markers in toString
+    assert(p.contains("*("), s"no codegen spans:\n$p")
+    // DotProduct participates in codegen: the kernel appears inside
+    // codegen-staged operators (asterisked), not interpreted islands
+    val dotLines = p.linesIterator.filter(_.contains("graft_dot")).toSeq
+    assert(dotLines.nonEmpty && dotLines.exists(_.contains("*")),
+      s"graft_dot evaluated outside whole-stage codegen:\n$p")
+  }
+
+  test("q26: distinct aggregates stay a two-shuffle expand, no extra scans") {
+    val p = planOf("q26_dedup_exact")
+    // one scan of documents feeds the whole distinct-aggregate pipeline
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single documents scan, saw $scans:\n$p")
+  }
+}
