@@ -338,6 +338,25 @@ object Advanced {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Space-Saving top-k sketch (custom typed Aggregator, bounded state,
+    // mergeable — the distributed heavy-hitters aggregate for columns whose
+    // exact group-count no longer fits). With k ≥ the column's cardinality
+    // no eviction happens and the sketch IS the exact count (err = 0),
+    // which is what makes a DuckDB hash-oracle possible here; the
+    // approximation behavior under k < cardinality and the upper/lower
+    // bound guarantees are pinned in SpaceSavingSpec on skewed fixtures.
+    Q("q74_topk_sketch",
+      """SELECT l_returnflag AS value, count(*) AS est, CAST(0 AS BIGINT) AS err
+        |FROM lineitem GROUP BY 1 ORDER BY est DESC, value""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.SpaceSavingTopK(8),
+        org.apache.spark.sql.Encoders.STRING)
+      Tables.lineitem(s, d)
+        .agg(topk(col("l_returnflag")).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e._1").as("value"), col("e._2").as("est"), col("e._3").as("err"))
+        .orderBy(desc("est"), asc("value"))
+    },
+
     // Value-based RANGE window frame (vs the ROWS frames of q08/q39): each
     // event's trailing-hour sum/count over (user, epoch-second) — frame
     // bounds are VALUES, so same-second peers are excluded identically in
