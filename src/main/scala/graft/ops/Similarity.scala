@@ -210,11 +210,15 @@ object Similarity {
       val mins = (0 until numHashes).map(i =>
         min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
       val minhashes = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bands = (0 until numHashes / bandSize).map { bnd =>
-        val cols = (0 until bandSize).map(j => col(s"mh_${bnd * bandSize + j}"))
-        minhashes.select(col("doc_id"), lit(bnd).as("band"),
-          xxhash64(cols: _*).as("band_hash"))
-      }.reduce(_.union(_))
+      // ONE posexplode over the per-band hash array — the union-of-selects
+      // form re-evaluated the whole shingle+minhash pipeline once PER BAND
+      // (8 scans); this shape computes the signatures once and fans out
+      // band rows map-side.
+      val bandHashes = array((0 until numHashes / bandSize).map { bnd =>
+        xxhash64((0 until bandSize).map(j => col(s"mh_${bnd * bandSize + j}")): _*)
+      }: _*)
+      val bands = minhashes.select(col("doc_id"), posexplode(bandHashes))
+        .toDF("doc_id", "band", "band_hash")
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
       val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
       a.join(bb, Seq("band", "band_hash")).filter(col("doc_a") < col("doc_b"))

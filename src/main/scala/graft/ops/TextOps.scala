@@ -86,7 +86,9 @@ object TextOps {
         |JOIN cnt cb ON p.doc_b = cb.doc_id
         |WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = shingles(Tables.documents(s, d), "text", 3)
+      // one evaluation of the shingle explode for the three consumers
+      // (counts + both self-join sides) — see q51 for the reuse rationale
+      val sh = shingles(Tables.documents(s, d), "text", 3).localCheckpoint(true)
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val a = sh.toDF("doc_a", "shingle")
       val b = sh.toDF("doc_b", "shingle")
@@ -222,11 +224,13 @@ object TextOps {
       val chunksN = 8
       val bitsPer = 64 / chunksN
       val mask = (1L << bitsPer) - 1
+      // evaluated once (chunk explode + two verification sides re-read it)
       val sets = shingles(Tables.documents(s, d), "text", 3)
         .groupBy("doc_id")
         .agg(collect_set(col("shingle")).as("ss"))
         .select(col("doc_id"), col("ss"), size(col("ss")).as("n_sh"),
           graft.functions.TextHash.simhash64(col("ss")).as("sh"))
+        .localCheckpoint(true)
       val chunks = sets.select(col("doc_id"), col("sh"),
         posexplode(array((0 until chunksN).map(i =>
           shiftrightunsigned(col("sh"), i * bitsPer).bitwiseAND(lit(mask))): _*)))
