@@ -54,7 +54,7 @@ object StatefulSessions {
           start = math.min(s.start, t))))
     }
 
-  private def emit(user: Long, s: SessionState): Session = {
+  private[streaming] def emit(user: Long, s: SessionState): Session = {
     val ts = new java.sql.Timestamp(s.start / 1000000 * 1000)
     ts.setNanos(((s.start % 1000000) * 1000).toInt)
     Session(user, ts, s.n, s.total)
