@@ -59,11 +59,21 @@ object Bench {
     // keep the sorted Seq order in the JSON — toMap would hash-scramble it
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // headline total = successful queries only; failures stay visible as
+    // negated per-query entries + n_errors (a broken bench must never look
+    // faster than a working one)
+    val total = results.map(_._2).filter(_ > 0).sum
     val errJson = errors.map { case (k, v) =>
-      s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // escape control chars too — Spark exception messages are multi-line
+      val esc = v.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }
+      s"\"" + k + "\":\"" + esc + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,10 @@ class SpaceSavingTopK(k: Int)
 
   override def reduce(b: Map[String, (Long, Long)], v: String)
       : Map[String, (Long, Long)] =
-    b.get(v) match {
+    // Spark aggregate convention: null inputs are ignored (a null would
+    // otherwise become a Map key and surface as a (null, est, err) counter)
+    if (v == null) b
+    else b.get(v) match {
       case Some((c, e)) => b.updated(v, (c + 1, e))
       case None if b.size < k => b.updated(v, (1L, 0L))
       case None =>

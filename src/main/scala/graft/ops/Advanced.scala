@@ -116,8 +116,13 @@ object Advanced {
         |       round(avg(v), 4) AS avg_v
         |FROM kv GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
       Tables.events(s, d)
+        // null/unparseable props: from_json yields null and map_concat(null,…)
+        // would null the whole map, dropping the row (and its etype_len entry)
+        // where the oracle's UNION ALL keeps it — coalesce to an empty map so
+        // the computed entry always survives
         .select(explode(map_concat(
-          from_json(col("props"), "map<string,int>", Map.empty[String, String]),
+          coalesce(from_json(col("props"), "map<string,int>",
+            Map.empty[String, String]), typedLit(Map.empty[String, Int])),
           map(lit("etype_len"), length(col("event_type")))))
           .as(Seq("k", "v")))
         .groupBy(col("k"))
