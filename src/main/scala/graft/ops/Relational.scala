@@ -576,6 +576,36 @@ object Relational {
           .orderBy(col("o_orderpriority"))
     },
 
+    // Promo-revenue share (TPC-H Q14 shape) — the part⋈lineitem leg of the
+    // star schema: one month of lineitem (shipdate predicate pushed to the
+    // scan) joined to part on p_partkey, conditional aggregation over
+    // p_type. At test SF the 2k-row part side auto-broadcasts; at TPC-H
+    // SF100k part is fact-sized and AQE picks the shuffled hash join on the
+    // same plan — no hint pinning the wrong strategy at either scale. The
+    // scan reads only (p_partkey, p_type) of part's 6 columns.
+    Q("q75_promo_revenue",
+      """SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+        |                  THEN l_extendedprice * (1 - l_discount) END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+        |       count(*) AS n_items,
+        |       count(DISTINCT p_partkey) AS n_parts
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-10-01'""".stripMargin) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(Tables.part(s, d).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev)) / sum(rev), 4)
+            .as("promo_share"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("p_partkey")).as("n_parts"))
+    },
+
     // O4/O5: seeded sample + randomSplit — deterministic per Spark seed but
     // not SQL-expressible (partition-layout dependent) → rows-only check.
     Q.rowsOnly("q21_sample_split") { (s, d) =>

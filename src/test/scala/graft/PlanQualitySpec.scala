@@ -75,6 +75,18 @@ class PlanQualitySpec extends SparkSpec {
       s"graft_dot evaluated outside whole-stage codegen:\n$p")
   }
 
+  test("q75: part join is keyed (BHJ at test SF), shipdate pushed, part scan pruned") {
+    val p = planOf("q75_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part side not broadcast at test SF:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"equi-join degenerated to nested-loop:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate predicate not pushed to the lineitem scan:\n$p")
+    // part scan must read only the 2 touched columns, not all 6
+    assert(!p.contains("p_retailprice") && !p.contains("p_brand") && !p.contains("p_name"),
+      s"part scan reads untouched columns:\n$p")
+  }
+
   test("q26: distinct aggregates stay a two-shuffle expand, no extra scans") {
     val p = planOf("q26_dedup_exact")
     // one scan of documents feeds the whole distinct-aggregate pipeline
