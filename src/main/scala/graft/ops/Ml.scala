@@ -23,48 +23,90 @@ object Ml {
     // is cached: indexer passes, split finding and every tree-depth
     // iteration re-scan it (the reference's uncached 11-pass imputation
     // anti-pattern, SURVEY.md §4.1, applies to ML fits too).
-    Q.rowsOnly("q40_rf_regression") { (s, d) =>
+    //
+    // Oracle-checked via the q49 property pattern: model internals are not
+    // SQL-expressible, so the contract is n_total (a row count DuckDB
+    // genuinely recomputes) plus in-engine booleans — the scored holdout is
+    // a sane 20%±5 slice, and the fit is CALIBRATED: the synthetic
+    // l_extendedprice carries almost no signal for these features (measured
+    // r2 = −0.001 at sf0.01), so the honest regression contract is "no
+    // worse than the mean predictor beyond noise" (−0.05 < r2 ≤ 1) with
+    // rmse positive, finite, and at or below ~1.05× the label's stddev
+    // (what a mean predictor scores). Exact fit semantics stay pinned by
+    // MlSpec on literal fixtures with real signal.
+    Q("q40_rf_regression",
+      """SELECT count(*) AS n_total,
+        |       CAST(1 AS BOOLEAN) AS holdout_frac_ok,
+        |       CAST(1 AS BOOLEAN) AS fit_ok
+        |FROM lineitem""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
         .select("l_quantity", "l_discount", "l_tax", "l_returnflag",
           "l_linestatus", "l_extendedprice")
         .cache()
       try {
-        // 10 trees × depth 5 on a 50% bagging fraction with 16 split bins:
+        // 8 trees × depth 5 on a 50% bagging fraction with 16 split bins:
         // the same estimator shape as the reference fit at a bench-bounded
         // cost (tree-stat aggregation scales with trees × nodes × bins).
         val (_, scored, r2, rmse) = graft.pipeline.Model.fitPredict(
           li, "l_extendedprice",
           Seq("l_quantity", "l_discount", "l_tax", "l_returnflag", "l_linestatus"),
-          numTrees = 10, maxDepth = 5, maxBins = 16, subsamplingRate = 0.5)
+          numTrees = 8, maxDepth = 5, maxBins = 16, subsamplingRate = 0.5)
         // drain the cached validation frame eagerly and unpersist it HERE:
         // fitPredict's contract makes the caller owner of `scored`, and a
         // library caller (Verify, REPL) has no Bench-style clearCache sweep
         // to fall back on. The result is a literal row — no live lineage
         // back to the unpersisted frame.
         val n = try scored.count() finally scored.unpersist(blocking = false)
-        s.range(1).select(
-          lit(n).as("n_scored"),
-          round(lit(r2), 4).as("r2"),
-          round(lit(rmse), 2).as("rmse"))
+        li.agg(count(lit(1)).as("n_total"),
+            stddev(col("l_extendedprice")).as("label_sd"))
+          .select(
+            col("n_total"),
+            lit(n).between(col("n_total") * 0.15, col("n_total") * 0.25)
+              .as("holdout_frac_ok"),
+            (lit(r2 > -0.05 && r2 <= 1 && rmse > 0 && !rmse.isNaN) &&
+              lit(rmse) <= col("label_sd") * 1.05).as("fit_ok"))
       } finally li.unpersist(blocking = false)
     },
 
-    // KMeans over the embeddings table (seeded): cluster cardinalities.
-    // array_to_vector is a codegen'd expression (no Dataset encoder
-    // round-trip); caching keeps the k-means|| init + 20 Lloyd iterations
-    // off the parquet scan.
-    Q.rowsOnly("q41_kmeans_embeddings") { (s, d) =>
+    // KMeans over the embeddings table (seeded). array_to_vector is a
+    // codegen'd expression (no Dataset encoder round-trip); caching keeps
+    // the k-means|| init + 20 Lloyd iterations off the parquet scan.
+    //
+    // Oracle-checked properties (centroids are engine-specific): total
+    // vector count (DuckDB recomputes), all 5 requested clusters non-empty,
+    // every vector assigned exactly once (cluster sizes sum to the total),
+    // and the k=5 partition strictly beats the trivial k=1 clustering
+    // (training cost < total sum of squares around the global mean — the
+    // inertia bound any working Lloyd iteration must satisfy).
+    Q("q41_kmeans_embeddings",
+      """SELECT count(*) AS n_vectors,
+        |       CAST(5 AS BIGINT) AS n_clusters,
+        |       CAST(1 AS BOOLEAN) AS partition_ok,
+        |       CAST(1 AS BOOLEAN) AS inertia_ok
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      import org.apache.spark.ml.stat.Summarizer
       val vecs = Tables.embeddings(s, d)
         .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
         .cache()
       try {
         val model = new KMeans().setK(5).setSeed(42L).setFeaturesCol("features")
           .fit(vecs)
+        // total SSE around the global mean = Σ_dims var_samp · (n−1): the
+        // k=1 "clustering" cost, computed in one distributed summarizer pass
+        val st = vecs.select(Summarizer.metrics("variance", "count")
+          .summary(col("features")).as("s")).select("s.variance", "s.count").head()
+        val n = st.getLong(1)
+        val sse = st.getAs[org.apache.spark.ml.linalg.Vector](0)
+          .toArray.sum * (n - 1)
+        val cost = model.summary.trainingCost
         model.transform(vecs)
-          .groupBy(col("prediction"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("n"))
-          .orderBy(desc("n"))
+          .agg(countDistinct(col("prediction")).as("n_clusters"),
+            count(lit(1)).as("n_vectors"))
+          .select(
+            col("n_vectors"),
+            col("n_clusters"),
+            (col("n_vectors") === n).as("partition_ok"),
+            lit(cost > 0 && cost < sse).as("inertia_ok"))
       } finally vecs.unpersist(blocking = false)
     }
   )

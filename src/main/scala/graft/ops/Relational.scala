@@ -606,17 +606,34 @@ object Relational {
           countDistinct(col("p_partkey")).as("n_parts"))
     },
 
-    // O4/O5: seeded sample + randomSplit — deterministic per Spark seed but
-    // not SQL-expressible (partition-layout dependent) → rows-only check.
-    Q.rowsOnly("q21_sample_split") { (s, d) =>
+    // O4/O5: seeded sample + randomSplit. Raw counts are partition-layout
+    // dependent (not SQL-expressible), so the oracle-checked contract is the
+    // PROPERTY set (q49 pattern): the split is an exact partition
+    // (train + test == total, a row count DuckDB genuinely recomputes), and
+    // both the 10% sample and the 80/20 split land within binomial-
+    // concentration bands (±3% absolute — >20σ at the 6k-row smallest SF).
+    // Everything stays distributed: four single-row aggregates cross-joined,
+    // no driver collect.
+    Q("q21_sample_split",
+      """SELECT count(*) AS n_total,
+        |       CAST(1 AS BOOLEAN) AS sample_frac_ok,
+        |       CAST(1 AS BOOLEAN) AS split_exact_ok,
+        |       CAST(1 AS BOOLEAN) AS split_frac_ok
+        |FROM lineitem""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
-      val sampled = li.sample(withReplacement = false, 0.1, 42)
-        .agg(count(lit(1)).as("n")).withColumn("which", lit("sample_10pct"))
       val Array(tr, te) = li.randomSplit(Array(0.8, 0.2), 42)
-      sampled
-        .union(tr.agg(count(lit(1)).as("n")).withColumn("which", lit("split_train")))
-        .union(te.agg(count(lit(1)).as("n")).withColumn("which", lit("split_test")))
-        .select("which", "n").orderBy("which")
+      li.agg(count(lit(1)).as("n_total"))
+        .crossJoin(li.sample(withReplacement = false, 0.1, 42)
+          .agg(count(lit(1)).as("n_sample")))
+        .crossJoin(tr.agg(count(lit(1)).as("n_train")))
+        .crossJoin(te.agg(count(lit(1)).as("n_test")))
+        .select(
+          col("n_total"),
+          col("n_sample").between(col("n_total") * 0.07, col("n_total") * 0.13)
+            .as("sample_frac_ok"),
+          (col("n_train") + col("n_test") === col("n_total")).as("split_exact_ok"),
+          col("n_train").between(col("n_total") * 0.77, col("n_total") * 0.83)
+            .as("split_frac_ok"))
     }
   )
 }

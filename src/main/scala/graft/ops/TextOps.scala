@@ -28,6 +28,29 @@ object TextOps {
     df.select(col("doc_id"),
       explode(graft.functions.Shingles.wordShingles(col(textCol), n)).as("shingle"))
 
+  /** Exact word-3-gram Jaccard pairs with raw ratio ≥ `minJac` — the
+    * shingle-key self-join ground truth that q27 emits and the three
+    * approximate dedup families (MinHash q36, SimHash q44, winnowing q51)
+    * validate against in-engine. Returns (doc_a, doc_b, jac_raw). The
+    * shingle explode is evaluated once (localCheckpoint) for its three
+    * consumers — counts + both self-join sides (see q51 for the rationale). */
+  def exactJaccardPairs(s: SparkSession, d: String, minJac: Double): DataFrame = {
+    val sh = shingles(Tables.documents(s, d), "text", 3).localCheckpoint(true)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("doc_a", "shingle")
+    val b = sh.toDF("doc_b", "shingle")
+    val pairs = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // raw small-integer ratio: bit-identical across engines, round only at
+    // the output edge
+    val jac = col("inter") / (col("na") + col("nb") - col("inter"))
+    pairs
+      .join(cnt.toDF("doc_a", "na"), "doc_a")
+      .join(cnt.toDF("doc_b", "nb"), "doc_b")
+      .filter(jac >= minJac)
+      .select(col("doc_a"), col("doc_b"), jac.as("jac_raw"))
+  }
+
   private val stop = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
@@ -86,20 +109,8 @@ object TextOps {
         |JOIN cnt cb ON p.doc_b = cb.doc_id
         |WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      // one evaluation of the shingle explode for the three consumers
-      // (counts + both self-join sides) — see q51 for the reuse rationale
-      val sh = shingles(Tables.documents(s, d), "text", 3).localCheckpoint(true)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val a = sh.toDF("doc_a", "shingle")
-      val b = sh.toDF("doc_b", "shingle")
-      val pairs = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      val jac = col("inter") / (col("na") + col("nb") - col("inter"))
-      pairs
-        .join(cnt.toDF("doc_a", "na"), "doc_a")
-        .join(cnt.toDF("doc_b", "nb"), "doc_b")
-        .filter(jac >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      exactJaccardPairs(s, d, minJac = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -207,105 +218,90 @@ object TextOps {
     },
 
     // SimHash near-dup detection (the third dedup family after exact/q26,
-    // MinHash/q36), production two-stage shape: (1) a 64-bit fingerprint of
-    // each doc's SHINGLE SET via the codegen'd graft.functions.SimHash64 —
-    // shingles, unlike raw tokens, are near-unique per doc, so random pairs
-    // land at Hamming ≈ 32 (measured: 0.1th pct = 19) while true near-dups
-    // sit at h ≤ 7; (2) 8×8-bit chunk join for candidates (pigeonhole:
-    // h ≤ 7 ⇒ ≥ 1 identical chunk ⇒ candidate set is complete for true
-    // pairs — the Hamming filter below uses the SAME bound, so the output
-    // is exactly "all pairs at h ≤ 7", not an opportunistic superset),
-    // Hamming filter, then exact Jaccard verification against the
-    // stored shingle sets (array_intersect — no shingle-key self-join
-    // anywhere). This is the 100 TB shape: fingerprints prune 12.5M pairs
-    // to a few hundred, verification touches only those. Hash-specific →
-    // rows-only; agreement with q27's exact pairs is unit-tested.
-    Q.rowsOnly("q44_simhash_dedup") { (s, d) =>
-      val chunksN = 8
-      val bitsPer = 64 / chunksN
-      val mask = (1L << bitsPer) - 1
-      // evaluated once (chunk explode + two verification sides re-read it)
-      val sets = shingles(Tables.documents(s, d), "text", 3)
-        .groupBy("doc_id")
-        .agg(collect_set(col("shingle")).as("ss"))
-        .select(col("doc_id"), col("ss"), size(col("ss")).as("n_sh"),
-          graft.functions.TextHash.simhash64(col("ss")).as("sh"))
-        .localCheckpoint(true)
-      val chunks = sets.select(col("doc_id"), col("sh"),
-        posexplode(array((0 until chunksN).map(i =>
-          shiftrightunsigned(col("sh"), i * bitsPer).bitwiseAND(lit(mask))): _*)))
-        .toDF("doc_id", "sh", "chunk", "ck")
-      val a = chunks.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
-        col("chunk"), col("ck"))
-      val b = chunks.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
-        col("chunk"), col("ck"))
-      val cand = a.join(b, Seq("chunk", "ck")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("bit_count(sha ^ shb)").cast("int").as("hamming"))
-        .distinct()
-        // <= 7 is the pigeonhole completeness bound for 8 chunks: every pair
-        // in the output band is guaranteed found; 8-10 would be found only
-        // when a chunk coincidentally matched (opportunistic semantics)
-        .filter(col("hamming") <= 7)
-      val jac = col("inter") / (col("na") + col("nb") - col("inter"))
-      cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"),
-          col("n_sh").as("na")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"),
-          col("n_sh").as("nb")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))))
-        .filter(jac >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("hamming"),
-          round(jac, 4).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    // MinHash/q36) — see simhashPairs for the two-stage pipeline. Oracle-
+    // checked properties: the exact near-dup pair count at j ≥ 0.9 is
+    // DuckDB-recomputable, and the in-engine booleans assert (a) precision —
+    // every emitted pair is a true j ≥ 0.5 pair (the verification stage's
+    // array_intersect Jaccard must agree with the shingle-self-join ground
+    // truth) and (b) coverage — every planted near-dup (all at j ≥ 0.9 on
+    // this corpus, where simhash puts them at h ≤ 7) is found. All hashes
+    // are seeded/deterministic.
+    Q("q44_simhash_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(w) - 1),
+        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |    FROM toks)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT count(*) AS n_exact_09,
+        |       CAST(1 AS BOOLEAN) AS precision_ok,
+        |       CAST(1 AS BOOLEAN) AS covered_ok
+        |FROM p
+        |JOIN cnt ca ON p.doc_a = ca.doc_id
+        |JOIN cnt cb ON p.doc_b = cb.doc_id
+        |WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.9""".stripMargin) { (s, d) =>
+      val found = simhashPairs(s, d).select("doc_a", "doc_b")
+      // one shingle-self-join pass; the tiny (≈25-row) pair list feeds three
+      // consumers below, so truncate its lineage rather than re-running it
+      val exactAll = exactJaccardPairs(s, d, minJac = 0.5).localCheckpoint(true)
+      val exact05 = exactAll.select("doc_a", "doc_b")
+      val exact09 = exactAll.filter(col("jac_raw") >= 0.9).select("doc_a", "doc_b")
+      exact09.agg(count(lit(1)).as("n_exact_09"))
+        .crossJoin(found.join(exact05, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_false")))
+        .crossJoin(exact09.join(found, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missed")))
+        .select(
+          col("n_exact_09"),
+          (col("n_false") === 0).as("precision_ok"),
+          (col("n_missed") === 0).as("covered_ok"))
     },
 
     // Rolling-hash document fingerprinting via winnowing (the fourth dedup
-    // family): graft.functions.Winnow emits each doc's fingerprint set
-    // map-side (rolling 16-gram polynomial hash, window-of-8 minima — at
-    // k=8 the median fingerprint hit 19 docs of this template-heavy corpus
-    // and carried no signal; at k=16 the median fingerprint is unique), the
-    // candidate join runs on the 8-byte fingerprints, pairs are scored by
-    // fingerprint overlap — local similarity that survives insertions and
-    // reorderings whole-document hashing (q31/q32) cannot. Hash-specific →
-    // rows-only; overlap-vs-Jaccard agreement is unit-tested.
-    Q.rowsOnly("q51_winnow_dedup") { (s, d) =>
-      val ex = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.TextHash.winnow(col("text"), 16, 8)).as("fp"))
-      // stop-fingerprint filter (standard winnowing practice): a fingerprint
-      // present in many docs is boilerplate, not duplication signal, and
-      // quadratically inflates the candidate join; overlap is measured on
-      // the surviving (discriminative) fingerprint universe
-      val rare = ex.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 10).select("fp")
-      // Materialize the surviving fingerprints ONCE via an eager
-      // localCheckpoint: the four downstream consumers (self-join sides,
-      // per-doc counts ×2) would otherwise each re-evaluate the rolling-hash
-      // explode — measured 16 parquet scans in the executed plan, with
-      // exchange reuse defeated by the differing pushed filters. Unlike
-      // cache(), checkpoint blocks are lineage-truncated and reclaimed by
-      // the ContextCleaner once the frame is unreachable, so a library
-      // caller leaks nothing across queries. A production pipeline at scale
-      // would write the fingerprint table to reliable storage instead.
-      val exRare = ex.join(rare, "fp").localCheckpoint(true)
-      val cnt = exRare.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-      val a = exRare.toDF("fp", "doc_a")
-      val b = exRare.toDF("fp", "doc_b")
-      val overlap = col("shared") / least(col("na"), col("nb"))
-      val out = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("shared"))
-        .join(cnt.toDF("doc_a", "na"), "doc_a")
-        .join(cnt.toDF("doc_b", "nb"), "doc_b")
-        // ratio + absolute-support floor: a 2-of-3 coincidence is not a
-        // near-dup; winnowing guarantees ≥1 shared fp per shared substring
-        // of length ≥ w+k−1, so real duplication shares many
-        .filter(overlap >= 0.5 && col("shared") >= 8)
-        .select(col("doc_a"), col("doc_b"), col("shared").cast("long").as("shared"),
-          round(overlap, 4).as("overlap"))
-        .orderBy("doc_a", "doc_b")
-      out
+    // family) — see winnowPairs for the pipeline. Oracle-checked properties:
+    // the exact near-dup pair count at j ≥ 0.9 is DuckDB-recomputable, and
+    // the in-engine boolean asserts every planted near-dup is found by the
+    // fingerprint-overlap join (winnowing guarantees ≥1 shared fingerprint
+    // per shared substring of length ≥ w+k−1; the planted dups share many).
+    // Winnow hashes are deterministic.
+    Q("q51_winnow_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(w) - 1),
+        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |    FROM toks)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT count(*) AS n_exact_09,
+        |       CAST(1 AS BOOLEAN) AS covered_ok
+        |FROM p
+        |JOIN cnt ca ON p.doc_a = ca.doc_id
+        |JOIN cnt cb ON p.doc_b = cb.doc_id
+        |WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.9""".stripMargin) { (s, d) =>
+      val found = winnowPairs(s, d).select("doc_a", "doc_b")
+      val exact09 = exactJaccardPairs(s, d, minJac = 0.9).select("doc_a", "doc_b")
+        .localCheckpoint(true)
+      exact09.agg(count(lit(1)).as("n_exact_09"))
+        .crossJoin(exact09.join(found, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missed")))
+        .select(col("n_exact_09"), (col("n_missed") === 0).as("covered_ok"))
     },
 
     // Text normalization (the cleaning front of a training-data pipeline):
@@ -420,4 +416,103 @@ object TextOps {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** SimHash near-dup pairs, production two-stage shape: (1) a 64-bit
+    * fingerprint of each doc's SHINGLE SET via the codegen'd
+    * graft.functions.SimHash64 — shingles, unlike raw tokens, are
+    * near-unique per doc, so random pairs land at Hamming ≈ 32 (measured:
+    * 0.1th pct = 19) while true near-dups sit at h ≤ 7; (2) 8×8-bit chunk
+    * join for candidates (pigeonhole: h ≤ 7 ⇒ ≥ 1 identical chunk ⇒ the
+    * candidate set is complete for true pairs — the Hamming filter uses the
+    * SAME bound, so the output is exactly "all pairs at h ≤ 7", not an
+    * opportunistic superset), Hamming filter, then exact Jaccard
+    * verification against the stored shingle sets (array_intersect — no
+    * shingle-key self-join anywhere). This is the 100 TB shape:
+    * fingerprints prune 12.5M pairs to a few hundred, verification touches
+    * only those. Returns (doc_a, doc_b, hamming, jaccard). */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val chunksN = 8
+    val bitsPer = 64 / chunksN
+    val mask = (1L << bitsPer) - 1
+    // evaluated once (chunk explode + two verification sides re-read it)
+    val sets = shingles(Tables.documents(s, d), "text", 3)
+      .groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("ss"))
+      .select(col("doc_id"), col("ss"), size(col("ss")).as("n_sh"),
+        graft.functions.TextHash.simhash64(col("ss")).as("sh"))
+      .localCheckpoint(true)
+    val chunks = sets.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until chunksN).map(i =>
+        shiftrightunsigned(col("sh"), i * bitsPer).bitwiseAND(lit(mask))): _*)))
+      .toDF("doc_id", "sh", "chunk", "ck")
+    val a = chunks.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+      col("chunk"), col("ck"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+      col("chunk"), col("ck"))
+    val cand = a.join(b, Seq("chunk", "ck")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sha ^ shb)").cast("int").as("hamming"))
+      .distinct()
+      // <= 7 is the pigeonhole completeness bound for 8 chunks: every pair
+      // in the output band is guaranteed found; 8-10 would be found only
+      // when a chunk coincidentally matched (opportunistic semantics)
+      .filter(col("hamming") <= 7)
+    val jac = col("inter") / (col("na") + col("nb") - col("inter"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"),
+        col("n_sh").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"),
+        col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))))
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        round(jac, 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Winnowing near-dup pairs: graft.functions.Winnow emits each doc's
+    * fingerprint set map-side (rolling 16-gram polynomial hash, window-of-8
+    * minima — at k=8 the median fingerprint hit 19 docs of this
+    * template-heavy corpus and carried no signal; at k=16 the median
+    * fingerprint is unique), the candidate join runs on the 8-byte
+    * fingerprints, pairs are scored by fingerprint overlap — local
+    * similarity that survives insertions and reorderings whole-document
+    * hashing (q31/q32) cannot. Returns (doc_a, doc_b, shared, overlap). */
+  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextHash.winnow(col("text"), 16, 8)).as("fp"))
+    // stop-fingerprint filter (standard winnowing practice): a fingerprint
+    // present in many docs is boilerplate, not duplication signal, and
+    // quadratically inflates the candidate join; overlap is measured on
+    // the surviving (discriminative) fingerprint universe
+    val rare = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 10).select("fp")
+    // Materialize the surviving fingerprints ONCE via an eager
+    // localCheckpoint: the four downstream consumers (self-join sides,
+    // per-doc counts ×2) would otherwise each re-evaluate the rolling-hash
+    // explode — measured 16 parquet scans in the executed plan, with
+    // exchange reuse defeated by the differing pushed filters. Unlike
+    // cache(), checkpoint blocks are lineage-truncated and reclaimed by
+    // the ContextCleaner once the frame is unreachable, so a library
+    // caller leaks nothing across queries. A production pipeline at scale
+    // would write the fingerprint table to reliable storage instead.
+    val exRare = ex.join(rare, "fp").localCheckpoint(true)
+    val cnt = exRare.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val a = exRare.toDF("fp", "doc_a")
+    val b = exRare.toDF("fp", "doc_b")
+    val overlap = col("shared") / least(col("na"), col("nb"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(cnt.toDF("doc_a", "na"), "doc_a")
+      .join(cnt.toDF("doc_b", "nb"), "doc_b")
+      // ratio + absolute-support floor: a 2-of-3 coincidence is not a
+      // near-dup; winnowing guarantees ≥1 shared fp per shared substring
+      // of length ≥ w+k−1, so real duplication shares many
+      .filter(overlap >= 0.5 && col("shared") >= 8)
+      .select(col("doc_a"), col("doc_b"), col("shared").cast("long").as("shared"),
+        round(overlap, 4).as("overlap"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

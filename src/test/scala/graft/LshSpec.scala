@@ -5,7 +5,7 @@ import graft.ops.Similarity
 import org.apache.spark.sql.functions._
 
 /** HyperplaneBands determinism + the banded-LSH recall contract backing the
-  * rows-only q35_ann_lsh check. */
+  * q35_ann_lsh property booleans. */
 class LshSpec extends SparkSpec {
   import spark.implicits._
 

@@ -87,6 +87,17 @@ class PlanQualitySpec extends SparkSpec {
       s"part scan reads untouched columns:\n$p")
   }
 
+  test("no CartesianProduct in ANY registered query plan (repo-wide scale contract)") {
+    // Every query must keep joins either keyed or broadcast-bounded (the
+    // q33/q34 BNLJ-with-small-broadcast shape is fine — the corpus side
+    // never shuffles); an unbounded cartesian is never acceptable at scale.
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("q26: distinct aggregates stay a two-shuffle expand, no extra scans") {
     val p = planOf("q26_dedup_exact")
     // one scan of documents feeds the whole distinct-aggregate pipeline

@@ -2,30 +2,27 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Invariants for the rows-only queries not already pinned by a dedicated
-  * spec: the driver only checks their row counts, so semantics live here. */
+/** Invariants behind the property-boolean queries (q49 pattern): the driver
+  * hash-checks the emitted booleans, these tests pin the underlying
+  * semantics — determinism and the raw quantities the booleans summarize. */
 class RowsOnlySpec extends SparkSpec {
 
-  test("q21: seeded sample/split is deterministic, split is a partition") {
-    def run() = SparkEntry.queries("q21_sample_split")(spark, sf0001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val a = run()
-    val b = run()
-    assert(a == b, "seeded sample/split must be reproducible run-to-run")
-    val total = Tables.lineitem(spark, sf0001).count()
-    assert(a("split_train") + a("split_test") == total) // exact partition
-    val frac = a("sample_10pct").toDouble / total
-    assert(frac > 0.08 && frac < 0.12, s"10% sample drew ${frac * 100}%")
+  test("q21: seeded sample/split properties hold and are deterministic") {
+    def run() = SparkEntry.queries("q21_sample_split")(spark, sf0001).collect()
+    val a = run().head
+    assert(a.getAs[Long]("n_total") == Tables.lineitem(spark, sf0001).count())
+    assert(a.getAs[Boolean]("sample_frac_ok"))
+    assert(a.getAs[Boolean]("split_exact_ok"))
+    assert(a.getAs[Boolean]("split_frac_ok"))
+    assert(run().head == a, "seeded sample/split must be reproducible run-to-run")
   }
 
-  test("q41: k-means yields 5 clusters partitioning all vectors, deterministic") {
-    def run() = SparkEntry.queries("q41_kmeans_embeddings")(spark, sf0001)
-      .collect().map(_.getLong(0)).toSeq
-    val sizes = run()
-    assert(sizes.length == 5)
-    assert(sizes.sum == Tables.embeddings(spark, sf0001).count())
-    assert(sizes == sizes.sorted.reverse) // declared ordering
-    assert(sizes.forall(_ > 0))
-    assert(run() == sizes) // seeded fit is reproducible
+  test("q41: k-means partitions all vectors into 5 clusters beating k=1") {
+    val r = SparkEntry.queries("q41_kmeans_embeddings")(spark, sf0001)
+      .collect().head
+    assert(r.getAs[Long]("n_vectors") == Tables.embeddings(spark, sf0001).count())
+    assert(r.getAs[Long]("n_clusters") == 5L)
+    assert(r.getAs[Boolean]("partition_ok"))
+    assert(r.getAs[Boolean]("inertia_ok"))
   }
 }

@@ -41,10 +41,14 @@ class SimilaritySpec extends SparkSpec {
   test("minhash-LSH candidates cover all exact-Jaccard near-dup pairs") {
     val exact = SparkEntry.queries("q27_ngram_jaccard")(spark, sf0001)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val cand = SparkEntry.queries("q36_minhash_lsh")(spark, sf0001)
+    val cand = Similarity.minHashCandidates(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     assert(exact.subsetOf(cand),
       s"minhash banding missed exact pairs: ${exact -- cand}")
+    // the driver-checked property query must agree: all covered
+    val prop = SparkEntry.queries("q36_minhash_lsh")(spark, sf0001).collect().head
+    assert(prop.getAs[Long]("n_exact") == exact.size.toLong)
+    assert(prop.getAs[Boolean]("covered_ok"))
   }
 }

@@ -68,7 +68,7 @@ class TextOpsSpec extends SparkSpec {
   test("q44 simhash two-stage dedup: subset of exact pairs, misses only h>7") {
     val exact = SparkEntry.queries("q27_ngram_jaccard")(spark, sf0001)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val simhash = SparkEntry.queries("q44_simhash_dedup")(spark, sf0001)
+    val simhash = TextOps.simhashPairs(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(simhash.nonEmpty)
     assert(simhash.subsetOf(exact),
@@ -113,7 +113,7 @@ class TextOpsSpec extends SparkSpec {
   test("q51 winnow dedup covers the exact near-dup pairs") {
     val exact = SparkEntry.queries("q27_ngram_jaccard")(spark, sf0001)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val winnow = SparkEntry.queries("q51_winnow_dedup")(spark, sf0001)
+    val winnow = TextOps.winnowPairs(spark, sf0001)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(winnow.nonEmpty)
     // substring overlap and shingle Jaccard are different similarity
