@@ -153,6 +153,51 @@ object Events {
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"), col("total_value"))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Driver-checked STREAMING entry: the same per-user session aggregation
+    // runs through the real Structured Streaming path — file-stream source,
+    // 1-hour watermark, session_window state, memory sink, run to
+    // completion — and is compared row-for-row against the batch plan
+    // in-engine (two anti-joins must both be empty). The oracle recomputes
+    // the batch session count via the q25 gaps-and-islands CTE, so a
+    // streaming divergence flips parity_ok AND any batch bug breaks
+    // n_sessions: both sides of the parity are pinned. At scale this is the
+    // standard streaming-correctness harness: replay a bounded slice,
+    // diff against the batch plan.
+    Q("q76_stream_sessions",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT count(*) AS n_sessions, CAST(1 AS BOOLEAN) AS parity_ok
+        |FROM (SELECT DISTINCT user_id, sid FROM s)""".stripMargin) { (s, d) =>
+      val cols = Seq("user_id", "session_start", "n_events", "total_value")
+      val batch = Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("total_value"))
+      val stream = graft.streaming.EventStreams.runToMemory(s,
+        graft.streaming.EventStreams.sessions(
+          graft.streaming.EventStreams.readEvents(s, d)), "q76_sessions")
+        .select(cols.head, cols.tail: _*)
+      batch.agg(count(lit(1)).as("n_sessions"))
+        .crossJoin(stream.join(batch, cols, "left_anti")
+          .agg(count(lit(1)).as("n_extra")))
+        .crossJoin(batch.join(stream, cols, "left_anti")
+          .agg(count(lit(1)).as("n_missing")))
+        .select(col("n_sessions"),
+          (col("n_extra") === 0 && col("n_missing") === 0).as("parity_ok"))
     }
   )
 }

@@ -507,20 +507,27 @@ object Relational {
         |FROM (SELECT 1)""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
       // three HLL sketches ride ONE scan (no expand — sketches are not
-      // distinct aggregates); the exact references run as three separate
-      // narrow dedup jobs. Packing exact countDistincts into the same
-      // aggregate would plan a 4-way Expand (row count ×4 through the
-      // first shuffle) — measured 2.5× slower than this split.
-      val approx = li.agg(
+      // distinct aggregates). The exact references are three independent
+      // narrow dedup jobs (each scans ONE pruned parquet column); they are
+      // submitted CONCURRENTLY from the driver so their latencies overlap
+      // instead of summing — the scheduler interleaves the narrow stages
+      // across the session's cores. (Two one-scan alternatives measured
+      // slower at sf0.1: a 4-way Expand inside the sketch aggregate ≈2.5×;
+      // a tagged-union explode→distinct 4.3s vs 2.6s for this shape.)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val approxF = Future(li.agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("a_part"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("a_supp"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("a_order")).head()
-      def exact(c: String) = li.select(c).distinct().count()
-      val checks = Seq("l_partkey", "l_suppkey", "l_orderkey").zipWithIndex
-        .map { case (c, i) =>
-          val e = exact(c)
-          math.abs(approx.getLong(i) - e).toDouble / e <= 0.05
-        }
+        approx_count_distinct(col("l_orderkey"), 0.02).as("a_order")).head())
+      val exactF = Seq("l_partkey", "l_suppkey", "l_orderkey")
+        .map(c => Future(li.select(c).distinct().count()))
+      val approx = Await.result(approxF, Duration.Inf)
+      val checks = exactF.zipWithIndex.map { case (f, i) =>
+        val e = Await.result(f, Duration.Inf)
+        math.abs(approx.getLong(i) - e).toDouble / e <= 0.05
+      }
       s.range(1).select(
         lit(checks(0)).as("part_ok"),
         lit(checks(1)).as("supp_ok"),

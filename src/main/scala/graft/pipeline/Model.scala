@@ -100,17 +100,21 @@ object Model {
   }
 
   /** Grid-search CV (model.py:89-107) with setParallelism — the reference's
-    * 27-point grid × 3 folds runs sequentially; we parallelize fits and make
-    * the grid caller-sizable so the smoke budget stays bounded. */
-  def crossValidate(df: DataFrame, labelCol: String, featureCols: Seq[String],
+    * 27-point grid (numTrees × maxDepth × minInstancesPerNode,
+    * model.py:89-93) × 3 folds runs sequentially; we parallelize fits and
+    * make the grid caller-sizable so the smoke budget stays bounded. The
+    * reference-parity 3×3×3 grid is `referenceGrid`. */
+  def crossValidator(df: DataFrame, labelCol: String, featureCols: Seq[String],
       numTreesGrid: Array[Int] = Array(10, 20),
       maxDepthGrid: Array[Int] = Array(3, 5),
-      folds: Int = 3, parallelism: Int = 4, seed: Long = 42L): CrossValidatorModel = {
+      minInstancesGrid: Array[Int] = Array(1),
+      folds: Int = 3, parallelism: Int = 4, seed: Long = 42L): CrossValidator = {
     val pipe = pipeline(df, labelCol, featureCols, seed = seed)
     val rf = pipe.getStages.last.asInstanceOf[RandomForestRegressor]
     val grid = new ParamGridBuilder()
       .addGrid(rf.numTrees, numTreesGrid)
       .addGrid(rf.maxDepth, maxDepthGrid)
+      .addGrid(rf.minInstancesPerNode, minInstancesGrid)
       .build()
     new CrossValidator()
       .setEstimator(pipe)
@@ -120,6 +124,19 @@ object Model {
       .setNumFolds(folds)
       .setParallelism(parallelism)
       .setSeed(seed)
-      .fit(df)
   }
+
+  def crossValidate(df: DataFrame, labelCol: String, featureCols: Seq[String],
+      numTreesGrid: Array[Int] = Array(10, 20),
+      maxDepthGrid: Array[Int] = Array(3, 5),
+      minInstancesGrid: Array[Int] = Array(1),
+      folds: Int = 3, parallelism: Int = 4, seed: Long = 42L): CrossValidatorModel =
+    crossValidator(df, labelCol, featureCols, numTreesGrid, maxDepthGrid,
+      minInstancesGrid, folds, parallelism, seed).fit(df)
+
+  /** The reference's exact 27-candidate grid (model.py:89-93):
+    * numTrees × maxDepth × minInstancesPerNode, 3 values each. Exposed for
+    * full-parity runs; the smoke-budget default above grids a subset. */
+  val referenceGrid: (Array[Int], Array[Int], Array[Int]) =
+    (Array(50, 100, 150), Array(5, 10, 15), Array(1, 2, 4))
 }

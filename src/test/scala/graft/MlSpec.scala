@@ -26,11 +26,28 @@ class MlSpec extends SparkSpec {
   test("crossValidate (M5-M7): grid search picks a model, parallel fits") {
     val cv: CrossValidatorModel = Model.crossValidate(synth, "y", Seq("x1", "x2"),
       numTreesGrid = Array(5, 10), maxDepthGrid = Array(3, 5),
+      minInstancesGrid = Array(1, 2),
       folds = 2, parallelism = 4)
-    assert(cv.avgMetrics.length == 4) // 2x2 grid
+    assert(cv.avgMetrics.length == 8) // 2x2x2 grid
     assert(cv.avgMetrics.max > 0.9)  // best r2 on an exact signal
     val scored = cv.transform(synth)
     assert(scored.select(avg(abs(col("prediction") - col("y")))).head().getDouble(0) < 3.0)
+  }
+
+  test("M5 reference-grid parity: 27 candidates over all three dimensions") {
+    // grid parity is a configuration contract — assert it on the unfit
+    // estimator (the 81-fit full run is a cluster job, not a smoke test)
+    val (nt, md, mi) = Model.referenceGrid
+    val est = Model.crossValidator(synth, "y", Seq("x1", "x2"),
+      numTreesGrid = nt, maxDepthGrid = md, minInstancesGrid = mi)
+    val maps = est.getEstimatorParamMaps
+    assert(maps.length == 27, s"grid has ${maps.length} candidates, want 27")
+    // all three reference dimensions must vary (model.py:89-93)
+    def distinctVals(name: String) =
+      maps.map(m => m.toSeq.find(_.param.name == name).get.value).distinct.length
+    assert(distinctVals("numTrees") == 3)
+    assert(distinctVals("maxDepth") == 3)
+    assert(distinctVals("minInstancesPerNode") == 3)
   }
 
   test("model persistence (S5): save + load round-trips predictions") {
