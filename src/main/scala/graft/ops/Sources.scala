@@ -118,6 +118,80 @@ object Sources {
           count(col("n_regionkey")).as("n_nonnull"),
           round(sum(col("n_regionkey")), 1).cast("double").as("sum_region"),
           round(avg(col("n_regionkey")), 4).cast("double").as("avg_region"))
+    },
+
+    // Hive-style partitioned layout (S-family, THE dominant pruning lever
+    // at 100 TB): events written partitionBy(day), read back with a
+    // day-range predicate that must prune to 7 of 30 partition directories
+    // at planning time — files outside the range are never opened
+    // (PlanQualitySpec pins the PartitionFilters contract). The oracle
+    // recomputes the same week straight from the unpartitioned table, so
+    // the whole write→layout→prune→scan cycle is hash-verified.
+    Q("q77_partitioned_scan",
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = Sources.scratchDir(s, "graft_part")
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(s"$dir/events_by_day")
+      s.read.parquet(s"$dir/events_by_day")
+        .filter(col("day").between(lit("2024-01-08").cast("date"),
+          lit("2024-01-14").cast("date")))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("day"))
+    },
+
+    // Bucketed co-located join (SURVEY.md §8): lineitem and orders are both
+    // written bucketed 8 ways on the join key (sorted within buckets), so
+    // the sort-merge join consumes the tables' on-disk partitioning and the
+    // plan carries NO shuffle exchange on either fact side — the shape that
+    // turns every repeated fact⋈fact join at 100 TB from a cluster-wide
+    // shuffle into a local merge. The per-orderkey aggregate reuses the same
+    // bucketing (no exchange there either); PlanQualitySpec pins both.
+    // The oracle computes the identical join+agg from the raw tables.
+    Q("q78_bucketed_join",
+      """SELECT count(*) AS n_orders,
+        |       round(sum(order_rev), 2) AS total_rev,
+        |       max(n_items) AS max_items
+        |FROM (
+        |  SELECT l.l_orderkey,
+        |         sum(l.l_extendedprice * (1 - l.l_discount)) AS order_rev,
+        |         count(*) AS n_items
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |  GROUP BY l.l_orderkey)""".stripMargin) { (s, d) =>
+      val warehouse = Sources.scratchDir(s, "graft_bucket")
+      def bucketed(df: org.apache.spark.sql.DataFrame, name: String,
+          key: String): org.apache.spark.sql.DataFrame = {
+        // session-catalog bucketed table backed by an explicit external
+        // path (same scratch lifecycle as q52); re-registered per session
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        df.write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$warehouse/$name")
+          .saveAsTable(name)
+        s.table(name)
+      }
+      val li = bucketed(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_li_bucketed", "l_orderkey")
+      val o = bucketed(Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        "graft_o_bucketed", "o_orderkey")
+      li.hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("order_rev"), count(lit(1)).as("n_items"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("order_rev")), 2).as("total_rev"),
+          max(col("n_items")).as("max_items"))
     }
   )
 }

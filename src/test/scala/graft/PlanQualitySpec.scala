@@ -87,6 +87,23 @@ class PlanQualitySpec extends SparkSpec {
       s"part scan reads untouched columns:\n$p")
   }
 
+  test("q77: day-range predicate prunes partitions at planning time") {
+    val p = planOf("q77_partitioned_scan")
+    assert(p.contains("PartitionFilters:") && p.contains("(day"),
+      s"day range not applied as a partition filter:\n$p")
+  }
+
+  test("q78: bucketed join runs shuffle-free (no hash exchange anywhere)") {
+    val p = planOf("q78_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"bucketed join lost its SMJ:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n$p")
+    // the fact-side join AND the per-orderkey aggregate must both consume
+    // the on-disk bucketing; only the final global agg may exchange (to a
+    // single partition)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash exchange despite bucketed layout:\n$p")
+  }
+
   test("no CartesianProduct in ANY registered query plan (repo-wide scale contract)") {
     // Every query must keep joins either keyed or broadcast-bounded (the
     // q33/q34 BNLJ-with-small-broadcast shape is fine — the corpus side
