@@ -407,16 +407,25 @@ object TextOps {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      // corpus size rides the plan as a broadcast single-row aggregate (the
+      // oracle's CROSS JOIN n) instead of an eager driver-side count() —
+      // no synchronization point, one less scan
+      val n = docs.agg(count(lit(1)).as("n"))
       val t = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
+      // ONE tokenize+explode+aggregate pass; doc lengths and document
+      // frequencies both derive from the already-reduced tf table (len =
+      // Σc per doc; df = rows per tok, since tf is unique per (doc, tok))
+      // instead of re-running the explode three times
       val tf = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      val len = t.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-      val dfT = t.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+        .localCheckpoint(true)
+      val len = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
+      val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val scored = tf.join(len, "doc_id").join(broadcast(dfT), "tok")
+        .crossJoin(broadcast(n))
         .withColumn("score",
           (col("c") / col("len").cast("double")) *
-            log(lit(n + 1) / (col("df") + 1).cast("double")))
+            log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")))
       val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("tok"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
