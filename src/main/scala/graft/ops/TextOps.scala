@@ -434,6 +434,62 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // Dedup CLUSTERING — the step after pair-finding in a training-data
+    // pipeline: near-dup pairs (the q27 exact ground truth) become
+    // connected components via distributed min-label propagation
+    // (ops.Graph), and the per-cluster accounting says how many docs a
+    // keep-one-per-cluster pass would drop. The oracle recomputes the same
+    // components with a recursive transitive-closure CTE — an entirely
+    // independent algorithm, so the distributed iteration is verified
+    // end-to-end against declarative SQL semantics.
+    Q("q79_dedup_clusters",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(w) - 1),
+        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |    FROM toks)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |root AS (
+        |  SELECT a AS node, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |sizes AS (SELECT component, count(*) AS sz FROM root GROUP BY 1)
+        |SELECT count(*) AS n_clusters,
+        |       CAST(sum(sz) AS BIGINT) AS n_docs_in_clusters,
+        |       CAST(sum(sz) - count(*) AS BIGINT) AS n_duplicates_to_drop,
+        |       max(sz) AS max_cluster_size
+        |FROM sizes""".stripMargin) { (s, d) =>
+      val pairs = exactJaccardPairs(s, d, minJac = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val cc = Graph.connectedComponents(pairs)
+      cc.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("sz")).cast("bigint").as("n_docs_in_clusters"),
+          (sum(col("sz")) - count(lit(1))).cast("bigint")
+            .as("n_duplicates_to_drop"),
+          max(col("sz")).as("max_cluster_size"))
+    },
+
     // Multimodal-adjacent: byte-level metadata + content hash of the UTF-8
     // payload (sha2 hex matches DuckDB sha256 on identical bytes).
     Q("q32_content_hash",

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, clique and separate pair resolve to min-id components") {
+    // chain 1-2-3-4 (diameter 3 — needs multiple propagation rounds),
+    // clique 10-11-12, pair 20-21
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("edge direction and duplicates are irrelevant; self-loops tolerated") {
+    val got = cc(Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 7L)))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 7L))
+  }
+
+  test("long path converges within the diameter bound") {
+    // path 0-1-2-...-12: worst case for label propagation
+    val got = cc((0L until 12L).map(i => (i, i + 1)))
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 13)
+  }
+
+  test("q79 accounting consistent with the exact pair list") {
+    val pairs = graft.ops.TextOps.exactJaccardPairs(spark, sf0001, 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = Graph.connectedComponents(pairs)
+    val nodes = pairs.select(col("src").as("n"))
+      .union(pairs.select(col("dst").as("n"))).distinct().count()
+    assert(comp.count() == nodes) // every paired doc gets a component
+    val r = SparkEntry.queries("q79_dedup_clusters")(spark, sf0001).head()
+    assert(r.getAs[Long]("n_docs_in_clusters") == nodes)
+    assert(r.getAs[Long]("n_clusters") ==
+      comp.select("component").distinct().count())
+  }
+}
