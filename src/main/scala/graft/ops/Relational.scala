@@ -583,6 +583,30 @@ object Relational {
           .orderBy(col("o_orderpriority"))
     },
 
+    // Stratified sampling (df.stat.sampleBy) — the rebalancing step of a
+    // training-data pipeline: downsample the dominant stratum (en → 25%)
+    // while keeping the rest at 75%. Per-stratum totals are genuine DuckDB
+    // rows; the seeded per-stratum draw is engine-specific, so its
+    // acceptance is the in-engine boolean that every observed sampling
+    // fraction lands within ±0.15 of its target (≥2.8σ for the smallest
+    // 64-doc stratum; deterministic per seed, holds at sf0.01 and sf0.1).
+    Q("q80_stratified_sample",
+      """SELECT lang, count(*) AS n_docs, CAST(1 AS BOOLEAN) AS frac_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val fractions = Map("en" -> 0.25, "de" -> 0.75, "es" -> 0.75,
+        "fr" -> 0.75, "zh" -> 0.75)
+      val target = when(col("lang") === "en", 0.25).otherwise(0.75)
+      val sampled = docs.stat.sampleBy("lang", fractions, 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_samp"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          (abs(coalesce(col("n_samp"), lit(0L)).cast("double") /
+            col("n_docs") - target) <= 0.15).as("frac_ok"))
+        .orderBy(col("lang"))
+    },
+
     // Promo-revenue share (TPC-H Q14 shape) — the part⋈lineitem leg of the
     // star schema: one month of lineitem (shipdate predicate pushed to the
     // scan) joined to part on p_partkey, conditional aggregation over
