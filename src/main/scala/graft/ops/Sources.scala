@@ -192,6 +192,44 @@ object Sources {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("order_rev")), 2).as("total_rev"),
           max(col("n_items")).as("max_items"))
+    },
+
+    // Keyed upsert/merge on immutable parquet — the rewrite pattern every
+    // non-transactional lakehouse uses (Delta/Iceberg MERGE compiles to the
+    // same thing): updated rows replace their base rows via
+    // anti-join + union, the merged table is written and read back, and the
+    // post-merge state is aggregated. Updates = every 10th order re-priced
+    // +10% and flagged 'U' (deterministic), so the oracle can compute the
+    // post-merge state directly from the base table — an independent
+    // formulation that breaks if the merge drops, duplicates, or fails to
+    // replace any row.
+    Q("q81_upsert_merge",
+      """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+        |            ELSE o_orderstatus END AS status,
+        |       count(*) AS n_orders,
+        |       round(sum(CASE WHEN o_orderkey % 10 = 0
+        |                 THEN o_totalprice * 1.1
+        |                 ELSE o_totalprice END), 2) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // no per-row re-rounding: round(x*1.1, 2) straddles half-cent
+      // boundaries differently across engines for some doubles; the raw
+      // IEEE product is bit-identical everywhere, rounded once at the edge
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      // the merge: keep base rows with no update, append updated versions
+      val merged = base.join(updates.select("o_orderkey"), Seq("o_orderkey"),
+        "left_anti").unionByName(updates)
+      val dir = Sources.scratchDir(s, "graft_merge")
+      merged.write.mode("overwrite").parquet(s"$dir/orders_merged")
+      s.read.parquet(s"$dir/orders_merged")
+        .select(col("o_orderstatus").as("status"), col("o_totalprice"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("status"))
     }
   )
 }
