@@ -136,6 +136,12 @@ object Sources {
       val dir = Sources.scratchDir(s, "graft_part")
       Tables.events(s, d)
         .withColumn("day", to_date(col("ts")))
+        // co-locate each day before the partitioned write: without this,
+        // every task holds rows of every day and the layout explodes to
+        // tasks × days tiny files (measured 30 × 32 at sf0.1) — the classic
+        // small-files failure a 100 TB ingest cannot afford. One shuffle on
+        // the partition key → one file per day partition.
+        .repartition(col("day"))
         .write.mode("overwrite").partitionBy("day")
         .parquet(s"$dir/events_by_day")
       s.read.parquet(s"$dir/events_by_day")
