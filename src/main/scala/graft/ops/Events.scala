@@ -180,24 +180,38 @@ object Events {
         |  FROM x)
         |SELECT count(*) AS n_sessions, CAST(1 AS BOOLEAN) AS parity_ok
         |FROM (SELECT DISTINCT user_id, sid FROM s)""".stripMargin) { (s, d) =>
-      val cols = Seq("user_id", "session_start", "n_events", "total_value")
+      // parity keys are the DISCRETE session identity (user, start, count);
+      // the double-valued sum is compared with a cent tolerance instead of
+      // joined on — batch hash aggregation and streaming state fold the
+      // same doubles in different orders, and rounded-double equality
+      // across the two paths is exactly the flakiness a parity harness
+      // must not have. Both sides are materialized once for their two
+      // consumers (anti-join + value check / count).
+      val keys = Seq("user_id", "session_start", "n_events")
       val batch = Tables.events(s, d)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"), col("total_value"))
+        .localCheckpoint(true)
       val stream = graft.streaming.EventStreams.runToMemory(s,
         graft.streaming.EventStreams.sessions(
           graft.streaming.EventStreams.readEvents(s, d)), "q76_sessions")
-        .select(cols.head, cols.tail: _*)
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          col("total_value").as("stream_value"))
+        .localCheckpoint(true)
       batch.agg(count(lit(1)).as("n_sessions"))
-        .crossJoin(stream.join(batch, cols, "left_anti")
+        .crossJoin(stream.join(batch, keys, "left_anti")
           .agg(count(lit(1)).as("n_extra")))
-        .crossJoin(batch.join(stream, cols, "left_anti")
+        .crossJoin(batch.join(stream, keys, "left_anti")
           .agg(count(lit(1)).as("n_missing")))
+        .crossJoin(batch.join(stream, keys)
+          .agg(coalesce(max(abs(col("total_value") - col("stream_value"))),
+            lit(0.0)).as("max_value_diff")))
         .select(col("n_sessions"),
-          (col("n_extra") === 0 && col("n_missing") === 0).as("parity_ok"))
+          (col("n_extra") === 0 && col("n_missing") === 0 &&
+            col("max_value_diff") <= 0.011).as("parity_ok"))
     }
   )
 }

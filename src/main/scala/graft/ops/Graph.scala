@@ -50,6 +50,13 @@ object Graph {
       labels = next
       iter += 1
     }
+    // a silent cap-hit would return mid-propagation labels — one real
+    // component reported as several, with nothing to tell the caller the
+    // result is wrong. Fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          "component diameter exceeds the cap; raise maxIters")
     labels
   }
 }

@@ -596,7 +596,12 @@ object Relational {
       val docs = Tables.documents(s, d)
       val fractions = Map("en" -> 0.25, "de" -> 0.75, "es" -> 0.75,
         "fr" -> 0.75, "zh" -> 0.75)
-      val target = when(col("lang") === "en", 0.25).otherwise(0.75)
+      // target derives from the SAME map sampleBy uses (no hand-kept copy
+      // to drift); a stratum outside the map samples at fraction 0 and its
+      // target is 0, so an unexpected 6th language stays consistent
+      val target = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+        when(col("lang") === k, v).otherwise(acc)
+      }
       val sampled = docs.stat.sampleBy("lang", fractions, 42L)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_samp"))
       docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

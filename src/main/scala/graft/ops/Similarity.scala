@@ -104,6 +104,13 @@ object Similarity {
     // empty) and (b) recall ≥ 80% at threshold 0.4 (seeded hyperplanes →
     // fully deterministic; measured 36/38 = 0.947 on this corpus at sf0.01,
     // dominated by the 0.4–0.5 band where 32×6-bit banding predicts ≈0.87).
+    // (Precision is checked against a reference relaxed by 1e-6: the LSH
+    // side filters on a rounded cosine computed as dot/(|a||b|) while the
+    // reference dots pre-normalized arrays — identical values except
+    // possibly the last float ulps at the exact threshold, which must not
+    // flip a zero-tolerance subset check. The ORACLE count stays at the
+    // strict threshold, where the reference fold is bit-identical to
+    // DuckDB's by construction.)
     Q("q35_ann_lsh",
       """WITH n AS (
         |  SELECT vec_id,
@@ -123,12 +130,20 @@ object Similarity {
         |       CAST(1 AS BOOLEAN) AS precision_ok,
         |       CAST(1 AS BOOLEAN) AS recall_ok
         |FROM sims WHERE sim_raw >= 0.4""".stripMargin) { (s, d) =>
-      val exact = exactCosinePairs(s, d, qBound = 200, threshold = 0.4)
-        .select("vec_a", "vec_b")
+      // ONE pass of the broadcast-BNLJ kernel at the relaxed threshold;
+      // the strict set is a filter over it. Small pair lists with expensive
+      // lineages, each consumed 2-3 times below — materialize once.
+      val exactAll = exactCosinePairs(s, d, qBound = 200,
+        threshold = 0.4 - 1e-6)
+        .select(col("vec_a"), col("vec_b"), col("sim_raw"))
+        .localCheckpoint(true)
+      val exact = exactAll.filter(col("sim_raw") >= 0.4).select("vec_a", "vec_b")
+      val exactRelaxed = exactAll.select("vec_a", "vec_b")
       val lsh = annLsh(s, d, threshold = 0.4)
         .filter(col("vec_a") < 200).select("vec_a", "vec_b")
+        .localCheckpoint(true)
       exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(lsh.join(exact, Seq("vec_a", "vec_b"), "left_anti")
+        .crossJoin(lsh.join(exactRelaxed, Seq("vec_a", "vec_b"), "left_anti")
           .agg(count(lit(1)).as("n_false")))
         .crossJoin(lsh.join(exact, Seq("vec_a", "vec_b"), "left_semi")
           .agg(count(lit(1)).as("n_hit")))
@@ -270,25 +285,14 @@ object Similarity {
     //
     // Oracle-checked properties: the exact near-dup pair count at j ≥ 0.5
     // is DuckDB-recomputable (the q27 pipeline), and the in-engine boolean
-    // asserts the banding found EVERY exact pair — this corpus's planted
-    // near-dups all sit at j ≥ 0.9 where 2-wide×8-band recall is
-    // 1−(1−j²)^8 ≈ 1−3e-6, and the whole chain is seeded/deterministic.
+    // asserts the banding found every exact pair AT j ≥ 0.9 — the band
+    // where 2-wide×8-band recall is 1−(1−j²)^8 ≈ 1−3e-6, a structural
+    // guarantee of the banding itself. Mid-band pairs (j ∈ [0.5, 0.9),
+    // none on this corpus) carry ~10% per-pair miss probability by design
+    // and are deliberately NOT part of the zero-miss contract. The whole
+    // chain is seeded/deterministic.
     Q("q36_minhash_lsh",
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents
-        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id,
-        |           unnest(list_transform(range(1, len(w) - 1),
-        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |    FROM toks)),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      s"""WITH ${TextOps.jaccardCtes}
         |SELECT count(*) AS n_exact, CAST(1 AS BOOLEAN) AS covered_ok
         |FROM p
         |JOIN cnt ca ON p.doc_a = ca.doc_id
@@ -298,11 +302,13 @@ object Similarity {
       // and the exact self-join reference
       val sh = TextOps.shingles(Tables.documents(s, d), "text", 3)
         .localCheckpoint(true)
-      val exact = TextOps.exactJaccardPairsFrom(sh, minJac = 0.5)
+      val exactAll = TextOps.exactJaccardPairsFrom(sh, minJac = 0.5)
+        .localCheckpoint(true)
+      val exact09 = exactAll.filter(col("jac_raw") >= 0.9)
         .select("doc_a", "doc_b")
       val cand = minHashCandidatesFrom(sh).select("doc_a", "doc_b")
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(exact.join(cand, Seq("doc_a", "doc_b"), "left_anti")
+      exactAll.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(exact09.join(cand, Seq("doc_a", "doc_b"), "left_anti")
           .agg(count(lit(1)).as("n_missed")))
         .select(col("n_exact"), (col("n_missed") === 0).as("covered_ok"))
     }

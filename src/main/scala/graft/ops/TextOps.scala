@@ -57,6 +57,31 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), jac.as("jac_raw"))
   }
 
+  /** Shared DuckDB oracle CTE prefix: tokenize → distinct 3-gram shingles →
+    * per-doc shingle counts → shared-shingle pair intersections. Every
+    * oracle that needs exact Jaccard (q27, q36, q44, q51, q79) interpolates
+    * THIS string, so tokenization semantics can never drift between the
+    * five SQL texts while the Spark side shares `shingles`/
+    * `exactJaccardPairsFrom`. Yields CTEs `sh(doc_id, shingle)`,
+    * `cnt(doc_id, n_sh)`, `p(doc_a, doc_b, inter)`; jaccard =
+    * inter / (na + nb − inter). */
+  val jaccardCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(w) - 1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |    FROM toks)),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   private val stop = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
@@ -93,21 +118,7 @@ object TextOps {
     // self-join. Filter on the raw ratio (bit-identical in both engines —
     // small-integer division), round only for output.
     Q("q27_ngram_jaccard",
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents
-        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id,
-        |           unnest(list_transform(range(1, len(w) - 1),
-        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |    FROM toks)),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      s"""WITH $jaccardCtes
         |SELECT doc_a, doc_b,
         |       round(inter / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
         |FROM p
@@ -236,21 +247,7 @@ object TextOps {
     // variance, not a pipeline bug — at sf0.1, 9 of 249 exact pairs land at
     // h > 7). All hashes are deterministic.
     Q("q44_simhash_dedup",
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents
-        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id,
-        |           unnest(list_transform(range(1, len(w) - 1),
-        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |    FROM toks)),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      s"""WITH $jaccardCtes
         |SELECT count(*) AS n_exact_09,
         |       CAST(1 AS BOOLEAN) AS precision_ok,
         |       CAST(1 AS BOOLEAN) AS covered_ok
@@ -295,21 +292,7 @@ object TextOps {
     // break every long run (measured: 25/25 at sf0.01, 244/249 at sf0.1).
     // Winnow hashes are deterministic, so the boolean is stable.
     Q("q51_winnow_dedup",
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents
-        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id,
-        |           unnest(list_transform(range(1, len(w) - 1),
-        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |    FROM toks)),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      s"""WITH $jaccardCtes
         |SELECT count(*) AS n_exact_09,
         |       CAST(1 AS BOOLEAN) AS covered_ok
         |FROM p
@@ -443,21 +426,7 @@ object TextOps {
     // independent algorithm, so the distributed iteration is verified
     // end-to-end against declarative SQL semantics.
     Q("q79_dedup_clusters",
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents
-        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id,
-        |           unnest(list_transform(range(1, len(w) - 1),
-        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |    FROM toks)),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
+      s"""WITH RECURSIVE $jaccardCtes,
         |jp AS (
         |  SELECT doc_a, doc_b FROM p
         |  JOIN cnt ca ON p.doc_a = ca.doc_id

@@ -108,10 +108,18 @@ class PlanQualitySpec extends SparkSpec {
     // Every query must keep joins either keyed or broadcast-bounded (the
     // q33/q34 BNLJ-with-small-broadcast shape is fine — the corpus side
     // never shuffles); an unbounded cartesian is never acceptable at scale.
-    val offenders = SparkEntry.registry.flatMap { q =>
-      val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) Some(q.name) else None
-    }
+    // Queries whose CONSTRUCTION runs a full workload (model fits, a
+    // complete streaming run) are excluded from this sweep to keep the
+    // test minutes cheap — their final frames are single-row aggregate
+    // crossJoins (broadcast BNLJ by construction) and their semantics are
+    // pinned by RowsOnlySpec/SimilaritySpec/EventsSpec.
+    val heavyEager = Set("q40_rf_regression", "q41_kmeans_embeddings",
+      "q76_stream_sessions")
+    val offenders = SparkEntry.registry
+      .filterNot(q => heavyEager(q.name)).flatMap { q =>
+        val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(q.name) else None
+      }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
