@@ -459,6 +459,50 @@ object TextOps {
           max(col("sz")).as("max_cluster_size"))
     },
 
+    // The dedup CAPSTONE: pairs → components → a deduplicated corpus.
+    // Each near-dup cluster keeps its canonical doc (the min doc_id — which
+    // IS the component label min-label propagation converges to, so the
+    // keeper set needs no extra aggregation); everything not in any cluster
+    // survives untouched. Emits per-source before/after accounting — the
+    // numbers a training-data pipeline reports after its dedup stage. The
+    // oracle recomputes the dropped set independently via the recursive
+    // closure.
+    Q("q82_dedup_keep_canonical",
+      s"""WITH RECURSIVE $jaccardCtes,
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |root AS (
+        |  SELECT a AS node, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |dropped AS (SELECT node FROM root WHERE component <> node)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN dr.node IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_kept
+        |FROM documents LEFT JOIN dropped dr ON doc_id = dr.node
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val pairs = exactJaccardPairs(s, d, minJac = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val dropped = Graph.connectedComponents(pairs)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id")).withColumn("dup", lit(1))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(dropped, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup").isNull, 1).otherwise(0)).cast("bigint")
+            .as("n_kept"))
+        .orderBy(col("source"))
+    },
+
     // Multimodal-adjacent: byte-level metadata + content hash of the UTF-8
     // payload (sha2 hex matches DuckDB sha256 on identical bytes).
     Q("q32_content_hash",

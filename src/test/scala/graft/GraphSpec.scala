@@ -31,6 +31,36 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 13)
   }
 
+  test("property: components match a reference union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small node universe forces dense/merging components; fixed seed for
+    // reproducible runs, few trials (each runs distributed propagation)
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id normalization (path-compress to the final roots first)
+      parent.keys.toSeq.foreach(find)
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(8)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)),
+      Prop.forAll(edgeGen) { edges =>
+        edges.isEmpty || cc(edges) == unionFind(edges)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("q79 accounting consistent with the exact pair list") {
     val pairs = graft.ops.TextOps.exactJaccardPairs(spark, sf0001, 0.5)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
