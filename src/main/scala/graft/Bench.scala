@@ -58,8 +58,10 @@ object Bench {
       // masquerading as a (suspiciously fast) success
       name -> (if (ok) secs else -secs)
     }
-    // keep the sorted Seq order in the JSON — toMap would hash-scramble it
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // keep the sorted Seq order in the JSON — toMap would hash-scramble it;
+    // millisecond precision keeps the line short (a consumer that only
+    // retains the tail of the output should still see most of the map)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // headline total = successful queries only; failures stay visible as
     // negated per-query entries + n_errors (a broken bench must never look
@@ -75,7 +77,9 @@ object Bench {
       }
       s"\"" + k + "\":\"" + esc + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    // headline fields repeated AFTER the queries map: a consumer that keeps
+    // only the tail of the output still sees the totals
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f"$total%.3f"}}""")
     spark.stop()
   }
 }
