@@ -362,6 +362,42 @@ object Advanced {
         .orderBy(desc("est"), asc("value"))
     },
 
+    // Per-GROUP heavy hitters: the same Space-Saving Aggregator as a
+    // grouped aggregate — one bounded, mergeable sketch per event_type, the
+    // per-domain vocabulary/heavy-hitter shape a 100 TB corpus needs (the
+    // global q74 sketch can't answer "top users per event class"). The
+    // sketch state merges map-side like any partial aggregate, so the
+    // shuffle carries one k-bounded counter map per (partition, group), not
+    // raw rows. k=2048 ≥ per-group user cardinality at every test SF, so
+    // the sketch degenerates to exact counts (err=0) and a DuckDB hash
+    // oracle exists; sub-cardinality approximation bounds are pinned in
+    // SpaceSavingSpec.
+    Q("q85_grouped_topk",
+      """WITH g AS (SELECT event_type, CAST(user_id AS VARCHAR) AS value,
+        |                  count(*) AS est
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                ORDER BY est DESC, value) AS rn FROM g)
+        |SELECT event_type, rn, value, est, CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.SpaceSavingTopK(2048),
+        org.apache.spark.sql.Encoders.STRING)
+      val perGroup = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(topk(col("user_id").cast("string")).as("sk"))
+        .select(col("event_type"), explode(col("sk")).as("e"))
+        .select(col("event_type"), col("e._1").as("value"),
+          col("e._2").as("est"), col("e._3").as("err"))
+      val rank = Window.partitionBy(col("event_type"))
+        .orderBy(desc("est"), asc("value"))
+      perGroup
+        .withColumn("rn", row_number().over(rank))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn"), col("value"), col("est"),
+          col("err"))
+        .orderBy(col("event_type"), col("rn"))
+    },
+
     // Value-based RANGE window frame (vs the ROWS frames of q08/q39): each
     // event's trailing-hour sum/count over (user, epoch-second) — frame
     // bounds are VALUES, so same-second peers are excluded identically in

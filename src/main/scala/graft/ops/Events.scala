@@ -155,6 +155,86 @@ object Events {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // Log compaction / CDC latest-record-wins: keep only the newest record
+    // per (user, event_type) key from an append-only log — the canonical
+    // pre-training snapshot pass over change streams. Scale shape: max_by
+    // over a (ts, event_id) struct runs as a partial+final hash aggregate,
+    // so each map task shrinks its partition to its distinct keys BEFORE the
+    // shuffle; the window row_number()=1 formulation the oracle uses (an
+    // independent algorithm) must instead shuffle and sort every raw row.
+    // event_id breaks ts ties deterministically (unique per event).
+    Q("q83_latest_by_key",
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS last_event_id,
+        |       CAST(ts AS TIMESTAMP) AS last_ts, round(value, 2) AS last_value,
+        |       n_versions
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val latest = struct(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(
+          max_by(col("event_id"), latest).as("last_event_id"),
+          max(col("ts")).as("last_ts"),
+          round(max_by(col("value"), latest), 2).as("last_value"),
+          count(lit(1)).as("n_versions"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // Ordered conversion funnel signup → view → click → purchase, each stage
+    // strictly after the previous one in event time. All four stage flags
+    // are layered window expressions over ONE (user_id, ts) sort: a stage-k
+    // event qualifies iff a stage-(k-1) qualifier exists in the strict
+    // prefix (ROWS … -1; (user_id, ts) is unique in this corpus, so prefix
+    // membership ⟺ strictly-earlier ts). One shuffle + one sort for the
+    // whole funnel — vs the oracle's independent 4-level join chain, which
+    // re-joins events per stage. Per-user flags then collapse in a single
+    // global aggregate.
+    Q("q86_funnel",
+      """WITH s AS (SELECT user_id, min(ts) AS t FROM events
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        |v AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |      JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'view' AND e.ts > s.t GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+        |SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+        |       (SELECT count(*) FROM s) AS n_signup,
+        |       (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin) { (s, d) =>
+      val prefix = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val staged = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("sig_ok", (col("event_type") === "signup").cast("int"))
+        .withColumn("view_ok",
+          (col("event_type") === "view" &&
+            coalesce(max(col("sig_ok")).over(prefix), lit(0)) === 1).cast("int"))
+        .withColumn("click_ok",
+          (col("event_type") === "click" &&
+            coalesce(max(col("view_ok")).over(prefix), lit(0)) === 1).cast("int"))
+        .withColumn("buy_ok",
+          (col("event_type") === "purchase" &&
+            coalesce(max(col("click_ok")).over(prefix), lit(0)) === 1).cast("int"))
+      staged.groupBy(col("user_id"))
+        .agg(max(col("sig_ok")).as("sig"), max(col("view_ok")).as("vw"),
+          max(col("click_ok")).as("ck"), max(col("buy_ok")).as("by"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("sig")).cast("bigint").as("n_signup"),
+          sum(col("vw")).cast("bigint").as("n_view"),
+          sum(col("ck")).cast("bigint").as("n_click"),
+          sum(col("by")).cast("bigint").as("n_purchase"))
+    },
+
     // Driver-checked STREAMING entry: the same per-user session aggregation
     // runs through the real Structured Streaming path — file-stream source,
     // 1-hour watermark, session_window state, memory sink, run to

@@ -200,6 +200,59 @@ object Sources {
           max(col("n_items")).as("max_items"))
     },
 
+    // Schema drift across ingest batches: two parquet slices of the same
+    // logical feed written with DIFFERENT schemas — an early batch with
+    // (event_id, user_id, value_cents) and a later batch that renamed the
+    // amount column and added a new one (amount_cents, channel). Reading
+    // the directory with mergeSchema=true unions the schemas by name and
+    // nulls the columns a batch lacks — the standard answer to column
+    // add/rename drift in a long-lived 100 TB feed (schema merging happens
+    // at planning time from file footers; data files are never rewritten).
+    // Cent amounts use floor(value*100): exact BIGINT arithmetic both
+    // engines reproduce bit-identically (float sums would not hash-match).
+    // The oracle recomputes the same union from the base table with
+    // explicit NULLs, so a dropped column, a mis-merged type, or phantom
+    // non-null backfill all break the hash.
+    Q("q84_schema_drift",
+      """WITH u AS (
+        |  SELECT event_id,
+        |         CAST(floor(value * 100) AS BIGINT) AS value_cents,
+        |         CAST(NULL AS BIGINT) AS amount_cents,
+        |         CAST(NULL AS VARCHAR) AS channel
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT event_id, NULL,
+        |         CAST(floor(value * 100) AS BIGINT),
+        |         CASE WHEN user_id % 2 = 0 THEN 'web' ELSE 'app' END
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT count(*) AS n_rows,
+        |       count(value_cents) AS n_value,
+        |       count(amount_cents) AS n_amount,
+        |       count(channel) AS n_channel,
+        |       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents,
+        |       CAST(sum(amount_cents) AS BIGINT) AS sum_amount_cents
+        |FROM u""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val dir = Sources.scratchDir(s, "graft_drift")
+      ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("bigint").as("value_cents"))
+        .write.mode("overwrite").parquet(s"$dir/feed/batch=0")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("bigint").as("amount_cents"),
+          when(col("user_id") % 2 === 0, "web").otherwise("app")
+            .as("channel"))
+        .write.mode("overwrite").parquet(s"$dir/feed/batch=1")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/feed")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value_cents")).as("n_value"),
+          count(col("amount_cents")).as("n_amount"),
+          count(col("channel")).as("n_channel"),
+          sum(col("value_cents")).as("sum_value_cents"),
+          sum(col("amount_cents")).as("sum_amount_cents"))
+    },
+
     // Keyed upsert/merge on immutable parquet — the rewrite pattern every
     // non-transactional lakehouse uses (Delta/Iceberg MERGE compiles to the
     // same thing): updated rows replace their base rows via

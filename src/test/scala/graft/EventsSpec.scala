@@ -51,6 +51,69 @@ class EventsSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("q83 compaction: max_by(ts, event_id) picks the newest version, ties by id") {
+    val df = Seq(
+      // user 1, type a: later ts wins regardless of id order
+      (10L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "a", 2.0),
+      // user 1, type b: equal ts -> higher event_id wins
+      (20L, ts("2024-01-01 10:00:00"), 1L, "b", 3.0),
+      (21L, ts("2024-01-01 10:00:00"), 1L, "b", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val latest = struct(col("ts"), col("event_id"))
+    val out = df.groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(col("event_id"), latest).as("last_id"),
+        max_by(col("value"), latest).as("last_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(out(0).getAs[Long]("last_id") == 3L &&
+      out(0).getAs[Double]("last_value") == 2.0 && out(0).getAs[Long]("n") == 2)
+    assert(out(1).getAs[Long]("last_id") == 21L &&
+      out(1).getAs[Double]("last_value") == 4.0)
+  }
+
+  test("q86 funnel: stages must occur strictly in order, per user") {
+    def ev(id: Long, u: Long, t: String, tp: String) = (id, u, ts(t), tp)
+    val df = Seq(
+      // u1: complete ordered funnel
+      ev(1, 1, "2024-01-01 09:00:00", "signup"),
+      ev(2, 1, "2024-01-01 10:00:00", "view"),
+      ev(3, 1, "2024-01-01 11:00:00", "click"),
+      ev(4, 1, "2024-01-01 12:00:00", "purchase"),
+      // u2: purchase BEFORE click -> funnel stops at click stage
+      ev(5, 2, "2024-01-01 09:00:00", "signup"),
+      ev(6, 2, "2024-01-01 10:00:00", "view"),
+      ev(7, 2, "2024-01-01 10:30:00", "purchase"),
+      ev(8, 2, "2024-01-01 11:00:00", "click"),
+      // u3: view precedes the signup -> stops after signup
+      ev(9, 3, "2024-01-01 08:00:00", "view"),
+      ev(10, 3, "2024-01-01 09:00:00", "signup"),
+      // u4: no signup at all
+      ev(11, 4, "2024-01-01 09:00:00", "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val prefix = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val staged = df
+      .withColumn("sig_ok", (col("event_type") === "signup").cast("int"))
+      .withColumn("view_ok", (col("event_type") === "view" &&
+        coalesce(max(col("sig_ok")).over(prefix), lit(0)) === 1).cast("int"))
+      .withColumn("click_ok", (col("event_type") === "click" &&
+        coalesce(max(col("view_ok")).over(prefix), lit(0)) === 1).cast("int"))
+      .withColumn("buy_ok", (col("event_type") === "purchase" &&
+        coalesce(max(col("click_ok")).over(prefix), lit(0)) === 1).cast("int"))
+      .groupBy("user_id")
+      .agg(max("sig_ok").as("s"), max("view_ok").as("v"),
+        max("click_ok").as("c"), max("buy_ok").as("b"))
+      .agg(sum("s").as("n_signup"), sum("v").as("n_view"),
+        sum("c").as("n_click"), sum("b").as("n_purchase"))
+      .head()
+    assert(staged.getAs[Long]("n_signup") == 3) // u1, u2, u3
+    assert(staged.getAs[Long]("n_view") == 2)   // u1, u2 (u3's view too early)
+    assert(staged.getAs[Long]("n_click") == 2)  // u1, u2
+    assert(staged.getAs[Long]("n_purchase") == 1) // u1 only (u2 out of order)
+  }
+
   test("streaming sessions equal the batch q25 aggregation") {
     val batch = SparkEntry.queries("q25_session_window")(spark, sf0001)
       .select("user_id", "session_start", "n_events", "total_value")

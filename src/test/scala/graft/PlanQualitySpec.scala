@@ -123,6 +123,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("q83: latest-by-key compacts as a partial aggregate, not a window sort") {
+    val p = planOf("q83_latest_by_key")
+    // max_by must run map-side (partial) so the shuffle carries one row per
+    // (partition, key) — the whole point vs the oracle's row_number()=1
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      s"no partial max_by before the exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"compaction fell back to a window sort over raw rows:\n$p")
+  }
+
+  test("q86: the four funnel stages share one user_id shuffle") {
+    val p = planOf("q86_funnel")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1,
+      s"funnel should sort once per user partition, saw $shuffles hash exchanges:\n$p")
+  }
+
   test("q26: distinct aggregates stay a two-shuffle expand, no extra scans") {
     val p = planOf("q26_dedup_exact")
     // one scan of documents feeds the whole distinct-aggregate pipeline

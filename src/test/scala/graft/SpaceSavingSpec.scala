@@ -52,6 +52,23 @@ class SpaceSavingSpec extends SparkSpec {
     }
   }
 
+  test("grouped aggregate keeps one independent sketch per group (q85 shape)") {
+    val rows = Seq.tabulate(60)(i => (s"g${i % 3}", s"u${i % 5}")) ++
+      Seq.fill(20)(("g0", "hot"))
+    val got = rows.toDF("g", "v").repartition(8)
+      .groupBy("g")
+      .agg(F.udaf(new SpaceSavingTopK(16), Encoders.STRING)(F.col("v")).as("sk"))
+      .select(F.col("g"), F.explode(F.col("sk")).as("e"))
+      .select(F.col("g"), F.col("e._1"), F.col("e._2"), F.col("e._3"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // k=16 > per-group cardinality -> exact per group, err 0 everywhere
+    val truth = rows.groupBy(identity).map { case ((g, v), xs) => (g, v, xs.size.toLong) }
+    assert(got.forall(_._4 == 0L))
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == truth.toSet)
+    // groups must not bleed into each other: g1/g2 never saw "hot"
+    assert(!got.exists(t => t._1 != "g0" && t._2 == "hot"))
+  }
+
   test("merge keeps bounds when every partition sees disjoint values") {
     val data = (1 to 16).flatMap(i => Seq.fill(i * 5)(s"v$i"))
     val got = sketch(data, k = 4, parts = 8)
