@@ -38,6 +38,38 @@ class ScalePatternsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
 
+  test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
+    // the runtime counterpart of q77's planning-time pruning: when the
+    // pruning predicate only exists on the DIM side of a join, the fact
+    // scan must still skip partitions — Spark injects the dim's join keys
+    // as a DynamicPruningExpression into the fact's PartitionFilters at
+    // execution time. At 100 TB this is the difference between scanning 2
+    // days and scanning 7 years.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp")
+    val ev = Tables.events(spark, sf0001)
+      .withColumn("day", to_date(col("ts")))
+    ev.write.partitionBy("day").mode("overwrite").parquet(s"$dir/fact")
+    val allDays = ev.select("day").distinct().collect().map(_.getDate(0))
+    assert(allDays.length >= 3, "fixture needs several day partitions")
+    val keep = allDays.sorted.take(2).toSet
+    // DPP requires a SELECTIVE predicate on the dim side; a filter over an
+    // in-memory relation is constant-folded away (ConvertToLocalRelation),
+    // so materialize the dim as a file relation — like a real calendar
+    // dimension — and filter the file scan
+    allDays.map(d => (d, if (keep(d)) "keep" else "skip")).toSeq
+      .toDF("day", "tag").write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("tag") === "keep")
+    val joined = spark.read.parquet(s"$dir/fact")
+      .join(dim, Seq("day"))
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in the fact scan:\n$plan")
+    // and the pruned result equals the direct filter
+    val expect = ev.filter(col("day").isin(keep.toSeq: _*)).count()
+    assert(joined.head().getLong(0) == expect)
+  }
+
   test("salted aggregation of a skewed key matches the direct aggregate") {
     // one hot key carrying 90% of rows — the shape that stalls a single
     // reducer at scale
