@@ -459,6 +459,69 @@ object TextOps {
           max(col("sz")).as("max_cluster_size"))
     },
 
+    // INCREMENTAL dedup: a new ingest batch (doc_id % 7 == 0) deduped
+    // against the EXISTING corpus only — the daily-ingest shape, where
+    // per-batch cost scales with the batch, never corpus². Stage 1: exact
+    // dups via a 64-bit content-hash equi join (the hash carries the
+    // shuffle; raw text equality rides as residual collision verification).
+    // Stage 2: near-dups via the shared shingle pipeline with the two join
+    // sides PRE-FILTERED to new × corpus — no corpus-internal pairs are
+    // ever generated. At 100 TB the corpus shingle side is a persisted
+    // bucketed index, so only the new batch's shingles shuffle per run;
+    // here both sides come off one materialized shingle frame. The oracle
+    // recomputes both stages from scratch (XOR-membership on the shared
+    // pair CTE), so a missed orientation (corpus-side doc_a vs doc_b) or a
+    // leaked corpus-internal pair breaks the hash. This corpus has no
+    // cross-batch exact dups — stage 1's zero is itself oracle-verified.
+    Q("q87_incremental_dedup",
+      s"""WITH $jaccardCtes,
+        |ex AS (SELECT DISTINCT n.doc_id AS id FROM documents n
+        |       JOIN documents c ON n.text = c.text
+        |        AND n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0),
+        |nd AS (SELECT DISTINCT CASE WHEN doc_a % 7 = 0 THEN doc_a
+        |                            ELSE doc_b END AS id
+        |       FROM p JOIN cnt ca ON p.doc_a = ca.doc_id
+        |              JOIN cnt cb ON p.doc_b = cb.doc_id
+        |       WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5
+        |         AND ((doc_a % 7 = 0) <> (doc_b % 7 = 0)))
+        |SELECT CASE WHEN ex.id IS NOT NULL THEN 'dup_exact'
+        |            WHEN nd.id IS NOT NULL THEN 'near_dup'
+        |            ELSE 'kept' END AS verdict, count(*) AS n_docs
+        |FROM documents d LEFT JOIN ex ON d.doc_id = ex.id
+        |                 LEFT JOIN nd ON d.doc_id = nd.id
+        |WHERE d.doc_id % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val isNew = col("doc_id") % 7 === 0
+      val exactDup = docs.filter(isNew).as("n")
+        .join(docs.filter(!isNew).as("c"),
+          xxhash64(col("n.text")) === xxhash64(col("c.text")) &&
+            col("n.text") === col("c.text"), "left_semi")
+        .select(col("doc_id").as("id")).distinct()
+        .withColumn("ex", lit(1))
+      val sh = shingles(docs, "text", 3).localCheckpoint(true)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = sh.filter(col("doc_id") % 7 === 0).toDF("doc_a", "shingle")
+        .join(sh.filter(col("doc_id") % 7 =!= 0).toDF("doc_b", "shingle"),
+          Seq("shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      val jac = col("inter") / (col("na") + col("nb") - col("inter"))
+      val nearDup = inter
+        .join(cnt.toDF("doc_a", "na"), "doc_a")
+        .join(cnt.toDF("doc_b", "nb"), "doc_b")
+        .filter(jac >= 0.5)
+        .select(col("doc_a").as("id")).distinct()
+        .withColumn("nd", lit(1))
+      docs.filter(isNew).select(col("doc_id"))
+        .join(exactDup, col("doc_id") === exactDup("id"), "left").drop("id")
+        .join(nearDup, col("doc_id") === nearDup("id"), "left").drop("id")
+        .select(when(col("ex") === 1, "dup_exact")
+          .when(col("nd") === 1, "near_dup")
+          .otherwise("kept").as("verdict"))
+        .groupBy("verdict").agg(count(lit(1)).as("n_docs"))
+        .orderBy("verdict")
+    },
+
     // The dedup CAPSTONE: pairs → components → a deduplicated corpus.
     // Each near-dup cluster keeps its canonical doc (the min doc_id — which
     // IS the component label min-label propagation converges to, so the

@@ -143,4 +143,26 @@ class TextOpsSpec extends SparkSpec {
     // 4 shingles each, 3 shared: j = 3/5
     assert(p.getAs[Double]("j") == 0.6)
   }
+
+  test("q87 incremental dedup ignores corpus- and batch-internal duplicates") {
+    // new batch = doc_id % 7 == 0. The operator must flag ONLY new docs
+    // whose duplicate lives in the corpus — pairs inside the corpus and
+    // pairs inside the new batch are other operators' business (q26/q82).
+    val near1 = "alpha beta gamma delta epsilon zeta"
+    val near2 = "alpha beta gamma delta epsilon eta"
+    val exact = "exact copy of a corpus document body"
+    val batch = "the brand new never seen before document"
+    val docs = Seq(
+      (7L, near1), (1L, near2),          // cross-boundary near-dup -> flagged
+      (2L, near1 + " extra"),            // corpus-internal near of 1 -> ignored
+      (14L, exact), (4L, exact),         // cross-boundary exact -> dup_exact
+      (21L, "totally unrelated text that matches nothing else here"),
+      (28L, batch), (35L, batch + " tail")) // batch-internal near pair -> kept
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q87_incremental_dedup")(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("dup_exact" -> 1L, "near_dup" -> 1L, "kept" -> 3L), out)
+  }
 }
