@@ -97,6 +97,29 @@ object TextOps {
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> list_contains($list, x)))"
   }
 
+  /** Adds the q28 `predicted`-language column: a priority-ordered stopword
+    * argmax encoded as array_max over (hits, priority, lang) structs so
+    * each stopword count is computed ONCE in its own projection (the naive
+    * when-chain inlines the tokenize+filter subtree ~16×, and the generated
+    * method takes seconds of Janino compile time — measured as a flat
+    * ~3.5 s regardless of scale factor). Shared by q28 and the q88
+    * curation funnel so the classifier can never drift between them. */
+  def withPredictedLang(df: DataFrame): DataFrame = {
+    val prio = Seq("en" -> 4, "es" -> 3, "fr" -> 2, "de" -> 1)
+    val best = array_max(array(prio.map { case (l, p) =>
+      struct(stopHits(col("_toks"), stop(l)).as("h"), lit(p).as("p"), lit(l).as("l"))
+    }: _*))
+    df.withColumn("_toks", tokens(col("text")))
+      .withColumn("_zh",
+        size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))))
+      .withColumn("_best", best)
+      .withColumn("predicted",
+        when(col("_zh") > 0, "zh")
+          .when(col("_best.h") === 0, "unknown")
+          .otherwise(col("_best.l")))
+      .drop("_toks", "_zh", "_best")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup accounting per source: raw vs normalized distinct texts.
@@ -149,25 +172,7 @@ object TextOps {
          |SELECT lang, predicted, count(*) AS n
          |FROM scored GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
     }) { (s, d) =>
-      // The priority-ordered CASE is an argmax with ties going to the earlier
-      // language, so encode it as array_max over (hits, priority, lang)
-      // structs. Each stopword count is computed ONCE in its own projection
-      // (the naive when-chain inlines the tokenize+filter subtree ~16×, and
-      // the resulting generated method takes seconds of Janino compile time —
-      // measured as a flat ~3.5s regardless of scale factor).
-      val prio = Seq("en" -> 4, "es" -> 3, "fr" -> 2, "de" -> 1)
-      val best = array_max(array(prio.map { case (l, p) =>
-        struct(stopHits(col("_toks"), stop(l)).as("h"), lit(p).as("p"), lit(l).as("l"))
-      }: _*))
-      Tables.documents(s, d)
-        .withColumn("_toks", tokens(col("text")))
-        .withColumn("_zh",
-          size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))))
-        .withColumn("_best", best)
-        .withColumn("predicted",
-          when(col("_zh") > 0, "zh")
-            .when(col("_best.h") === 0, "unknown")
-            .otherwise(col("_best.l")))
+      withPredictedLang(Tables.documents(s, d))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
@@ -520,6 +525,73 @@ object TextOps {
           .otherwise("kept").as("verdict"))
         .groupBy("verdict").agg(count(lit(1)).as("n_docs"))
         .orderBy("verdict")
+    },
+
+    // The CURATION capstone: the three-stage training-data filter every
+    // corpus pipeline runs before tokenization — language gate (the q28
+    // classifier), quality gate (token-count floor), then near-dup removal
+    // among the survivors with the deterministic KEEP-FIRST rule: a doc is
+    // dropped iff some smaller-id survivor is its near-dup (jac ≥ 0.5).
+    // Keep-first needs no component iteration (unlike q82's clustering) —
+    // it is one shingle join + one distinct over doc_b, the cheap greedy
+    // used when the pipeline runs daily and doc_id encodes arrival order.
+    // Emits the per-source funnel (total → lang → quality → kept), i.e.
+    // the curation report. One classified frame is materialized once and
+    // feeds both the shingle join and the accounting; every stage is
+    // recomputed independently by the oracle.
+    Q("q88_corpus_curation", {
+      val en = duckStopHits(stop("en")); val es = duckStopHits(stop("es"))
+      val fr = duckStopHits(stop("fr")); val de = duckStopHits(stop("de"))
+      s"""WITH cls AS (
+        |  SELECT doc_id, source,
+        |         CASE
+        |           WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+        |           WHEN $en = 0 AND $es = 0 AND $fr = 0 AND $de = 0 THEN 'unknown'
+        |           WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
+        |           WHEN $es >= $fr AND $es >= $de THEN 'es'
+        |           WHEN $fr >= $de THEN 'fr'
+        |           ELSE 'de' END AS pred,
+        |         len(string_split_regex(trim(text), '\\s+')) AS nt
+        |  FROM documents),
+        |surv AS (SELECT doc_id FROM cls WHERE pred = 'en' AND nt >= 12),
+        |$jaccardCtes,
+        |dropped AS (
+        |  SELECT DISTINCT doc_b FROM p
+        |  JOIN surv sa ON p.doc_a = sa.doc_id
+        |  JOIN surv sb ON p.doc_b = sb.doc_id
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_lang,
+        |       CAST(sum(CASE WHEN pred = 'en' AND nt >= 12 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_quality,
+        |       CAST(sum(CASE WHEN pred = 'en' AND nt >= 12
+        |                      AND dr.doc_b IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_kept
+        |FROM cls LEFT JOIN dropped dr ON cls.doc_id = dr.doc_b
+        |GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val classified = withPredictedLang(
+        Tables.documents(s, d).select("doc_id", "source", "text"))
+        .withColumn("nt", size(split(trim(col("text")), "\\s+")))
+        .withColumn("lang_ok", col("predicted") === "en")
+        .withColumn("qual_ok", col("lang_ok") && col("nt") >= 12)
+        .localCheckpoint(true) // one classify pass for shingles + accounting
+      val surv = classified.filter(col("qual_ok")).select("doc_id", "text")
+      val droppedIds = exactJaccardPairsFrom(
+        shingles(surv, "text", 3).localCheckpoint(true), minJac = 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("dropped", lit(1))
+      classified.join(droppedIds, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("lang_ok").cast("int")).cast("bigint").as("n_lang"),
+          sum(col("qual_ok").cast("int")).cast("bigint").as("n_quality"),
+          sum((col("qual_ok") && col("dropped").isNull).cast("int"))
+            .cast("bigint").as("n_kept"))
+        .orderBy(col("source"))
     },
 
     // The dedup CAPSTONE: pairs → components → a deduplicated corpus.

@@ -144,6 +144,25 @@ class TextOpsSpec extends SparkSpec {
     assert(p.getAs[Double]("j") == 0.6)
   }
 
+  test("q88 keep-first dedup: doc_b drops even when its dropper also dropped") {
+    // chain a~b, b~c, a!~c (one-word steps): keep-first drops b (a is an
+    // earlier near-dup) AND c (b is an earlier near-dup, even though b
+    // itself was dropped) — the greedy rule, deliberately NOT the
+    // connected-components keep-one-per-cluster of q82
+    // 12 tokens -> 10 shingles; an edited token kills the 2 shingles that
+    // contain it (ends) so: jac(a,b)=8/12, jac(b,c)=8/12, jac(a,c)=6/14
+    val a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    val b = "t1 xx t3 t4 t5 t6 t7 t8 t9 t10 t11 t12" // token 2 edited
+    val c = "t1 xx t3 t4 t5 t6 t7 t8 t9 t10 yy t12"  // token 11 edited too
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = TextOps.exactJaccardPairsFrom(
+      TextOps.shingles(docs, "text", 3), minJac = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), pairs)
+    val dropped = pairs.map(_._2)
+    assert(dropped == Set(2L, 3L)) // c dropped although its dropper b was too
+  }
+
   test("q87 incremental dedup ignores corpus- and batch-internal duplicates") {
     // new batch = doc_id % 7 == 0. The operator must flag ONLY new docs
     // whose duplicate lives in the corpus — pairs inside the corpus and
