@@ -253,6 +253,38 @@ object Sources {
           sum(col("amount_cents")).as("sum_amount_cents"))
     },
 
+    // Sort-clustered file layout — the third leg of the layout family
+    // (q77 = partitioned directories, q78 = buckets): repartitionByRange on
+    // the time column gives each output file a NARROW, disjoint l_shipdate
+    // band, and sortWithinPartitions orders rows inside it — so every
+    // parquet row group carries tight min/max stats and a time-range scan
+    // skips whole files/row groups at read time (the clustering a 100 TB
+    // append-only fact table needs where directory partitioning is too
+    // coarse). The query proves the round trip: a shipdate-range aggregate
+    // off the clustered copy must equal the oracle's aggregate off the base
+    // table; SourcesSpec pins the physical layout (disjoint per-file ranges,
+    // pushed scan filter).
+    Q("q89_sorted_layout",
+      """SELECT count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin) { (s, d) =>
+      val dir = Sources.scratchDir(s, "graft_sorted")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(s"$dir/li_sorted")
+      s.read.parquet(s"$dir/li_sorted")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+
     // Keyed upsert/merge on immutable parquet — the rewrite pattern every
     // non-transactional lakehouse uses (Delta/Iceberg MERGE compiles to the
     // same thing): updated rows replace their base rows via

@@ -32,4 +32,29 @@ class SourcesSpec extends SparkSpec {
     val single = spark.read.parquet(s"$dir/feed")
     assert(single.columns.toSet != merged.columns.toSet)
   }
+
+  test("q89 sort-clustered layout: disjoint per-file time ranges, filter pushed") {
+    // run the query once so the clustered copy exists in the scratch dir
+    val out = SparkEntry.queries("q89_sorted_layout")(spark, sf0001)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      s"time-range filter did not reach the clustered scan:\n$plan")
+    // per-file min/max must be narrow AND disjoint — that is what lets the
+    // reader skip whole files/row groups on a time predicate
+    val dir = ops.Sources.scratchDir(spark, "graft_sorted")
+    val ranges = spark.read.parquet(s"$dir/li_sorted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("lo"),
+        r.getAs[java.time.LocalDateTime]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "range repartition produced a single file")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(!hi.isAfter(lo), s"file ranges overlap: $hi > $lo")
+    }
+    // total span actually split: no file covers the whole table's range
+    val (globalLo, globalHi) = (ranges.head._1, ranges.last._2)
+    assert(ranges.forall { case (lo, hi) =>
+      lo.isAfter(globalLo) || hi.isBefore(globalHi) })
+  }
 }
