@@ -311,6 +311,39 @@ object Similarity {
         .crossJoin(exact09.join(cand, Seq("doc_a", "doc_b"), "left_anti")
           .agg(count(lit(1)).as("n_missed")))
         .select(col("n_exact"), (col("n_missed") === 0).as("covered_ok"))
+    },
+
+    // Per-label embedding centroids — the class-prototype shape (nearest-
+    // centroid classifiers, per-class drift monitors) and the one query
+    // over embeddings.label. Distributed form: posexplode to (label, pos,
+    // x) then a partial+final avg per (label, pos) — the map-side combine
+    // collapses each partition to |labels|×dim rows before the shuffle, so
+    // raw vectors never cross the wire (the 100 TB shape; a zip_with fold
+    // over collect_list would ship every vector to one reducer per label).
+    // Elements cast to double BEFORE averaging to match DuckDB's fold;
+    // centroid norm rounded once at the edge.
+    Q("q90_label_centroids",
+      """WITH e AS (
+        |  SELECT label,
+        |         unnest(range(1, len(embedding) + 1)) AS pos,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, pos, avg(x) AS m FROM e GROUP BY 1, 2),
+        |s AS (SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm
+        |      FROM c GROUP BY 1),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT label, n_vecs, centroid_norm
+        |FROM n JOIN s USING (label) ORDER BY label""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroid = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("label"))
+        .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+      emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+        .join(centroid, Seq("label"))
+        .orderBy(col("label"))
     }
   )
 

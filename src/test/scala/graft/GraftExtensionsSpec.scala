@@ -59,6 +59,33 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("spark.sql text over registered views matches the DataFrame query") {
+    // the SQL front end is a first-class way in: register the corpus as
+    // views and run a full query as SQL text — it must agree row-for-row
+    // with the Column-API form the oracle gate checks (q01's shape)
+    val s = spark.newSession()
+    GraftExtensions.register(s)
+    Tables.registerAll(s, sf0001)
+    val sqlRows = s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      .collect().map(_.toSeq)
+    import org.apache.spark.sql.functions._
+    val dfRows = Tables.lineitem(s, sf0001)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect().map(_.toSeq)
+    assert(sqlRows.sameElements(dfRows))
+  }
+
   test("non-literal codegen parameters are rejected with a clear error") {
     val s = spark.newSession()
     GraftExtensions.register(s)
