@@ -60,8 +60,11 @@ object Bench {
     }
     // keep the sorted Seq order in the JSON — toMap would hash-scramble it;
     // millisecond precision keeps the line short (a consumer that only
-    // retains the tail of the output should still see most of the map)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // retains the tail of the output should still see most of the map).
+    // Locale.ROOT: the f interpolator uses the JVM default locale, which in
+    // comma-decimal locales would print "1,234" and corrupt the JSON.
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // headline total = successful queries only; failures stay visible as
     // negated per-query entries + n_errors (a broken bench must never look
@@ -79,7 +82,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // headline fields repeated AFTER the queries map: a consumer that keeps
     // only the tail of the output still sees the totals
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f"$total%.3f"}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"total_sec":${ms(total)}}""")
     spark.stop()
   }
 }

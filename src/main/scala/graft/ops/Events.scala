@@ -18,6 +18,45 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** q83's compaction aggregate: newest record per (user_id, event_type),
+    * ties on ts broken by event_id. Exposed so EventsSpec drives the SAME
+    * code the query registers (not a re-implementation). */
+  def latestByKey(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val latest = struct(col("ts"), col("event_id"))
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max_by(col("event_id"), latest).as("last_event_id"),
+        max(col("ts")).as("last_ts"),
+        round(max_by(col("value"), latest), 2).as("last_value"),
+        count(lit(1)).as("n_versions"))
+  }
+
+  /** q86's per-user funnel flags: one (user_id, ts) sort, four layered
+    * prefix windows — a stage-k event qualifies iff a stage-(k-1) qualifier
+    * exists strictly earlier. Returns one row per user with int flags
+    * (sig, vw, ck, by). Shared with EventsSpec. */
+  def funnelFlags(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val prefix = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("sig_ok", (col("event_type") === "signup").cast("int"))
+      .withColumn("view_ok",
+        (col("event_type") === "view" &&
+          coalesce(max(col("sig_ok")).over(prefix), lit(0)) === 1).cast("int"))
+      .withColumn("click_ok",
+        (col("event_type") === "click" &&
+          coalesce(max(col("view_ok")).over(prefix), lit(0)) === 1).cast("int"))
+      .withColumn("buy_ok",
+        (col("event_type") === "purchase" &&
+          coalesce(max(col("click_ok")).over(prefix), lit(0)) === 1).cast("int"))
+      .groupBy(col("user_id"))
+      .agg(max(col("sig_ok")).as("sig"), max(col("view_ok")).as("vw"),
+        max(col("click_ok")).as("ck"), max(col("buy_ok")).as("by"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // JSON-in-string property extraction (events.props, SURVEY.md §2.7).
@@ -174,14 +213,7 @@ object Events {
         |       CAST(ts AS TIMESTAMP) AS last_ts, round(value, 2) AS last_value,
         |       n_versions
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
-      val latest = struct(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(
-          max_by(col("event_id"), latest).as("last_event_id"),
-          max(col("ts")).as("last_ts"),
-          round(max_by(col("value"), latest), 2).as("last_value"),
-          count(lit(1)).as("n_versions"))
+      latestByKey(Tables.events(s, d))
         .orderBy(col("user_id"), col("event_type"))
     },
 
@@ -211,23 +243,7 @@ object Events {
         |       (SELECT count(*) FROM v) AS n_view,
         |       (SELECT count(*) FROM c) AS n_click,
         |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin) { (s, d) =>
-      val prefix = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val staged = Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_type"))
-        .withColumn("sig_ok", (col("event_type") === "signup").cast("int"))
-        .withColumn("view_ok",
-          (col("event_type") === "view" &&
-            coalesce(max(col("sig_ok")).over(prefix), lit(0)) === 1).cast("int"))
-        .withColumn("click_ok",
-          (col("event_type") === "click" &&
-            coalesce(max(col("view_ok")).over(prefix), lit(0)) === 1).cast("int"))
-        .withColumn("buy_ok",
-          (col("event_type") === "purchase" &&
-            coalesce(max(col("click_ok")).over(prefix), lit(0)) === 1).cast("int"))
-      staged.groupBy(col("user_id"))
-        .agg(max(col("sig_ok")).as("sig"), max(col("view_ok")).as("vw"),
-          max(col("click_ok")).as("ck"), max(col("buy_ok")).as("by"))
+      funnelFlags(Tables.events(s, d))
         .agg(count(lit(1)).as("n_users"),
           sum(col("sig")).cast("bigint").as("n_signup"),
           sum(col("vw")).cast("bigint").as("n_view"),

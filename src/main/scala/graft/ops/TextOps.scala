@@ -41,11 +41,22 @@ object TextOps {
   /** Same, over an already-materialized (doc_id, shingle) frame — callers
     * that also feed a hash pipeline from the same shingles (q36, q44) pass
     * one shared localCheckpoint so the tokenize+explode runs once. */
-  def exactJaccardPairsFrom(sh: DataFrame, minJac: Double): DataFrame = {
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
-    val pairs = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+  def exactJaccardPairsFrom(sh: DataFrame, minJac: Double): DataFrame =
+    jaccardPairsAcross(sh, sh,
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
+      minJac, col("doc_a") < col("doc_b"))
+
+  /** The one Jaccard pair pipeline, between two (possibly pre-filtered)
+    * shingle sides: shared-shingle equi join → `pairPred` (dedup/orientation
+    * predicate, applied BEFORE the pair aggregate so asymmetric duplicates
+    * never shuffle) → per-pair intersection counts → ratio filter. `cnt`
+    * must be the per-doc shingle counts over the UNfiltered union of both
+    * sides. Self-join callers pass the same frame twice with doc_a < doc_b;
+    * bipartite callers (q87: new batch × corpus) pass disjoint sides. */
+  def jaccardPairsAcross(a: DataFrame, b: DataFrame, cnt: DataFrame,
+      minJac: Double, pairPred: Column = lit(true)): DataFrame = {
+    val pairs = a.toDF("doc_a", "shingle")
+      .join(b.toDF("doc_b", "shingle"), Seq("shingle")).filter(pairPred)
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     // raw small-integer ratio: bit-identical across engines, round only at
     // the output edge
@@ -95,6 +106,22 @@ object TextOps {
   private def duckStopHits(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> list_contains($list, x)))"
+  }
+
+  /** DuckDB text of the q28 language classifier (a CASE expression over
+    * `text`), shared by the q28 and q88 oracles exactly like jaccardCtes —
+    * one string, so the SQL side of the classifier can never drift between
+    * the two queries (the Spark side shares withPredictedLang the same way). */
+  val duckPredictedLang: String = {
+    val en = duckStopHits(stop("en")); val es = duckStopHits(stop("es"))
+    val fr = duckStopHits(stop("fr")); val de = duckStopHits(stop("de"))
+    s"""CASE
+       |           WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+       |           WHEN $en = 0 AND $es = 0 AND $fr = 0 AND $de = 0 THEN 'unknown'
+       |           WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
+       |           WHEN $es >= $fr AND $es >= $de THEN 'es'
+       |           WHEN $fr >= $de THEN 'fr'
+       |           ELSE 'de' END""".stripMargin
   }
 
   /** Adds the q28 `predicted`-language column: a priority-ordered stopword
@@ -156,22 +183,13 @@ object TextOps {
 
     // Language ID: deterministic stopword scoring with a fixed priority
     // argmax (en > es > fr > de > unknown; zh wins on CJK presence).
-    Q("q28_lang_id", {
-      val en = duckStopHits(stop("en")); val es = duckStopHits(stop("es"))
-      val fr = duckStopHits(stop("fr")); val de = duckStopHits(stop("de"))
+    Q("q28_lang_id",
       s"""WITH scored AS (
-         |  SELECT lang,
-         |         CASE
-         |           WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
-         |           WHEN $en = 0 AND $es = 0 AND $fr = 0 AND $de = 0 THEN 'unknown'
-         |           WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
-         |           WHEN $es >= $fr AND $es >= $de THEN 'es'
-         |           WHEN $fr >= $de THEN 'fr'
-         |           ELSE 'de' END AS predicted
+         |  SELECT lang, $duckPredictedLang AS predicted
          |  FROM documents)
          |SELECT lang, predicted, count(*) AS n
          |FROM scored GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
-    }) { (s, d) =>
+    ) { (s, d) =>
       withPredictedLang(Tables.documents(s, d))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
@@ -505,16 +523,11 @@ object TextOps {
         .select(col("doc_id").as("id")).distinct()
         .withColumn("ex", lit(1))
       val sh = shingles(docs, "text", 3).localCheckpoint(true)
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val inter = sh.filter(col("doc_id") % 7 === 0).toDF("doc_a", "shingle")
-        .join(sh.filter(col("doc_id") % 7 =!= 0).toDF("doc_b", "shingle"),
-          Seq("shingle"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      val jac = col("inter") / (col("na") + col("nb") - col("inter"))
-      val nearDup = inter
-        .join(cnt.toDF("doc_a", "na"), "doc_a")
-        .join(cnt.toDF("doc_b", "nb"), "doc_b")
-        .filter(jac >= 0.5)
+      val nearDup = jaccardPairsAcross(
+        sh.filter(col("doc_id") % 7 === 0),
+        sh.filter(col("doc_id") % 7 =!= 0),
+        sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
+        minJac = 0.5)
         .select(col("doc_a").as("id")).distinct()
         .withColumn("nd", lit(1))
       docs.filter(isNew).select(col("doc_id"))
@@ -539,18 +552,9 @@ object TextOps {
     // the curation report. One classified frame is materialized once and
     // feeds both the shingle join and the accounting; every stage is
     // recomputed independently by the oracle.
-    Q("q88_corpus_curation", {
-      val en = duckStopHits(stop("en")); val es = duckStopHits(stop("es"))
-      val fr = duckStopHits(stop("fr")); val de = duckStopHits(stop("de"))
+    Q("q88_corpus_curation",
       s"""WITH cls AS (
-        |  SELECT doc_id, source,
-        |         CASE
-        |           WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
-        |           WHEN $en = 0 AND $es = 0 AND $fr = 0 AND $de = 0 THEN 'unknown'
-        |           WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
-        |           WHEN $es >= $fr AND $es >= $de THEN 'es'
-        |           WHEN $fr >= $de THEN 'fr'
-        |           ELSE 'de' END AS pred,
+        |  SELECT doc_id, source, $duckPredictedLang AS pred,
         |         len(string_split_regex(trim(text), '\\s+')) AS nt
         |  FROM documents),
         |surv AS (SELECT doc_id FROM cls WHERE pred = 'en' AND nt >= 12),
@@ -572,7 +576,7 @@ object TextOps {
         |            AS BIGINT) AS n_kept
         |FROM cls LEFT JOIN dropped dr ON cls.doc_id = dr.doc_b
         |GROUP BY source ORDER BY source""".stripMargin
-    }) { (s, d) =>
+    ) { (s, d) =>
       val classified = withPredictedLang(
         Tables.documents(s, d).select("doc_id", "source", "text"))
         .withColumn("nt", size(split(trim(col("text")), "\\s+")))

@@ -60,15 +60,12 @@ class EventsSpec extends SparkSpec {
       (20L, ts("2024-01-01 10:00:00"), 1L, "b", 3.0),
       (21L, ts("2024-01-01 10:00:00"), 1L, "b", 4.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    val latest = struct(col("ts"), col("event_id"))
-    val out = df.groupBy(col("user_id"), col("event_type"))
-      .agg(max_by(col("event_id"), latest).as("last_id"),
-        max_by(col("value"), latest).as("last_value"),
-        count(lit(1)).as("n"))
-      .orderBy("event_type").collect()
-    assert(out(0).getAs[Long]("last_id") == 3L &&
-      out(0).getAs[Double]("last_value") == 2.0 && out(0).getAs[Long]("n") == 2)
-    assert(out(1).getAs[Long]("last_id") == 21L &&
+    // drive the PRODUCTION aggregate (the exact code q83 registers)
+    val out = graft.ops.Events.latestByKey(df).orderBy("event_type").collect()
+    assert(out(0).getAs[Long]("last_event_id") == 3L &&
+      out(0).getAs[Double]("last_value") == 2.0 &&
+      out(0).getAs[Long]("n_versions") == 2)
+    assert(out(1).getAs[Long]("last_event_id") == 21L &&
       out(1).getAs[Double]("last_value") == 4.0)
   }
 
@@ -91,22 +88,10 @@ class EventsSpec extends SparkSpec {
       // u4: no signup at all
       ev(11, 4, "2024-01-01 09:00:00", "view"))
       .toDF("event_id", "user_id", "ts", "event_type")
-    val prefix = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val staged = df
-      .withColumn("sig_ok", (col("event_type") === "signup").cast("int"))
-      .withColumn("view_ok", (col("event_type") === "view" &&
-        coalesce(max(col("sig_ok")).over(prefix), lit(0)) === 1).cast("int"))
-      .withColumn("click_ok", (col("event_type") === "click" &&
-        coalesce(max(col("view_ok")).over(prefix), lit(0)) === 1).cast("int"))
-      .withColumn("buy_ok", (col("event_type") === "purchase" &&
-        coalesce(max(col("click_ok")).over(prefix), lit(0)) === 1).cast("int"))
-      .groupBy("user_id")
-      .agg(max("sig_ok").as("s"), max("view_ok").as("v"),
-        max("click_ok").as("c"), max("buy_ok").as("b"))
-      .agg(sum("s").as("n_signup"), sum("v").as("n_view"),
-        sum("c").as("n_click"), sum("b").as("n_purchase"))
+    // drive the PRODUCTION stage pipeline (the exact code q86 registers)
+    val staged = graft.ops.Events.funnelFlags(df)
+      .agg(sum("sig").as("n_signup"), sum("vw").as("n_view"),
+        sum("ck").as("n_click"), sum("by").as("n_purchase"))
       .head()
     assert(staged.getAs[Long]("n_signup") == 3) // u1, u2, u3
     assert(staged.getAs[Long]("n_view") == 2)   // u1, u2 (u3's view too early)

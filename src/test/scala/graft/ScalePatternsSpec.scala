@@ -45,7 +45,7 @@ class ScalePatternsSpec extends SparkSpec {
     // as a DynamicPruningExpression into the fact's PartitionFilters at
     // execution time. At 100 TB this is the difference between scanning 2
     // days and scanning 7 years.
-    val dir = java.nio.file.Files.createTempDirectory("graft_dpp")
+    val dir = ops.Sources.scratchDir(spark, "graft_dpp") // shutdown-hook cleaned
     val ev = Tables.events(spark, sf0001)
       .withColumn("day", to_date(col("ts")))
     ev.write.partitionBy("day").mode("overwrite").parquet(s"$dir/fact")

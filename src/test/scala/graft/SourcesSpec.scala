@@ -9,7 +9,7 @@ class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
   test("mergeSchema unions drifted batch schemas by name and nulls the gaps") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_drift_spec")
+    val dir = ops.Sources.scratchDir(spark, "graft_drift_spec") // shutdown-hook cleaned
     Seq((1L, 10L), (2L, 20L)).toDF("id", "a")
       .write.mode("overwrite").parquet(s"$dir/feed/batch=0")
     Seq((3L, 30L, "x")).toDF("id", "b", "c")

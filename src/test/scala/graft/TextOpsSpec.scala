@@ -178,7 +178,7 @@ class TextOpsSpec extends SparkSpec {
       (21L, "totally unrelated text that matches nothing else here"),
       (28L, batch), (35L, batch + " tail")) // batch-internal near pair -> kept
       .toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft_incr_spec")
+    val dir = ops.Sources.scratchDir(spark, "graft_incr_spec") // shutdown-hook cleaned
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("q87_incremental_dedup")(spark, dir.toString)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
