@@ -57,6 +57,33 @@ object Events {
         max(col("click_ok")).as("ck"), max(col("buy_ok")).as("by"))
   }
 
+  /** q93's cohort triangle: (cohort_day, week_n, n_users) where week_n is
+    * the floor-div-7 day offset from each user's own first event. Shared
+    * with EventsSpec. */
+  def retentionCohorts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val firsts = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    events.join(firsts, "user_id")
+      .groupBy(col("cohort_day"),
+        floor(datediff(to_date(col("ts")), col("cohort_day")) / 7)
+          .cast("int").as("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** q94's transition matrix: adjacent event-type bigram counts over each
+    * user's (ts, event_id)-ordered stream. Shared with EventsSpec. */
+  def transitionMatrix(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // JSON-in-string property extraction (events.props, SURVEY.md §2.7).
@@ -249,6 +276,49 @@ object Events {
           sum(col("vw")).cast("bigint").as("n_view"),
           sum(col("ck")).cast("bigint").as("n_click"),
           sum(col("by")).cast("bigint").as("n_purchase"))
+    },
+
+    // Retention COHORT analysis: users grouped by first-seen day, activity
+    // counted per week-offset — the engagement triangle every product
+    // analytics pipeline emits. Shape: one partial+final min-aggregate to
+    // user cardinality, a user_id equi join back (both sides hash-partition
+    // on user_id; the firsts side is already reduced, so the join input is
+    // |users| + |events|, never events²), then one countDistinct aggregate
+    // on the (cohort, week) cell grid. Week offset is day-difference
+    // floor-div 7 from each user's own first day — calendar-agnostic, so
+    // no week-truncation semantics can drift between engines.
+    Q("q93_retention_cohorts",
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_day,
+        |       CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+        |                  / 7.0) AS INT) AS week_n,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      retentionCohorts(Tables.events(s, d))
+        .orderBy(col("cohort_day"), col("week_n"))
+    },
+
+    // Sessionized PATH analysis: the event-type transition matrix (Markov
+    // bigram counts) over each user's time-ordered stream. ONE shuffle +
+    // sort on user_id produces every per-user adjacent pair via lead();
+    // the transition matrix itself is |event_types|² rows — a hash
+    // aggregate whose output is tiny at any corpus size. Ties on ts break
+    // by event_id (unique), so the sequence — and therefore every
+    // transition count — is fully deterministic.
+    Q("q94_event_transitions",
+      """WITH x AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM x WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      transitionMatrix(Tables.events(s, d))
+        .orderBy(col("event_type"), col("next_type"))
     },
 
     // Driver-checked STREAMING entry: the same per-user session aggregation

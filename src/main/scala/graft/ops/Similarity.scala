@@ -313,6 +313,49 @@ object Similarity {
         .select(col("n_exact"), (col("n_missed") === 0).as("covered_ok"))
     },
 
+    // Embedding-cosine near-dup DEDUP (SemDeDup-style semantic dedup) — the
+    // fifth dedup family: LSH-bucketed candidate pairs at cosine ≥ 0.5 over
+    // the FULL corpus (the scale path — no slice bound here), then the
+    // keep-first rule (drop vec_b of every verified pair; vec_id encodes
+    // arrival order, as in q88). Oracle-checked the q35 way: the exact
+    // keep-first dropped count INSIDE the vec_id < 200 slice is DuckDB-
+    // recomputable from the same normalized fold, and the in-engine boolean
+    // asserts the full-corpus LSH dedup caught ≥ 80% of those exact slice
+    // drops (seeded hyperplanes → deterministic). Precision needs no check:
+    // every LSH pair is exact-cosine-verified before the drop decision.
+    Q("q95_semantic_dedup",
+      """WITH n AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |           sqrt(list_sum(list_transform(embedding,
+        |                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings
+        |  WHERE list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0),
+        |sims AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_sum(list_transform(range(1, len(a.nv) + 1),
+        |             i -> a.nv[i] * b.nv[i])) AS sim_raw
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 200 AND b.vec_id < 200)
+        |SELECT count(DISTINCT vec_b) AS n_slice_dropped,
+        |       CAST(1 AS BOOLEAN) AS covered_ok
+        |FROM sims WHERE sim_raw >= 0.5""".stripMargin) { (s, d) =>
+      // full-corpus LSH dedup: every candidate pair is exact-verified at
+      // sim >= 0.5 inside annLsh, so dropping vec_b needs no re-check
+      val lshDropped = annLsh(s, d, threshold = 0.5)
+        .select(col("vec_b")).distinct().localCheckpoint(true)
+      // exact keep-first drops inside the bounded slice (both ends < 200)
+      val exactDropped = exactCosinePairs(s, d, qBound = 200, threshold = 0.5)
+        .filter(col("vec_b") < 200)
+        .select(col("vec_b")).distinct().localCheckpoint(true)
+      exactDropped.agg(count(lit(1)).as("n_slice_dropped"))
+        .crossJoin(exactDropped.join(lshDropped, Seq("vec_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(col("n_slice_dropped"),
+          (col("n_hit") >= col("n_slice_dropped") * 0.8).as("covered_ok"))
+    },
+
     // Per-label embedding centroids — the class-prototype shape (nearest-
     // centroid classifiers, per-class drift monitors) and the one query
     // over embeddings.label. Distributed form: posexplode to (label, pos,

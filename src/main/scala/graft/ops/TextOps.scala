@@ -642,6 +642,86 @@ object TextOps {
         .orderBy(col("source"))
     },
 
+    // WITHIN-document repetition metrics (the Gopher/C4 quality-filter
+    // family): duplicate-token fraction plus the most frequent word bigram
+    // and the fraction of the doc it covers — the standard "repetitive
+    // boilerplate" signals a training-data pipeline thresholds on before
+    // tokenization. Token stats are map-side higher-order functions; the
+    // per-doc top bigram runs explode → (doc, bigram) hash aggregate →
+    // row_number()=1, which stays linear in corpus size (never O(len²)
+    // per doc, unlike an in-array frequency scan). Tie on count breaks to
+    // the lexicographically smallest bigram in both engines.
+    Q("q91_doc_repetition",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(w) AS n_toks, len(list_distinct(w)) AS n_distinct
+        |  FROM t),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)),
+        |                i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM t WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, bigram, c,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY c DESC, bigram) AS rn
+        |  FROM bc)
+        |SELECT b.doc_id, b.n_toks, b.n_distinct,
+        |       round((b.n_toks - b.n_distinct) / CAST(b.n_toks AS DOUBLE), 4)
+        |         AS dup_tok_frac,
+        |       t.bigram AS top_bigram, t.c AS top_bigram_n,
+        |       round(t.c / CAST(b.n_toks - 1 AS DOUBLE), 4) AS top_bigram_frac
+        |FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // Benchmark DECONTAMINATION — the eval-integrity pass every LLM corpus
+    // pipeline runs before training: any corpus doc sharing an 8-token
+    // n-gram with the held-out benchmark set (here the deterministic
+    // doc_id % 97 slice) is flagged as contaminated. The 100 TB shape is
+    // exactly this plan: the benchmark n-gram universe is tiny and
+    // BROADCASTS (a real pipeline ships eval-suite 8-grams, a few MB), so
+    // the corpus side is one map-side shingle explode + broadcast semi
+    // join — the 100 TB corpus is scanned once and never shuffled; only
+    // the matched doc_ids (near-zero cardinality) reach an exchange.
+    Q("q92_decontaminate",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(w) - 6),
+        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |                       w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+        |                       w[i+6] || ' ' || w[i+7])) AS shingle
+        |    FROM t WHERE len(w) >= 8)),
+        |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |cont AS (
+        |  SELECT DISTINCT doc_id FROM sh JOIN b USING (shingle)
+        |  WHERE doc_id % 97 <> 0)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_contaminated
+        |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isBench = col("doc_id") % 97 === 0
+      docs.filter(!isBench)
+        .join(contaminatedIds(docs, isBench, n = 8).withColumn("hit", lit(1)),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hit").isNotNull, 1).otherwise(0)).cast("bigint")
+            .as("n_contaminated"))
+        .orderBy(col("source"))
+    },
+
     // Multimodal-adjacent: byte-level metadata + content hash of the UTF-8
     // payload (sha2 hex matches DuckDB sha256 on identical bytes).
     Q("q32_content_hash",
@@ -655,6 +735,50 @@ object TextOps {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** q91's per-doc repetition metrics (doc_id, n_toks, n_distinct,
+    * dup_tok_frac, top_bigram, top_bigram_n, top_bigram_frac). Docs with
+    * fewer than 2 tokens have no bigram and drop out (inner join), matching
+    * the oracle. Shared with TextOpsSpec. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .localCheckpoint(true) // one tokenize pass feeds stats + bigrams
+    val base = tok.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_toks"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+    val bg = tok.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2)))).as("bigram"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("c"), asc("bigram"))
+    val top = bg.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+        round((col("n_toks") - col("n_distinct")) /
+          col("n_toks").cast("double"), 4).as("dup_tok_frac"),
+        col("bigram").as("top_bigram"), col("c").as("top_bigram_n"),
+        round(col("c") / (col("n_toks") - 1).cast("double"), 4)
+          .as("top_bigram_frac"))
+  }
+
+  /** q92's contamination set: doc_ids OUTSIDE the benchmark slice that share
+    * at least one word n-gram with a benchmark doc. The benchmark n-gram
+    * universe broadcasts (eval suites are MBs, the corpus is TBs), so the
+    * corpus side is scanned once and never shuffled. Shared with
+    * TextOpsSpec. */
+  def contaminatedIds(docs: DataFrame, isBench: Column, n: Int): DataFrame = {
+    val sh = shingles(docs, "text", n)
+    val benchGrams = sh.filter(isBench).select("shingle").distinct()
+    sh.filter(!isBench)
+      .join(broadcast(benchGrams), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+  }
 
   /** SimHash near-dup pairs, production two-stage shape: (1) a 64-bit
     * fingerprint of each doc's SHINGLE SET via the codegen'd

@@ -99,6 +99,37 @@ class EventsSpec extends SparkSpec {
     assert(staged.getAs[Long]("n_purchase") == 1) // u1 only (u2 out of order)
   }
 
+  test("q93 retention cohorts: week offset from each user's own first day") {
+    val df = Seq(
+      (1L, ts("2024-01-01 09:00:00")), // u1 cohort 2024-01-01
+      (1L, ts("2024-01-04 09:00:00")), // day 3  -> week 0
+      (1L, ts("2024-01-09 09:00:00")), // day 8  -> week 1
+      (2L, ts("2024-01-02 09:00:00")), // u2 cohort 2024-01-02
+      (2L, ts("2024-01-17 09:00:00"))) // day 15 -> week 2
+      .toDF("user_id", "ts")
+    val got = graft.ops.Events.retentionCohorts(df)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L),
+      ("2024-01-02", 0, 1L), ("2024-01-02", 2, 1L)))
+  }
+
+  test("q94 transitions: per-user adjacency, ts ties broken by event_id") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:05:00"), "b"),
+      (3L, 1L, ts("2024-01-01 10:06:00"), "a"),
+      // u2: same ts -> event_id orders x before y
+      (4L, 2L, ts("2024-01-01 11:00:00"), "x"),
+      (5L, 2L, ts("2024-01-01 11:00:00"), "y"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Events.transitionMatrix(df)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 1L), ("b", "a", 1L), ("x", "y", 1L)))
+  }
+
   test("streaming sessions equal the batch q25 aggregation") {
     val batch = SparkEntry.queries("q25_session_window")(spark, sf0001)
       .select("user_id", "session_start", "n_events", "total_value")

@@ -140,6 +140,15 @@ class PlanQualitySpec extends SparkSpec {
       s"funnel should sort once per user partition, saw $shuffles hash exchanges:\n$p")
   }
 
+  test("q92: the benchmark n-gram set broadcasts; the corpus probe is a semi join") {
+    val p = planOf("q92_decontaminate")
+    // the eval-suite gram universe is MBs at any corpus size — it must ride
+    // a broadcast semi join so the 100 TB corpus side never shuffles for
+    // the contamination probe
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark grams not broadcast into a semi join:\n$p")
+  }
+
   test("q26: distinct aggregates stay a two-shuffle expand, no extra scans") {
     val p = planOf("q26_dedup_exact")
     // one scan of documents feeds the whole distinct-aggregate pipeline

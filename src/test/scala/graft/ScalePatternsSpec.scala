@@ -96,4 +96,42 @@ class ScalePatternsSpec extends SparkSpec {
       .filter(col("k") === "hot").select("salt").distinct().count()
     assert(hotBuckets > 8, s"hot key only hit $hotBuckets salt buckets")
   }
+
+  test("runtime bloom filter semi-join-reduces the probe side of a shuffle join") {
+    // the 100 TB semi-join-reduction pattern: a selective dim-side filter
+    // is turned into a bloom filter evaluated INSIDE the fact scan's stage,
+    // so non-matching fact rows die before the join shuffle instead of
+    // after it. Spark injects it (InjectRuntimeFilter) when the join is
+    // not broadcast and the application side is large — thresholds lowered
+    // here since the test corpus is tiny.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val dim = Tables.orders(spark, sf0001)
+        .filter(col("o_totalprice") > 500000) // selective: a handful of orders
+        .select("o_orderkey")
+      val fact = Tables.lineitem(spark, sf0001)
+        .select("l_orderkey", "l_extendedprice")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the probe side:\n$plan")
+      // and the reduction is semantics-preserving
+      val expect = Tables.lineitem(spark, sf0001)
+        .join(Tables.orders(spark, sf0001).filter(col("o_totalprice") > 500000),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+        .head()
+      assert(joined.head() == expect)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

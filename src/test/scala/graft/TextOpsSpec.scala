@@ -163,6 +163,35 @@ class TextOpsSpec extends SparkSpec {
     assert(dropped == Set(2L, 3L)) // c dropped although its dropper b was too
   }
 
+  test("q91 repetition stats: dup-token fraction, top bigram with lex tie-break") {
+    val docs = Seq(
+      (1L, "a b a b a"), // 5 toks, 2 distinct; bigrams a-b x2, b-a x2 -> tie, "a b" wins
+      (2L, "x"),         // one token, no bigram -> dropped
+      (3L, "c c c"))     // fully repetitive: top bigram covers all 2 bigrams
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs).orderBy("doc_id").collect()
+    assert(got.length == 2)
+    val r1 = got(0)
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 5L && r1.getLong(2) == 2L)
+    assert(r1.getDouble(3) == 0.6)
+    assert(r1.getString(4) == "a b" && r1.getLong(5) == 2L && r1.getDouble(6) == 0.5)
+    val r3 = got(1)
+    assert(r3.getLong(0) == 3L && r3.getDouble(3) == 0.6667)
+    assert(r3.getString(4) == "c c" && r3.getDouble(6) == 1.0)
+  }
+
+  test("q92 decontamination: shared n-gram with a benchmark doc flags the doc") {
+    val docs = Seq(
+      (100L, "alpha beta gamma delta"),  // benchmark
+      (1L, "zzz alpha beta gamma qqq"),  // shares "alpha beta gamma" -> flagged
+      (2L, "foo bar baz qux quux"),      // clean
+      (3L, "beta gamma delta"))          // shares bench trailing 3-gram -> flagged
+      .toDF("doc_id", "text")
+    val got = TextOps.contaminatedIds(docs, col("doc_id") === 100L, n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("q87 incremental dedup ignores corpus- and batch-internal duplicates") {
     // new batch = doc_id % 7 == 0. The operator must flag ONLY new docs
     // whose duplicate lives in the corpus — pairs inside the corpus and
