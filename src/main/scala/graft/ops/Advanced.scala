@@ -420,6 +420,94 @@ object Advanced {
           round(coalesce(sum(col("value")).over(w), lit(0.0)), 2).as("hour_sum"),
           count(lit(1)).over(w).as("hour_n"))
         .orderBy(col("event_id"))
+    },
+
+    // Data-quality CONSTRAINT AUDIT (the Deequ/Great-Expectations shape):
+    // the checks a pipeline gates ingest on — row count, null counts,
+    // primary-key uniqueness, value-range bounds, referential integrity —
+    // computed as ONE single-pass aggregate over the fact table (count /
+    // null-count / distinct-PK / min / max all share the scan) plus one
+    // keyed anti join for orphans. At 100 TB this is the nightly table
+    // health report: every check is an aggregate, nothing collects, and
+    // the orphan probe stays a shuffle-keyed anti join (bloom-filter
+    // reducible, see ScalePatternsSpec).
+    Q("q97_quality_audit",
+      """SELECT l.n_rows, l.n_null_qty, l.n_rows - l.n_pk AS n_pk_dups,
+        |       l.qmin >= 1 AND l.qmax <= 50 AS qty_range_ok,
+        |       l.dmin >= 0 AND l.dmax <= 0.1 AS disc_range_ok,
+        |       o.n_orphans
+        |FROM (SELECT count(*) AS n_rows,
+        |             count(*) - count(l_quantity) AS n_null_qty,
+        |             count(DISTINCT (l_orderkey, l_linenumber)) AS n_pk,
+        |             min(l_quantity) AS qmin, max(l_quantity) AS qmax,
+        |             min(l_discount) AS dmin, max(l_discount) AS dmax
+        |      FROM lineitem) l
+        |CROSS JOIN (SELECT count(*) AS n_orphans FROM lineitem li
+        |            WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                              WHERE o.o_orderkey = li.l_orderkey)) o
+        |""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val stats = li.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("l_quantity"))).as("n_null_qty"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"),
+        min(col("l_quantity")).as("qmin"), max(col("l_quantity")).as("qmax"),
+        min(col("l_discount")).as("dmin"), max(col("l_discount")).as("dmax"))
+      val orphans = li.select("l_orderkey")
+        .join(Tables.orders(s, d).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      stats.crossJoin(orphans)
+        .select(col("n_rows"), col("n_null_qty"),
+          (col("n_rows") - col("n_pk")).as("n_pk_dups"),
+          (col("qmin") >= 1 && col("qmax") <= 50).as("qty_range_ok"),
+          (col("dmin") >= 0 && col("dmax") <= 0.1).as("disc_range_ok"),
+          col("n_orphans"))
+    },
+
+    // SNAPSHOT DIFF — the CDC companion to q81's merge: given two table
+    // versions keyed by primary key, classify every key as added / removed
+    // / changed / unchanged via ONE full outer join (each side shuffles
+    // once on the key; classification is map-side null/equality logic; the
+    // result collapses to a 4-row report). v1 is a deterministic evolution
+    // of orders (delete %13, re-price %7 by +5%, insert %17 re-keyed
+    // +10M), so the oracle recomputes the identical diff from the base
+    // table alone — a dropped class or a mis-joined key breaks the hash.
+    Q("q98_snapshot_diff",
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05
+        |              ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |d AS (
+        |  SELECT b.o_totalprice AS bp, v1.price AS np
+        |  FROM orders b FULL JOIN v1 ON b.o_orderkey = v1.k)
+        |SELECT CASE WHEN bp IS NULL THEN 'added'
+        |            WHEN np IS NULL THEN 'removed'
+        |            WHEN bp <> np THEN 'changed'
+        |            ELSE 'unchanged' END AS verdict,
+        |       count(*) AS n_keys
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val v1 = base.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.05)
+            .otherwise(col("o_totalprice")).as("price"))
+        .unionByName(base.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 10000000L).as("k"),
+            col("o_totalprice").as("price")))
+      base.join(v1, col("o_orderkey") === col("k"), "full_outer")
+        .select(
+          when(col("o_totalprice").isNull, "added")
+            .when(col("price").isNull, "removed")
+            .when(col("o_totalprice") =!= col("price"), "changed")
+            .otherwise("unchanged").as("verdict"))
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("verdict"))
     }
   )
 }

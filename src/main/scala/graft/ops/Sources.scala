@@ -285,6 +285,45 @@ object Sources {
           round(sum(col("l_extendedprice")), 2).as("sum_price"))
     },
 
+    // Z-ORDER clustered layout — the multi-dimensional leg of the layout
+    // family (q77 directories / q78 buckets / q89 single-column sort):
+    // interleaving the bits of (user_id, day) into a Morton value and
+    // range-partitioning + sorting on it gives every output file a tight
+    // bounding box on BOTH dimensions at once, so a scan filtered on either
+    // — or both — skips files via parquet min/max stats. Single-column
+    // sorting can only bound its own column; this is what
+    // `OPTIMIZE ZORDER BY` does on 100 TB fact tables with two common
+    // filter dimensions. The z-value is a pure codegen'd bit expression
+    // (functions.ZOrder), computed on the fly and never stored. The query
+    // proves the round trip: a 2-D range aggregate off the clustered copy
+    // equals the oracle's aggregate off the base table; SourcesSpec pins
+    // the physical property (per-file bounding boxes cover a fraction of
+    // the grid).
+    Q("q96_zorder_layout",
+      """SELECT count(*) AS n_rows,
+        |       round(sum(value), 2) AS total_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 59
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+        |""".stripMargin) { (s, d) =>
+      val dir = Sources.scratchDir(s, "graft_zorder")
+      val day = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+      val z = graft.functions.ZOrder.zvalue(col("user_id"), day, bits = 8)
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "value")
+        .repartitionByRange(8, z)
+        .sortWithinPartitions(z)
+        .write.mode("overwrite").parquet(s"$dir/ev_z")
+      s.read.parquet(s"$dir/ev_z")
+        .filter(col("user_id").between(40, 59) &&
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("value")), 2).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
     // Keyed upsert/merge on immutable parquet — the rewrite pattern every
     // non-transactional lakehouse uses (Delta/Iceberg MERGE compiles to the
     // same thing): updated rows replace their base rows via

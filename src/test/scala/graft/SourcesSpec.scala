@@ -57,4 +57,31 @@ class SourcesSpec extends SparkSpec {
     assert(ranges.forall { case (lo, hi) =>
       lo.isAfter(globalLo) || hi.isBefore(globalHi) })
   }
+
+  test("q96 z-order layout: per-file bounding boxes cover a fraction of the 2-D grid") {
+    // run the query once so the clustered copy exists in the scratch dir
+    SparkEntry.queries("q96_zorder_layout")(spark, sf0001).collect()
+    val dir = ops.Sources.scratchDir(spark, "graft_zorder")
+    val withDay = spark.read.parquet(s"$dir/ev_z")
+      .withColumn("day", datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+    val boxes = withDay
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("day").as("dlo"), max("day").as("dhi"))
+      .collect()
+      .map(r => (r.getAs[Long]("ulo"), r.getAs[Long]("uhi"),
+        r.getAs[Int]("dlo"), r.getAs[Int]("dhi")))
+    assert(boxes.length > 1, "z repartition produced a single file")
+    val gU = (boxes.map(_._1).min, boxes.map(_._2).max)
+    val gD = (boxes.map(_._3).min, boxes.map(_._4).max)
+    val gridArea = (gU._2 - gU._1 + 1).toDouble * (gD._2 - gD._1 + 1)
+    val avgArea = boxes.map { case (ulo, uhi, dlo, dhi) =>
+      (uhi - ulo + 1).toDouble * (dhi - dlo + 1) }.sum / boxes.length
+    // z-clustering must bound BOTH dimensions per file: with >= 4 files the
+    // average bounding box should cover well under half the global grid
+    // (single-column sorting leaves the other dimension's extent ~full)
+    assert(avgArea < 0.5 * gridArea,
+      s"z-order boxes too loose: avg $avgArea vs grid $gridArea " +
+        boxes.mkString(", "))
+  }
 }
