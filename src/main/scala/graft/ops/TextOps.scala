@@ -733,6 +733,93 @@ object TextOps {
           octet_length(col("text")).cast("long").as("n_bytes"),
           sha2(col("text").cast("binary"), 256).as("content_sha"))
         .orderBy(col("doc_id"))
+    },
+
+    // Sensitive-term scrub (the PII-redaction shape of a curation pipeline:
+    // regex → replace → audit counts). The corpus is synthetic word salad,
+    // so two vocabulary words stand in for the sensitive-term lexicon; the
+    // plumbing — one map-side regexp_replace + regexp_extract_all pass, a
+    // per-source audit aggregate, zero shuffles beyond the final tiny
+    // groupBy — is exactly the production shape. `\b(...)\b` parses
+    // identically in Java regex and DuckDB's RE2.
+    Q("q99_redact",
+      """WITH r AS (
+        |  SELECT source,
+        |         len(regexp_extract_all(text, '\b(customer|vector)\b')) AS n_hits,
+        |         length(text)
+        |           - length(regexp_replace(text, '\b(customer|vector)\b', '[X]', 'g'))
+        |           AS delta
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_docs_hit,
+        |       CAST(sum(n_hits) AS BIGINT) AS n_redactions,
+        |       CAST(sum(delta) AS BIGINT) AS chars_removed
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val pat = "\\b(customer|vector)\\b"
+      val redacted = Tables.documents(s, d).select(
+        col("source"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_hits"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), pat, "[X]"))).as("delta"))
+      redacted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_hits") > 0, 1).otherwise(0)).cast("long").as("n_docs_hit"),
+          sum(col("n_hits")).cast("long").as("n_redactions"),
+          sum(col("delta")).cast("long").as("chars_removed"))
+        .orderBy(col("source"))
+    },
+
+    // Token-window chunking — the training-prep operator that splits each
+    // document into fixed-size overlapping windows (16 tokens, stride 12,
+    // tail-aligned so the last window still spans 16 tokens and coverage is
+    // total). Start offsets are generated per row (sequence + explode =
+    // map-side fan-out, no shuffle until the audit aggregate), the window
+    // itself is a slice of the one tokens array. Both engines build the
+    // SAME chunk strings, so n_uniq_chunks hash-checks the actual window
+    // CONTENT, not just the counting arithmetic.
+    Q("q100_chunk_windows",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, source, w, len(w) AS n FROM t WHERE len(w) >= 1),
+        |st AS (
+        |  SELECT doc_id, source, n, w,
+        |         unnest(CASE WHEN n <= 16 THEN [CAST(0 AS BIGINT)]
+        |                     WHEN (n - 16) % 12 = 0 THEN range(0, n - 16 + 1, 12)
+        |                     ELSE list_append(range(0, n - 16 + 1, 12),
+        |                                      CAST(n - 16 AS BIGINT)) END) AS s0
+        |  FROM n),
+        |c AS (
+        |  SELECT doc_id, source, n,
+        |         array_to_string(list_slice(w, s0 + 1, least(s0 + 16, n)), ' ')
+        |           AS chunk
+        |  FROM st)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        |       count(DISTINCT chunk) AS n_uniq_chunks,
+        |       CAST(sum(least(n, 16)) AS BIGINT) AS sum_chunk_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val win = 16
+      val stride = 12
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") >= 1)
+      val starts = when(col("n") <= win, array(lit(0)))
+        .otherwise(when(((col("n") - win) % stride) === 0,
+            sequence(lit(0), col("n") - win, lit(stride)))
+          .otherwise(concat(sequence(lit(0), col("n") - win, lit(stride)),
+            array(col("n") - win))))
+      toks.withColumn("s0", explode(starts))
+        .select(col("doc_id"), col("source"), col("n"),
+          concat_ws(" ", slice(col("w"), col("s0") + 1, lit(win))).as("chunk"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk")).as("n_uniq_chunks"),
+          sum(least(col("n"), lit(win))).cast("long").as("sum_chunk_tokens"))
+        .orderBy(col("source"))
     }
   )
 
