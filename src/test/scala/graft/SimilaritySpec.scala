@@ -51,4 +51,14 @@ class SimilaritySpec extends SparkSpec {
     assert(prop.getAs[Long]("n_exact") == exact.size.toLong)
     assert(prop.getAs[Boolean]("covered_ok"))
   }
+
+  test("q101 matryoshka truncation: unit norms, rerank bound, determinism") {
+    def run() = SparkEntry.queries("q101_matryoshka")(spark, sf0001).collect().head
+    val r = run()
+    // every embedding at sf0.001 has a nonzero 16-dim prefix
+    assert(r.getAs[Long]("n_vecs") == Tables.embeddings(spark, sf0001).count())
+    assert(r.getAs[Boolean]("norm_ok"))
+    assert(r.getAs[Boolean]("rerank_ok"))
+    assert(run() == r, "truncation harness must be deterministic run-to-run")
+  }
 }

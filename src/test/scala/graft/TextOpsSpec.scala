@@ -213,4 +213,43 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(out == Map("dup_exact" -> 1L, "near_dup" -> 1L, "kept" -> 3L), out)
   }
+
+  test("q99 redaction counts agree with a token-level recount") {
+    // the corpus is space-separated word salad, so every \b(term)\b regex
+    // hit is a whole token — an independent token-filter recount must land
+    // on exactly the same totals, and chars_removed is determined by the
+    // per-term length arithmetic (term_len - len("[X]"))
+    val out = SparkEntry.queries("q99_redact")(spark, sf0001)
+      .agg(sum("n_redactions"), sum("chars_removed")).head()
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+    val byTerm = toks.filter(col("t").isin("customer", "vector"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nHits = byTerm.values.sum
+    val delta = byTerm.getOrElse("customer", 0L) * ("customer".length - 3) +
+      byTerm.getOrElse("vector", 0L) * ("vector".length - 3)
+    assert(out.getLong(0) == nHits)
+    assert(out.getLong(1) == delta)
+  }
+
+  test("q100 chunk windows: counts and coverage on crafted token lengths") {
+    // n=5 -> one short chunk; n=16 -> one exact window; n=17 -> starts 0,1
+    // (tail-aligned, both 16 wide); n=28 -> stride-aligned starts 0,12;
+    // n=30 -> starts 0,12,14 (tail window added)
+    def doc(id: Long, n: Int) =
+      (id, "s", (1 to n).map(i => s"d${id}w$i").mkString(" "))
+    val docs = Seq(doc(1, 5), doc(2, 16), doc(3, 17), doc(4, 28), doc(5, 30))
+      .toDF("doc_id", "source", "text")
+    val dir = ops.Sources.scratchDir(spark, "graft_chunk_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q100_chunk_windows")(spark, dir.toString)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("n_chunks") == (1 + 1 + 2 + 2 + 3))
+    // every chunk is 16 tokens except doc 1's single 5-token chunk
+    assert(r.getAs[Long]("sum_chunk_tokens") == (5 + 16 + 2 * 16 + 2 * 16 + 3 * 16))
+    // distinct token vocabularies per doc -> no cross-doc chunk collisions,
+    // and within a doc only distinct windows (doc 3's two windows differ)
+    assert(r.getAs[Long]("n_uniq_chunks") == r.getAs[Long]("n_chunks"))
+  }
 }
