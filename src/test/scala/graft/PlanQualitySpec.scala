@@ -155,4 +155,28 @@ class PlanQualitySpec extends SparkSpec {
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected a single documents scan, saw $scans:\n$p")
   }
+
+  test("q99: the redaction scrub is one map-side pass over one scan") {
+    val p = planOf("q99_redact")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single documents scan, saw $scans:\n$p")
+    // regex work happens before the only exchange: per-source partial rows
+    // are all that shuffle at any corpus size
+    assert(p.contains("partial"), s"no partial aggregation:\n$p")
+  }
+
+  test("q100: chunk fan-out generates map-side; only audit partials shuffle") {
+    val p = planOf("q100_chunk_windows")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single documents scan, saw $scans:\n$p")
+    // the window fan-out is a Generate directly over the scan's projection —
+    // chunks are born and partially aggregated before any exchange. Plan
+    // toString prints root-first, so "Generate below the exchange" means
+    // Generate appears at a LARGER index than the last Exchange.
+    assert(p.contains("Generate explode"), s"no generate fan-out:\n$p")
+    val genIdx = p.indexOf("Generate")
+    val lastExIdx = p.lastIndexOf("Exchange")
+    assert(genIdx >= 0 && (lastExIdx < 0 || genIdx > lastExIdx),
+      s"explode must run below every exchange (map side):\n$p")
+  }
 }
