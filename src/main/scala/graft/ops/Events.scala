@@ -378,6 +378,39 @@ object Events {
         .select(col("n_sessions"),
           (col("n_extra") === 0 && col("n_missing") === 0 &&
             col("max_value_diff") <= 0.011).as("parity_ok"))
+    },
+
+    // Streaming ingest dedup — the at-least-once→exactly-once repair every
+    // streaming corpus pipeline needs: two replays of the events feed are
+    // unioned (every event arrives twice) and
+    // dropDuplicatesWithinWatermark(event_id) must emit each exactly once.
+    // State is bounded by the watermark horizon (keys older than the
+    // watermark are evicted — the property that makes streaming dedup
+    // viable at 100 TB, where an unbounded seen-set would OOM); parity is
+    // checked in-engine against the batch distinct: same count, no id seen
+    // twice, and the duplicated input really was 2× the table. The oracle
+    // recomputes the batch distinct straight from parquet.
+    Q("q106_stream_dedup",
+      """SELECT count(DISTINCT event_id) AS n_unique,
+        |       CAST(1 AS BOOLEAN) AS dedup_ok
+        |FROM events""".stripMargin) { (s, d) =>
+      import graft.streaming.EventStreams
+      val feed = EventStreams.readEvents(s, d)
+        .unionByName(EventStreams.readEvents(s, d))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val deduped = EventStreams.runToMemory(s, feed, "q106_dedup",
+          outputMode = "append")
+        .select(col("event_id")).localCheckpoint(true)
+      val nBatch = Tables.events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_unique"))
+      nBatch.crossJoin(deduped.agg(count(lit(1)).as("n_stream"),
+          countDistinct(col("event_id")).as("n_stream_unique")))
+        .select(col("n_unique"),
+          (col("n_stream") === col("n_unique") &&
+            col("n_stream_unique") === col("n_unique") &&
+            col("n_stream") === col("n_rows")).as("dedup_ok"))
     }
   )
 }

@@ -360,6 +360,35 @@ object Sources {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy(col("status"))
+    },
+
+    // JSONL corpus round-trip — JSONL is THE interchange format for LLM
+    // training corpora, and free text is its hazard case: quotes, slashes
+    // and control characters must survive the escape→parse cycle
+    // byte-exact. The documents table is written as JSON-lines, read back
+    // with the explicit schema (never inferred), and audited per source;
+    // n_uniq_texts compares count(DISTINCT md5(text)) of the round-tripped
+    // copy against the oracle's straight-from-parquet value, so a single
+    // mangled byte in any document breaks the hash. Writer/reader both
+    // stream partition-parallel — no single-file choke point.
+    Q("q105_jsonl_corpus",
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_uniq_texts,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+        |       CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_len_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dir = Sources.scratchDir(s, "graft_jsonl")
+      docs.write.mode("overwrite").json(s"$dir/docs_jsonl")
+      s.read.schema(docs.schema).json(s"$dir/docs_jsonl")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_uniq_texts"),
+          sum(length(col("text"))).cast("long").as("sum_text_chars"),
+          sum(when(length(col("text")) === col("n_chars"), 1).otherwise(0))
+            .cast("long").as("n_len_ok"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -797,7 +797,7 @@ object TextOps {
         |           AS chunk
         |  FROM st)
         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
-        |       count(DISTINCT chunk) AS n_uniq_chunks,
+        |       count(DISTINCT md5(chunk)) AS n_uniq_chunks,
         |       CAST(sum(least(n, 16)) AS BIGINT) AS sum_chunk_tokens
         |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       val win = 16
@@ -813,13 +813,143 @@ object TextOps {
             array(col("n") - win))))
       toks.withColumn("s0", explode(starts))
         .select(col("doc_id"), col("source"), col("n"),
-          concat_ws(" ", slice(col("w"), col("s0") + 1, lit(win))).as("chunk"))
+          // distinct over the DIGEST, not the window text: the multi-
+          // distinct Expand replicates every chunk row per distinct agg,
+          // so hashing first shrinks what the exchange carries from a
+          // ~16-token string to 32 hex chars while still hash-checking
+          // the window CONTENT (both engines digest the same bytes)
+          md5(concat_ws(" ", slice(col("w"), col("s0") + 1, lit(win)))
+            .cast("binary")).as("chunk_md5"))
         .groupBy(col("source"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_chunks"),
-          countDistinct(col("chunk")).as("n_uniq_chunks"),
+          countDistinct(col("chunk_md5")).as("n_uniq_chunks"),
           sum(least(col("n"), lit(win))).cast("long").as("sum_chunk_tokens"))
         .orderBy(col("source"))
+    },
+
+    // Sequence packing — the pretraining-prep operator that concatenates
+    // tokenized documents in deterministic doc_id order and splits the token
+    // stream into fixed 64-token training sequences, documents straddling
+    // sequence boundaries (GPT-style concat-then-chunk). Packing runs PER
+    // SOURCE — the production shape at 100 TB: each shard packs
+    // independently in parallel (one global ordering would serialize the
+    // corpus through a single sort), so the cumulative offset window never
+    // crosses the executor that owns the shard. Everything after the one
+    // tokenize pass is window arithmetic on (source, n) — the token arrays
+    // themselves are never shuffled.
+    Q("q102_sequence_pack",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(string_split_regex(trim(lower(text)), '\s+')) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, n,
+        |         coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                  0) AS off
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS total_tokens,
+        |       CAST((sum(n) + 63) // 64 AS BIGINT) AS n_seqs,
+        |       CAST(sum(CASE WHEN (off + n - 1) // 64 > off // 64
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+        |       round(count(*) / CAST((sum(n) + 63) // 64 AS DOUBLE), 4)
+        |         AS docs_per_seq
+        |FROM p GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val seqLen = 64
+      val t = Tables.documents(s, d).select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nSeqs = floor((sum(col("n")) + seqLen - 1) / seqLen).cast("long")
+      t.withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("total_tokens"),
+          nSeqs.as("n_seqs"),
+          sum(when(floor((col("off") + col("n") - 1) / seqLen) >
+            floor(col("off") / seqLen), 1).otherwise(0))
+            .cast("long").as("n_straddlers"),
+          round(count(lit(1)) / nSeqs.cast("double"), 4).as("docs_per_seq"))
+        .orderBy(col("source"))
+    },
+
+    // Mixture sampling — downsample each source to a target mixture weight
+    // WITHOUT RNG: a doc survives iff the first 16 bits of md5(doc_id) fall
+    // under the weight threshold (0x4000/0x8000/0xc000 ≡ 25/50/75%, every
+    // 4th source kept whole). Hash-thresholding is the 100 TB mixture
+    // shape: the decision is a map-side pure function of the row, so a
+    // retried task, a re-run, or a different partition layout samples
+    // IDENTICALLY (RNG sampling changes membership under retries), and the
+    // kept set composes with any downstream hash-split (q68) or shard
+    // assignment (q104) because the hashes are independent.
+    Q("q103_mixture_sample",
+      """WITH t AS (
+        |  SELECT source, n_chars,
+        |         CAST(substr(source, 4) AS INT) % 4 AS tier,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, n_chars,
+        |         CASE CAST(tier AS INT)
+        |           WHEN 0 THEN h < '4000' WHEN 1 THEN h < '8000'
+        |           WHEN 2 THEN h < 'c000' ELSE TRUE END AS keep
+        |  FROM t)
+        |SELECT source, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(avg(CASE WHEN keep THEN CAST(n_chars AS DOUBLE) END), 2)
+        |         AS kept_avg_chars
+        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+      val tier = substring(col("source"), 4, 10).cast("int") % 4
+      val keep = when(tier === 0, h < "4000").when(tier === 1, h < "8000")
+        .when(tier === 2, h < "c000").otherwise(lit(true))
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"), keep.as("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+          round(avg(when(col("keep"), col("n_chars").cast("double"))), 2)
+            .as("kept_avg_chars"))
+        .orderBy(col("source"))
+    },
+
+    // Seeded global shuffle + sharding — the "shuffle the corpus before
+    // training" operator. Shard = first hex digit of md5(seed ‖ doc_id)
+    // (16 shards), position within shard = rank in hash order: exactly
+    // `repartition(nShards, h).sortWithinPartitions(h)` — an all-to-all
+    // exchange plus a PER-SHARD sort, never a single global sort. The
+    // position-weighted checksum Σ pos·doc_id pins the within-shard ORDER
+    // (not just membership) to the oracle, and the seed in the hash makes
+    // epoch-to-epoch reshuffles a one-literal change that provably
+    // re-permutes every shard.
+    Q("q104_shuffle_shards",
+      """WITH h AS (
+        |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, substr(hk, 1, 1) AS shard,
+        |         row_number() OVER (PARTITION BY substr(hk, 1, 1)
+        |                            ORDER BY hk, doc_id) AS pos
+        |  FROM h)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS member_checksum,
+        |       CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hk = md5(concat(lit("42:"), col("doc_id").cast("string")).cast("binary"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), hk.as("hk"))
+        .withColumn("shard", substring(col("hk"), 1, 1))
+        .withColumn("pos", row_number().over(w))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("member_checksum"),
+          sum(col("pos") * col("doc_id")).cast("long").as("order_checksum"))
+        .orderBy(col("shard"))
     }
   )
 
