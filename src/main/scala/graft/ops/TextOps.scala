@@ -950,6 +950,113 @@ object TextOps {
           sum(col("doc_id")).cast("long").as("member_checksum"),
           sum(col("pos") * col("doc_id")).cast("long").as("order_checksum"))
         .orderBy(col("shard"))
+    },
+
+    // Sub-document (line-level) dedup — the ccnet/Gopher curation step that
+    // removes REPEATED LINES across the whole corpus, not whole-document
+    // dups: boilerplate headers/footers recur in millions of otherwise
+    // distinct pages. This corpus has no newlines, so a "line" is a fixed
+    // 10-token unit; an instance survives iff it is the corpus-wide FIRST
+    // occurrence of its digest ((doc_id, idx) minimal — deterministic, no
+    // tie possible). One explode, one shuffle (the digest window); the
+    // exchange carries digests, never line text. At 100 TB the same plan
+    // holds: line hashes partition uniformly, and first-occurrence-wins
+    // needs no global order — just the per-hash min.
+    Q("q107_line_dedup",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, source,
+        |         unnest(range(0, (len(w) + 9) // 10)) AS idx, w
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, source, idx,
+        |         md5(array_to_string(list_slice(w, idx * 10 + 1,
+        |             least((idx + 1) * 10, len(w))), ' ')) AS lh
+        |  FROM l),
+        |r AS (
+        |  SELECT source,
+        |         row_number() OVER (PARTITION BY lh ORDER BY doc_id, idx)
+        |           AS rn
+        |  FROM h)
+        |SELECT source, count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE), 4) AS kept_frac
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lineLen = 10
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+      val lines = toks
+        .withColumn("idx",
+          explode(sequence(lit(0), floor((size(col("w")) - 1) / lineLen)
+            .cast("int"))))
+        .select(col("doc_id"), col("source"), col("idx"),
+          md5(concat_ws(" ",
+            slice(col("w"), col("idx") * lineLen + 1, lit(lineLen)))
+            .cast("binary")).as("lh"))
+      val w = Window.partitionBy(col("lh")).orderBy(col("doc_id"), col("idx"))
+      lines.withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).cast("long").as("n_kept"),
+          round(sum(when(col("rn") === 1, 1).otherwise(0)) /
+            count(lit(1)).cast("double"), 4).as("kept_frac"))
+        .orderBy(col("source"))
+    },
+
+    // Source upsampling — the other half of mixture control (q103
+    // downsamples): low-resource sources are repeated to an over-unity
+    // target rate, the fractional part resolved per doc by the SAME
+    // md5-threshold device (floor(w) copies always, one more iff the first
+    // 16 md5 bits fall under frac(w)·2^16 ≈ 0x8000 for .5). Every copy is
+    // emitted with its copy index — explode(sequence), map-side, no
+    // shuffle before the audit aggregate — and the copy-weighted checksum
+    // pins that the fan-out really produced distinguishable replicas, not
+    // a multiplied count. Deterministic across retries like q103/q104.
+    Q("q108_source_upsample",
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(substr(source, 4) AS INT) % 3 AS tier,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, doc_id,
+        |         CASE CAST(tier AS INT)
+        |           WHEN 0 THEN 1
+        |           WHEN 1 THEN 1 + (CASE WHEN h < '8000' THEN 1 ELSE 0 END)
+        |           ELSE 2 + (CASE WHEN h < '8000' THEN 1 ELSE 0 END)
+        |         END AS n_copies
+        |  FROM t),
+        |e AS (
+        |  SELECT source, doc_id, unnest(range(1, n_copies + 1)) AS copy
+        |  FROM k)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_emitted,
+        |       round(count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE), 4)
+        |         AS realized_rate,
+        |       CAST(sum(copy * doc_id) AS BIGINT) AS copy_checksum
+        |FROM e GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+      val tier = substring(col("source"), 4, 10).cast("int") % 3
+      val extra = when(h < "8000", 1).otherwise(0)
+      val nCopies = when(tier === 0, lit(1))
+        .when(tier === 1, lit(1) + extra)
+        .otherwise(lit(2) + extra)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), nCopies.as("n_copies"))
+        .withColumn("copy", explode(sequence(lit(1), col("n_copies"))))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_emitted"),
+          round(count(lit(1)) / countDistinct(col("doc_id")).cast("double"), 4)
+            .as("realized_rate"),
+          sum(col("copy") * col("doc_id")).cast("long").as("copy_checksum"))
+        .orderBy(col("source"))
     }
   )
 

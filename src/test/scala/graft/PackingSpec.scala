@@ -96,6 +96,47 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("q107: line-dedup counts match a first-occurrence-wins reference") {
+    val lines = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .flatMap { r =>
+        val w = r.getString(2).trim.toLowerCase.split("\\s+")
+        w.grouped(10).zipWithIndex.map { case (g, i) =>
+          (r.getLong(0), r.getString(1), i, g.mkString(" ")) }
+      }
+    val firstOwner = lines.groupBy(_._4).map { case (line, occ) =>
+      line -> occ.map(o => (o._1, o._3)).min }
+    val expected = lines.groupBy(_._2).map { case (src, ls) =>
+      src -> ((ls.length.toLong,
+        ls.count(l => firstOwner(l._4) == ((l._1, l._3))).toLong))
+    }
+    val got = q("q107_line_dedup").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, e) => assert(got(src) == e, s"source $src") }
+  }
+
+  test("q108: upsample fan-out matches the per-tier copy-count reference") {
+    val expected = docTokens.groupBy(_._2).map { case (src, docs) =>
+      val tier = src.drop(3).toInt % 3
+      val copies = docs.map { case (id, _, _) =>
+        val extra = if (md5hex(id.toString).take(4) < "8000") 1 else 0
+        id -> (tier match {
+          case 0 => 1
+          case 1 => 1 + extra
+          case _ => 2 + extra
+        })
+      }
+      src -> ((copies.size.toLong, copies.map(_._2.toLong).sum,
+        copies.map { case (id, k) => (1L to k).map(_ * id).sum }.sum))
+    }
+    val got = q("q108_source_upsample").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, e) => assert(got(src) == e, s"source $src") }
+  }
+
   test("q106: streaming dedup emits each doubled event exactly once") {
     val row = q("q106_stream_dedup").collect().head
     val n = Tables.events(spark, sf0001)

@@ -114,7 +114,7 @@ class PlanQualitySpec extends SparkSpec {
     // crossJoins (broadcast BNLJ by construction) and their semantics are
     // pinned by RowsOnlySpec/SimilaritySpec/EventsSpec.
     val heavyEager = Set("q40_rf_regression", "q41_kmeans_embeddings",
-      "q76_stream_sessions")
+      "q76_stream_sessions", "q106_stream_dedup")
     val offenders = SparkEntry.registry
       .filterNot(q => heavyEager(q.name)).flatMap { q =>
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -174,6 +174,55 @@ class PlanQualitySpec extends SparkSpec {
     // toString prints root-first, so "Generate below the exchange" means
     // Generate appears at a LARGER index than the last Exchange.
     assert(p.contains("Generate explode"), s"no generate fan-out:\n$p")
+    val genIdx = p.indexOf("Generate")
+    val lastExIdx = p.lastIndexOf("Exchange")
+    assert(genIdx >= 0 && (lastExIdx < 0 || genIdx > lastExIdx),
+      s"explode must run below every exchange (map side):\n$p")
+  }
+
+  test("q102: packing shuffles offsets, never token arrays; scan is pruned") {
+    val p = planOf("q102_sequence_pack")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single documents scan, saw $scans:\n$p")
+    // the exchange before the per-source window must carry (source, n) only
+    // — a plan that shuffles the tokenized arrays is 100× wider for nothing
+    val exLine = p.linesIterator.find(_.contains("Exchange hashpartitioning"))
+    assert(exLine.isDefined, s"no per-source exchange:\n$p")
+    assert(!p.contains("lang#") && !p.contains("n_chars#"),
+      s"scan reads columns packing never touches:\n$p")
+  }
+
+  test("q103: mixture sampling never reads the text bytes") {
+    val p = planOf("q103_mixture_sample")
+    // the keep/drop decision is pure doc_id+source arithmetic: the text
+    // column staying out of the read schema is what makes re-mixing a
+    // 100 TB corpus a metadata-cost operation
+    assert(!p.contains("text#"), s"sampling scan reads text:\n$p")
+    assert(p.contains("partial"), s"no partial aggregation:\n$p")
+  }
+
+  test("q104: shuffle-shards is ONE exchange (shard hash), reused by the agg") {
+    val p = planOf("q104_shuffle_shards")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1,
+      s"shard assignment + per-shard agg should share one exchange, saw $shuffles:\n$p")
+    assert(!p.contains("text#"), s"shard assignment reads text:\n$p")
+  }
+
+  test("q107: line-dedup exchanges digests, not line text") {
+    val p = planOf("q107_line_dedup")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single documents scan, saw $scans:\n$p")
+    // first-occurrence resolution partitions on the 16-byte digest — the
+    // only thing the corpus-wide shuffle may carry besides (doc_id, idx)
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning(lh")),
+      s"dedup window not partitioned on the line digest:\n$p")
+  }
+
+  test("q108: upsample fan-out is map-side; text never scanned") {
+    val p = planOf("q108_source_upsample")
+    assert(p.contains("Generate explode"), s"no generate fan-out:\n$p")
+    assert(!p.contains("text#"), s"upsampling reads text for arithmetic on ids:\n$p")
     val genIdx = p.indexOf("Generate")
     val lastExIdx = p.lastIndexOf("Exchange")
     assert(genIdx >= 0 && (lastExIdx < 0 || genIdx > lastExIdx),
