@@ -97,6 +97,63 @@ class ScalePatternsSpec extends SparkSpec {
     assert(hotBuckets > 8, s"hot key only hit $hotBuckets salt buckets")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the runtime complement of the manual salting pattern above: AQE
+    // detects the oversized partition AFTER the map stage writes its
+    // shuffle blocks and splits it into balanced reader-slices — no code
+    // change, no salt column. At 100 TB this is what rescues the one
+    // reducer that would otherwise run for hours on a hot key.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // test-corpus-sized skew thresholds (defaults are 256 MB)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val hot = (1 to 60000).map(i => (0L, i.toDouble)) ++
+        (1 to 2000).map(i => (1L + i % 100, i.toDouble))
+      val left = hot.toDF("k", "v").repartition(8)
+      val right = (0L to 100L).map(k => (k, s"dim$k")).toDF("k", "tag")
+        .repartition(8)
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("s"))
+      val result = joined.collect().head // AQE finalizes on execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+      assert(result.getLong(0) == hot.size)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the inverse guard: a conservative spark.sql.shuffle.partitions (set
+    // for the biggest stage) must not leave thousands of near-empty
+    // reducers on small intermediate stages — AQE merges them to the
+    // advisory size after seeing real map-output statistics
+    val restore = Seq("spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val df = Tables.lineitem(spark, sf0001)
+        .groupBy("l_returnflag").agg(round(sum("l_quantity"), 2).as("qty"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+        s"AQE did not coalesce the 64 tiny post-shuffle partitions:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter semi-join-reduces the probe side of a shuffle join") {
     // the 100 TB semi-join-reduction pattern: a selective dim-side filter
     // is turned into a bloom filter evaluated INSIDE the fact scan's stage,
