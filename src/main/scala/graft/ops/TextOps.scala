@@ -19,6 +19,19 @@ object TextOps {
   /** Whitespace tokens of the lowercased, trimmed text. */
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
+  /** First 16 bits of md5(doc_id) as 4 lowercase hex chars — the shared
+    * RNG-free sampling device of q103 (downsample) and q108 (upsample).
+    * Both oracles embed the identical `substr(md5(CAST(doc_id AS
+    * VARCHAR)), 1, 4)`; keep the three sites in lockstep. */
+  private def docHashPrefix: Column =
+    substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+
+  /** Source mixture tier: numeric suffix of the source name mod `m`
+    * (shared by q103/q108 and their oracles' `CAST(substr(source, 4) AS
+    * INT) % m`). */
+  private def sourceTier(m: Int): Column =
+    substring(col("source"), 4, 10).cast("int") % m
+
   /** Word n-gram shingle set (distinct), one (doc_id, shingle) row each.
     * The per-doc dedup happens inside the codegen'd WordShingles expression
     * (map-side), so no distinct shuffle is needed here — the old
@@ -902,8 +915,8 @@ object TextOps {
         |       round(avg(CASE WHEN keep THEN CAST(n_chars AS DOUBLE) END), 2)
         |         AS kept_avg_chars
         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
-      val tier = substring(col("source"), 4, 10).cast("int") % 4
+      val h = docHashPrefix
+      val tier = sourceTier(4)
       val keep = when(tier === 0, h < "4000").when(tier === 1, h < "8000")
         .when(tier === 2, h < "c000").otherwise(lit(true))
       Tables.documents(s, d)
@@ -1041,8 +1054,8 @@ object TextOps {
         |         AS realized_rate,
         |       CAST(sum(copy * doc_id) AS BIGINT) AS copy_checksum
         |FROM e GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
-      val tier = substring(col("source"), 4, 10).cast("int") % 3
+      val h = docHashPrefix
+      val tier = sourceTier(3)
       val extra = when(h < "8000", 1).otherwise(0)
       val nCopies = when(tier === 0, lit(1))
         .when(tier === 1, lit(1) + extra)

@@ -16,13 +16,17 @@ class PackingSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Space-only trim, matching Spark's trim()/DuckDB's trim() — Java
+    * String.trim also strips \t/\n and would diverge on such texts. */
+  private def sqlTrim(s: String): String = s.replaceAll("^ +| +$", "")
+
   /** (doc_id, source, n_tokens) for every doc, the spec's own tokenizer. */
   private lazy val docTokens: Seq[(Long, String, Long)] =
     Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"), col("text"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1),
-        r.getString(2).trim.toLowerCase.split("\\s+").length.toLong))
+        sqlTrim(r.getString(2)).toLowerCase.split("\\s+").length.toLong))
       .toSeq
 
   test("q102: packing arithmetic matches a sequential driver-side reference") {
@@ -100,7 +104,7 @@ class PackingSpec extends SparkSpec {
     val lines = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"), col("text")).collect()
       .flatMap { r =>
-        val w = r.getString(2).trim.toLowerCase.split("\\s+")
+        val w = sqlTrim(r.getString(2)).toLowerCase.split("\\s+")
         w.grouped(10).zipWithIndex.map { case (g, i) =>
           (r.getLong(0), r.getString(1), i, g.mkString(" ")) }
       }

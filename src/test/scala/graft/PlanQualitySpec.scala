@@ -185,9 +185,15 @@ class PlanQualitySpec extends SparkSpec {
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected a single documents scan, saw $scans:\n$p")
     // the exchange before the per-source window must carry (source, n) only
-    // — a plan that shuffles the tokenized arrays is 100× wider for nothing
-    val exLine = p.linesIterator.find(_.contains("Exchange hashpartitioning"))
-    assert(exLine.isDefined, s"no per-source exchange:\n$p")
+    // — a plan that shuffles the tokenized arrays is 100× wider for nothing.
+    // Plan toString is root-first, so everything printed BEFORE the exchange
+    // runs downstream of it: no post-shuffle operator may see the text
+    // column or re-tokenize (the split must happen below the exchange).
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0, s"no per-source exchange:\n$p")
+    val postShuffle = p.substring(0, exIdx)
+    assert(!postShuffle.contains("text#") && !postShuffle.contains("split("),
+      s"tokenization/raw text crossed the per-source exchange:\n$p")
     assert(!p.contains("lang#") && !p.contains("n_chars#"),
       s"scan reads columns packing never touches:\n$p")
   }
@@ -215,8 +221,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"expected a single documents scan, saw $scans:\n$p")
     // first-occurrence resolution partitions on the 16-byte digest — the
     // only thing the corpus-wide shuffle may carry besides (doc_id, idx)
-    assert(p.linesIterator.exists(l => l.contains("hashpartitioning(lh")),
-      s"dedup window not partitioned on the line digest:\n$p")
+    val exIdx = p.indexOf("hashpartitioning(lh")
+    assert(exIdx >= 0, s"dedup window not partitioned on the line digest:\n$p")
+    // root-first toString: operators printed before the digest exchange run
+    // downstream of it and must never see the raw text or the token array —
+    // the digest projection has to happen below the shuffle
+    val postShuffle = p.substring(0, exIdx)
+    assert(!postShuffle.contains("text#") && !postShuffle.contains("w#"),
+      s"raw text/token array crossed the digest exchange:\n$p")
   }
 
   test("q108: upsample fan-out is map-side; text never scanned") {
