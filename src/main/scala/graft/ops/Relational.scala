@@ -299,12 +299,19 @@ object Relational {
     },
 
     // A4/A5: exact quantiles + IQR bounds (eda.py:77-81). Bounds derive from
-    // rounded quartiles so both engines compute from identical inputs.
+    // rounded quartiles so both engines compute from identical inputs. The
+    // EMITTED fences are Tukey's 3× outer ("far-out") fences, not the 1.5×
+    // inner ones: an integer multiple of the 4-decimal quartiles stays in
+    // the exact 4-decimal space, so the final round is an identity in both
+    // engines — 1.5× lands on 5-decimal halfway points (…37125) that Spark
+    // (BigDecimal HALF_UP) and DuckDB (binary-double nearest) round apart,
+    // observed live at sf0.1. q12 keeps the classic 1.5× predicate, where
+    // the bound is compared, never re-rounded.
     Q("q11_median_iqr",
       """SELECT q1, median, q3,
         |       round(q3 - q1, 4) AS iqr,
-        |       round(q1 - 1.5 * (q3 - q1), 4) AS lo_bound,
-        |       round(q3 + 1.5 * (q3 - q1), 4) AS hi_bound
+        |       round(q1 - 3 * (q3 - q1), 4) AS lo_bound,
+        |       round(q3 + 3 * (q3 - q1), 4) AS hi_bound
         |FROM (SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
         |             round(quantile_cont(l_extendedprice, 0.50), 4) AS median,
         |             round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
@@ -320,8 +327,8 @@ object Relational {
           round(lit(q3), 4).as("q3"))
         .select(col("q1"), col("median"), col("q3"),
           round(col("q3") - col("q1"), 4).as("iqr"),
-          round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 4).as("lo_bound"),
-          round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 4).as("hi_bound"))
+          round(col("q1") - lit(3.0) * (col("q3") - col("q1")), 4).as("lo_bound"),
+          round(col("q3") + lit(3.0) * (col("q3") - col("q1")), 4).as("hi_bound"))
     },
 
     // A10/P10: IQR outlier count. The quartiles are collected to the driver

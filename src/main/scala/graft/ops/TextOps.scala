@@ -1070,6 +1070,43 @@ object TextOps {
             .as("realized_rate"),
           sum(col("copy") * col("doc_id")).cast("long").as("copy_checksum"))
         .orderBy(col("source"))
+    },
+
+    // Adaptive per-group quality threshold — the Gopher-style filter where
+    // the cutoff is not a fixed constant (q88/q97) but a per-source
+    // quantile computed from the corpus itself: two passes, (1) p25 of
+    // n_chars per source, (2) keep docs at/above their own source's p25.
+    // The threshold table is group-cardinality-sized (KBs at any corpus
+    // size) and rides a broadcast join back onto the corpus scan — the
+    // second pass stays map-side, so the whole filter costs one aggregate
+    // plus one scan at 100 TB. Exact percentile is safe at 20 groups; the
+    // high-cardinality scale path is percentile_approx, whose error band
+    // q64 pins.
+    Q("q109_adaptive_filter",
+      """WITH thr AS (
+        |  SELECT source, quantile_cont(n_chars, 0.25) AS p25
+        |  FROM documents GROUP BY source)
+        |SELECT d.source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN d.n_chars >= t.p25 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_kept,
+        |       round(any_value(t.p25), 2) AS p25,
+        |       round(avg(CASE WHEN d.n_chars >= t.p25
+        |                 THEN CAST(d.n_chars AS DOUBLE) END), 2)
+        |         AS kept_avg_chars
+        |FROM documents d JOIN thr t ON d.source = t.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+      val thr = docs.groupBy(col("source"))
+        .agg(expr("percentile(n_chars, 0.25)").as("p25"))
+      docs.join(broadcast(thr), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars") >= col("p25"), 1).otherwise(0))
+            .cast("long").as("n_kept"),
+          round(any_value(col("p25")), 2).as("p25"),
+          round(avg(when(col("n_chars") >= col("p25"),
+            col("n_chars").cast("double"))), 2).as("kept_avg_chars"))
+        .orderBy(col("source"))
     }
   )
 

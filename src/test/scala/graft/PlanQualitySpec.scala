@@ -231,6 +231,17 @@ class PlanQualitySpec extends SparkSpec {
       s"raw text/token array crossed the digest exchange:\n$p")
   }
 
+  test("q109: the adaptive threshold broadcasts back; corpus never shuffle-joins") {
+    val p = planOf("q109_adaptive_filter")
+    // the per-source quantile table is KBs at any corpus size — the second
+    // pass must be a broadcast hash join so the corpus side stays map-side
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join-back not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled for a group-cardinality-sized threshold table:\n$p")
+    assert(!p.contains("text#"), s"quality filter reads text bytes:\n$p")
+  }
+
   test("q108: upsample fan-out is map-side; text never scanned") {
     val p = planOf("q108_source_upsample")
     assert(p.contains("Generate explode"), s"no generate fan-out:\n$p")
