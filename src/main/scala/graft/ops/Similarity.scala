@@ -173,7 +173,7 @@ object Similarity {
         |       CAST(1 AS BOOLEAN) AS self_rank1_ok,
         |       CAST(1 AS BOOLEAN) AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, d) =>
-      val ivf = ivfAnn(s, d, k = 8, probes = 2, topK = 5)
+      val ivf = ivfAnn(s, d, k = 8, probes = 2, topK = 5, qBound = 5)
       val exact = knn(Tables.embeddings(s, d).filter(col("vec_id") < 5),
         Tables.embeddings(s, d), 5).select("query_id", "neighbor_id")
       ivf.agg(
@@ -493,9 +493,11 @@ object Similarity {
       .toDF("doc_id", "band", "band_hash")
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
     val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    // unordered: every consumer aggregates or set-joins the pairs — a sort
+    // here would range-shuffle the whole candidate set for nothing (display
+    // edges order for themselves, like knn/exactCosinePairs callers do)
     a.join(bb, Seq("band", "band_hash")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Brute-force top-k cosine neighbors for each query vector. */
@@ -533,17 +535,21 @@ object Similarity {
       .select("vec_a", "vec_b").distinct()
     val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // unordered for the same reason as minHashCandidatesFrom: q35/q95 and
+    // the recall specs filter/aggregate the pairs, and the sort survived
+    // into the materialized plan (EliminateSorts only prunes under
+    // joins/aggregates, not under a localCheckpoint)
     cand.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
-      .orderBy("vec_a", "vec_b")
   }
 
   /** IVF: k-means centroids as the coarse quantizer; every corpus vector is
     * assigned to its nearest cell, queries probe the `probes` nearest cells,
     * exact cosine runs only inside probed cells. */
-  def ivfAnn(s: SparkSession, d: String, k: Int, probes: Int, topK: Int): DataFrame = {
+  def ivfAnn(s: SparkSession, d: String, k: Int, probes: Int, topK: Int,
+      qBound: Long = 5): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(s, d)
@@ -573,7 +579,7 @@ object Similarity {
       emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
       "neighbor_id", "cv", 1)
     val probed = rankCells(
-      emb.filter(col("vec_id") < 5)
+      emb.filter(col("vec_id") < qBound)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       "query_id", "qv", probes)
     val w = Window.partitionBy(col("query_id"))

@@ -32,33 +32,52 @@ object StatefulSessions {
 
   val GapUs: Long = 30L * 60 * 1000 * 1000
 
-  /** Pure transition function: fold sorted events into closed sessions +
-    * the still-open tail. Exposed for direct unit testing.
+  /** Pure transition function: fold a batch of events into closed sessions
+    * + the still-open tail. Exposed for direct unit testing.
     *
-    * Cross-batch late events (t < open.lastTs but inside the watermark):
-    * merged into the open session WITHOUT regressing lastTs — `max` below.
-    * Letting lastTs move backwards would re-arm the event-time timeout too
-    * early and split one real session into two (a later on-time event
-    * within the gap of the true lastTs would land after a premature
-    * expiry). Within one batch events are pre-sorted, so max is a no-op. */
+    * Interval-merge semantics, exactly `session_window`'s: every event (and
+    * the carried-over open session) is a [start, lastTs] interval; two
+    * intervals belong to one session iff the later's start is within GapUs
+    * of the earlier's end, and a bridging late event merges BOTH of its
+    * neighbours. A watermark-admitted late event that is disjoint from the
+    * open session (t ≤ start − gap) forms its OWN earlier session instead
+    * of being absorbed — the previous absorb-everything-within-gap-of-lastTs
+    * shortcut emitted a phantom merged session with a regressed start
+    * whenever late data preceded the open session by more than the gap.
+    * lastTs never regresses (max-merge), so the event-time timeout stays
+    * anchored at the true session end. */
   def fold(events: Seq[(Long, Double)], open: Option[SessionState])
-      : (Seq[SessionState], Option[SessionState]) =
-    events.foldLeft((Vector.empty[SessionState], open)) {
-      case ((closed, None), (t, v)) =>
-        (closed, Some(SessionState(t, t, 1, v)))
-      case ((closed, Some(s)), (t, v)) if t - s.lastTs >= GapUs =>
-        (closed :+ s, Some(SessionState(t, t, 1, v)))
-      case ((closed, Some(s)), (t, v)) =>
-        (closed, Some(s.copy(lastTs = math.max(s.lastTs, t),
-          n = s.n + 1, total = s.total + v,
-          start = math.min(s.start, t))))
+      : (Seq[SessionState], Option[SessionState]) = {
+    val all = (open.toVector ++
+      events.map { case (t, v) => SessionState(t, t, 1, v) })
+      .sortBy(s => (s.start, s.lastTs))
+    val merged = all.foldLeft(Vector.empty[SessionState]) {
+      case (acc, s) if acc.nonEmpty && s.start - acc.last.lastTs < GapUs =>
+        val p = acc.last
+        acc.init :+ SessionState(p.start, math.max(p.lastTs, s.lastTs),
+          p.n + s.n, p.total + s.total)
+      case (acc, s) => acc :+ s
     }
+    // adjacent survivors are ≥ gap apart, so every session but the last is
+    // closed by a later event (the established append-mode emission rule);
+    // only the latest stays in state
+    (merged.dropRight(1), merged.lastOption)
+  }
 
   private[streaming] def emit(user: Long, s: SessionState): Session = {
-    val ts = new java.sql.Timestamp(s.start / 1000000 * 1000)
-    ts.setNanos(((s.start % 1000000) * 1000).toInt)
+    // floorDiv/floorMod: plain /-% truncate toward zero and hand setNanos a
+    // negative nanos value for pre-epoch starts (IllegalArgumentException)
+    val ts = new java.sql.Timestamp(Math.floorDiv(s.start, 1000000L) * 1000)
+    ts.setNanos((Math.floorMod(s.start, 1000000L) * 1000).toInt)
     Session(user, ts, s.n, s.total)
   }
+
+  /** Event-time expiry in millis, rounded UP: floor truncation would let
+    * the timer fire up to 999 µs before lastTs + gap, splitting a session
+    * whose next event lands inside that sliver — the sub-ms parity the
+    * µs representation exists to protect. */
+  private[streaming] def expiryMs(s: SessionState): Long =
+    Math.floorDiv(s.lastTs + GapUs + 999, 1000)
 
   def sessionize(user: Long, it: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
@@ -77,7 +96,7 @@ object StatefulSessions {
           // events is only re-invoked (to emit + expire its session) if a
           // timeout exists; skipping registration while the watermark is
           // still 0 (first microbatch) would leak that state forever
-          state.setTimeoutTimestamp(s.lastTs / 1000 + GapUs / 1000)
+          state.setTimeoutTimestamp(expiryMs(s))
         case None => state.remove()
       }
       closed.iterator.map(emit(user, _))

@@ -28,7 +28,9 @@ object TwsSessions {
       state = getHandle.getValueState[SessionState]("session",
         Encoders.product[SessionState], TTLConfig.NONE)
 
-    private def expiryMs(s: SessionState): Long = s.lastTs / 1000 + GapUs / 1000
+    // ceil-rounded shared expiry (StatefulSessions.expiryMs): a floor here
+    // fires up to 999 µs early and splits sub-ms-separated sessions
+    private def expiryMs(s: SessionState): Long = StatefulSessions.expiryMs(s)
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[Session] = {
@@ -38,11 +40,18 @@ object TwsSessions {
         StatefulSessions.fold(sorted.map(e => (e.ts_us, e.value)), open0)
       open match {
         case Some(s) =>
+          // exactly ONE live timer per key: deregister the superseded
+          // expiry before arming the new one — leaving stale timers in the
+          // state store accumulates an entry (plus a no-op
+          // handleExpiredTimer call) per session extension
+          val expiry = expiryMs(s)
+          open0.map(expiryMs).filter(_ != expiry)
+            .foreach(getHandle.deleteTimer)
           state.update(s)
-          // a fresh timer per extension; stale timers from earlier batches
-          // still fire but are ignored by the expiry guard below
-          getHandle.registerTimer(expiryMs(s))
-        case None => state.clear()
+          getHandle.registerTimer(expiry)
+        case None =>
+          open0.map(expiryMs).foreach(getHandle.deleteTimer)
+          state.clear()
       }
       closed.iterator.map(StatefulSessions.emit(user, _))
     }

@@ -38,6 +38,24 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(o2.get.start == 50 * m)
   }
 
+  test("fold: a disjoint watermark-admitted late event opens its OWN earlier session") {
+    val m = 60L * 1000 * 1000
+    // open session [100m, 110m]; a late event at 30m is 70min before the
+    // session start — session_window semantics demand TWO sessions, not a
+    // phantom merged one with a regressed start
+    val open = Some(StatefulSessions.SessionState(100 * m, 110 * m, 3, 6.0))
+    val (closed, o) = StatefulSessions.fold(Seq((30 * m, 1.0)), open)
+    assert(closed.map(s => (s.start, s.n, s.total)) == Seq((30 * m, 1L, 1.0)))
+    assert(o.map(s => (s.start, s.lastTs, s.n)).contains((100 * m, 110 * m, 3L)))
+    // and a bridging late event merges BOTH neighbours into one session
+    val (c2, o2) = StatefulSessions.fold(
+      Seq((55 * m, 1.0), (80 * m, 2.0)),
+      Some(StatefulSessions.SessionState(100 * m, 110 * m, 3, 6.0)))
+    assert(c2.isEmpty)
+    assert(o2.map(s => (s.start, s.lastTs, s.n, s.total))
+      .contains((55 * m, 110 * m, 5L, 9.0)))
+  }
+
   test("custom fold reproduces session_window batch semantics (q25)") {
     val q25 = SparkEntry.queries("q25_session_window")(spark, sf0001)
       .select(col("user_id"), col("session_start").cast("string").as("st"),
