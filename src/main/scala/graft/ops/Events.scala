@@ -84,6 +84,19 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The 30-minute session aggregate shared by q25 (DuckDB-verified) and
+    * q76 (the streaming parity baseline) — one def, so the stream is always
+    * diffed against exactly the oracle-checked batch shape. Unordered;
+    * display edges order for themselves. */
+  def sessionAgg(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   val queries: Seq[Q] = Seq(
 
     // JSON-in-string property extraction (events.props, SURVEY.md §2.7).
@@ -211,13 +224,7 @@ object Events {
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("n_events"), col("total_value"))
+      sessionAgg(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))
     },
 
@@ -354,13 +361,9 @@ object Events {
       // must not have. Both sides are materialized once for their two
       // consumers (anti-join + value check / count).
       val keys = Seq("user_id", "session_start", "n_events")
-      val batch = Tables.events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("n_events"), col("total_value"))
-        .localCheckpoint(true)
+      // the SAME aggregate q25 verifies against DuckDB — a shared def, so
+      // the parity baseline cannot drift from the oracle-checked query
+      val batch = sessionAgg(Tables.events(s, d)).localCheckpoint(true)
       val stream = graft.streaming.EventStreams.runToMemory(s,
         graft.streaming.EventStreams.sessions(
           graft.streaming.EventStreams.readEvents(s, d)), "q76_sessions")
@@ -395,13 +398,21 @@ object Events {
         |       CAST(1 AS BOOLEAN) AS dedup_ok
         |FROM events""".stripMargin) { (s, d) =>
       import graft.streaming.EventStreams
-      val feed = EventStreams.readEvents(s, d)
+      val doubled = EventStreams.readEvents(s, d)
         .unionByName(EventStreams.readEvents(s, d))
+      val feed = doubled
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
       val deduped = EventStreams.runToMemory(s, feed, "q106_dedup",
           outputMode = "append")
         .select(col("event_id")).localCheckpoint(true)
+      // the dedup passing is only evidence if duplicates actually flowed:
+      // count the PRE-dedup stream too (a glob/source regression that fed
+      // each event once would otherwise green-light an unexercised path)
+      val nFeed = EventStreams.runToMemory(s,
+          doubled.groupBy().agg(count(lit(1)).as("n")), "q106_feed",
+          outputMode = "complete")
+        .select(col("n")).head().getLong(0)
       val nBatch = Tables.events(s, d).agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("event_id")).as("n_unique"))
@@ -410,7 +421,8 @@ object Events {
         .select(col("n_unique"),
           (col("n_stream") === col("n_unique") &&
             col("n_stream_unique") === col("n_unique") &&
-            col("n_stream") === col("n_rows")).as("dedup_ok"))
+            col("n_stream") === col("n_rows") &&
+            lit(nFeed) === col("n_rows") * 2).as("dedup_ok"))
     }
   )
 }

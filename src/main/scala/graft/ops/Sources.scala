@@ -309,7 +309,12 @@ object Sources {
         |""".stripMargin) { (s, d) =>
       val dir = Sources.scratchDir(s, "graft_zorder")
       val day = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
-      val z = graft.functions.ZOrder.zvalue(col("user_id"), day, bits = 8)
+      // bits must cover the user_id DOMAIN, not just the test corpus's low
+      // ids: zvalue keeps only the low `bits` bits, so 8 bits at sf0.1
+      // (user_id ≤ 1499) would alias users 256 apart into the same
+      // z-prefix and every file's user_id min/max would span the full
+      // range — silently defeating the 2-D skipping the layout exists for
+      val z = graft.functions.ZOrder.zvalue(col("user_id"), day, bits = 16)
       Tables.events(s, d)
         .select("event_id", "ts", "user_id", "value")
         .repartitionByRange(8, z)

@@ -88,12 +88,11 @@ object Model {
     val scored = transformers.foldLeft(valid)((d, t) => t.transform(d)).cache()
     val m = scored.agg(
       count(lit(1)).cast("double").as("n"),
-      avg(col(labelCol)).as("ybar"),
       sum(pow(col(labelCol) - col("prediction"), 2)).as("ssr"),
       sum(pow(col(labelCol), 2)).as("yy"),
       sum(col(labelCol)).as("ysum")).head()
-    val (n, ssr) = (m.getDouble(0), m.getDouble(2))
-    val sst = m.getDouble(3) - m.getDouble(4) * m.getDouble(4) / n
+    val (n, ssr) = (m.getDouble(0), m.getDouble(1))
+    val sst = m.getDouble(2) - m.getDouble(3) * m.getDouble(3) / n
     val r2 = 1.0 - ssr / sst
     val rmse = math.sqrt(ssr / n)
     (transformers, scored, r2, rmse)

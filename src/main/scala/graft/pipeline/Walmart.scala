@@ -63,8 +63,14 @@ object Walmart {
       // (etl.py:17-32 recomputes the 2-join plan per column — 11×)
       joined.cache()
       try {
-        val numeric = naCols.filter(c => joined.columns.contains(c))
-        val imputed = Etl.fillMode(Etl.fillMedian(joined, numeric), Seq("Type"))
+        // the reference's full lists (etl.py:38-40): medians also cover
+        // Fuel_Price/Temperature (null on a features-join miss), modes also
+        // cover IsHoliday — an unimputed null IsHoliday would reach
+        // VectorAssembler (handleInvalid=error) and throw at the model stage
+        val numeric = (naCols ++ Seq("Fuel_Price", "Temperature"))
+          .filter(c => joined.columns.contains(c))
+        val imputed = Etl.fillMode(Etl.fillMedian(joined, numeric),
+          Seq("IsHoliday", "Type"))
         Etl.dateFeatures(imputed, "Date")
       } finally joined.unpersist(blocking = false)
     }

@@ -64,10 +64,10 @@ object WalmartBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val raw = Files.createDirectories(
-      Paths.get(System.getProperty("java.io.tmpdir"), "walmart_ref_scale")).toString
-    val out = Files.createDirectories(
-      Paths.get(System.getProperty("java.io.tmpdir"), "walmart_ref_out")).toString
+    // applicationId-keyed scratch (like q52/q81): fixed /tmp names would
+    // race a concurrently running Verify/Bench JVM and accumulate forever
+    val raw = graft.ops.Sources.scratchDir(spark, "walmart_ref_scale").toString
+    val out = graft.ops.Sources.scratchDir(spark, "walmart_ref_out").toString
     val tGen = System.nanoTime()
     synthesize(raw)
     def time[T](f: => T): (T, Double) = {
