@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, HyperplaneBands, SimHash64, Winnow, WordShingles}
+import graft.functions.{CosineSim, DotProduct, HyperplaneBands, SimHash64, Winnow, WordShingles}
 
 /** SparkSessionExtensions injector exposing the custom Catalyst expressions
   * (SURVEY.md §8 "custom Catalyst surface") as first-class SQL functions, so
@@ -54,6 +54,9 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"), info("graft_dot", classOf[DotProduct]),
       args => { val a = arity("graft_dot", 2)(args); DotProduct(a(0), a(1)) }),
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", classOf[CosineSim]),
+      args => { val a = arity("graft_cosine", 2)(args); CosineSim(a(0), a(1)) }),
     (FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", classOf[SimHash64]),
       args => SimHash64(arity("graft_simhash64", 1)(args).head)),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.{lit, sqrt, when}
+import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.types._
 
 /** Native Catalyst dot product over two numeric arrays (`array<float>` or
@@ -24,10 +24,11 @@ import org.apache.spark.sql.types._
   * the inner kernel a native engine would use, expressed as a first-class
   * Catalyst operator that composes with every other Spark expression.
   *
-  * Semantics: length mismatch folds over the common prefix; a null element
-  * inside the common prefix makes the result null — exactly what the
-  * `zip_with`/`aggregate` fold it replaces produces (null * x = null,
-  * null + s = null). Parquet list columns arrive as containsNull=true even
+  * Semantics: length mismatch → NULL, a null element → NULL — exactly what
+  * the `zip_with`/`aggregate` fold it replaces produces (`zip_with` pads
+  * the shorter array with nulls, so any ragged pair folds to null; a
+  * silent common-prefix sum would be a numeric result where the reference
+  * computes NULL). Parquet list columns arrive as containsNull=true even
   * when no element is ever null, so the check is explicit rather than
   * rejected at type-check time; when BOTH inputs declare containsNull=false
   * the codegen path skips the per-element null test entirely.
@@ -60,7 +61,9 @@ case class DotProduct(left: Expression, right: Expression)
     left.dataType.asInstanceOf[ArrayType].containsNull ||
       right.dataType.asInstanceOf[ArrayType].containsNull
 
-  override def nullable: Boolean = super.nullable || elementsNullable
+  // nullable regardless of child nullability: a ragged pair nulls the result
+  // and array lengths are not statically known
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -68,7 +71,8 @@ case class DotProduct(left: Expression, right: Expression)
     val lf = isFloat(left)
     val rf = isFloat(right)
     val checkNulls = elementsNullable
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -94,13 +98,117 @@ case class DotProduct(left: Expression, right: Expression)
         s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
       } else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused cosine similarity: ONE primitive loop accumulates x·y, x·x and y·y
+  * together, then combines as `dot / (sqrt(xx) * sqrt(yy))` — the identical
+  * doubles the three-expression form (`dot(a,b) / (norm(a) * norm(b))`)
+  * produces, in a third of the kernel work. On an all-pairs join the
+  * unfused form runs three independent 64-element loops per pair; this is
+  * the kernel-fusion a native engine applies, expressed as one Catalyst
+  * expression. NULL on: null input, ragged pair, null element, zero norm
+  * (the ANSI-safe zero-denominator contract of the unfused form). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (supported(left.dataType) && supported(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> inputs, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override def nullable: Boolean = true
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def elementsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    val checkNulls = elementsNullable
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv; xx += xv * xv; yy += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(xx) * math.sqrt(yy)
+    if (denom == 0.0) null else s / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val xx = ctx.freshName("xx")
+      val yy = ctx.freshName("yy")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      val nullCheck = if (elementsNullable) {
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      } else ""
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0; double $xx = 0.0; double $yy = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    final double $xv = (double) $a.$lGet($i);
+         |    final double $yv = (double) $b.$rGet($i);
+         |    $s += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double $denom =
+         |      java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $s / $denom; }
+         |  }
+         |}
        """.stripMargin
     })
   }
@@ -120,9 +228,8 @@ object ArrayMath {
   /** L2 norm = sqrt(self dot product), same fold order as the HOF form. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, null on zero norm (ANSI-safe). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(null)).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity, null on zero norm (ANSI-safe) — the fused
+    * single-loop kernel; bit-identical to dot/(norm*norm). */
+  def cosine(a: Column, b: Column): Column =
+    GraftSql.column(CosineSim(GraftSql.expression(a), GraftSql.expression(b)))
 }

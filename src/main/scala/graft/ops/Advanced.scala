@@ -110,21 +110,27 @@ object Advanced {
       """WITH kv AS (
         |  SELECT 'etype_len' AS k, CAST(length(event_type) AS INT) AS v FROM events
         |  UNION ALL
-        |  SELECT 'k' AS k, CAST(json_extract_string(props, '$.k') AS INT) AS v
+        |  SELECT 'k' AS k, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS v
         |  FROM events)
         |SELECT k, count(*) AS n, min(v) AS min_v, max(v) AS max_v,
         |       round(avg(v), 4) AS avg_v
-        |FROM kv GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+        |FROM kv WHERE v IS NOT NULL GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         // null/unparseable props: from_json yields null and map_concat(null,…)
         // would null the whole map, dropping the row (and its etype_len entry)
         // where the oracle's UNION ALL keeps it — coalesce to an empty map so
-        // the computed entry always survives
+        // the computed entry always survives. Both sides then drop null
+        // VALUES (oracle: WHERE v IS NOT NULL + TRY_CAST): a missing map key
+        // emits no row in Spark while the oracle's UNION ALL branch emits a
+        // null-valued one, and counting only parsed values makes the two
+        // formulations agree for null/missing/non-int props, not just on a
+        // corpus where every event parses
         .select(explode(map_concat(
           coalesce(from_json(col("props"), "map<string,int>",
             Map.empty[String, String]), typedLit(Map.empty[String, Int])),
           map(lit("etype_len"), length(col("event_type")))))
           .as(Seq("k", "v")))
+        .filter(col("v").isNotNull)
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
           max(col("v")).as("max_v"), round(avg(col("v")), 4).as("avg_v"))
@@ -146,8 +152,13 @@ object Advanced {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val salts = 8
+      // salt from a HASH of the line identity, not l_linenumber mod 8:
+      // l_linenumber only takes values 1..7, so the plain mod never fills
+      // bucket 0 — 1/8 of the replicated build side would be dead weight
+      // and a hot key would spread over 7 reducers, not 8
       val li = Tables.lineitem(s, d)
-        .withColumn("l_salt", pmod(col("l_linenumber"), lit(salts)))
+        .withColumn("l_salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"))
         .withColumn("o_salt", explode(array((0 until salts).map(lit): _*)))

@@ -280,7 +280,9 @@ object Relational {
           lower(col("n_name")).as("lo"), upper(col("n_name")).as("up"),
           substring(col("n_name"), 1, 6).as("pre"),
           lpad(col("n_nationkey").cast("string"), 4, "0").as("padded"),
-          regexp_replace(col("n_name"), "NATION", "N").as("short_name"),
+          // literal replace, matching the oracle's replace(): regexp_replace
+          // would reinterpret a pattern containing ., (, $ etc. as a regex
+          expr("replace(n_name, 'NATION', 'N')").as("short_name"),
           length(col("n_name")).cast("long").as("len"),
           levenshtein(col("n_name"), lit("NATION_0")).cast("long").as("dist"))
         .orderBy("n_name")
@@ -637,8 +639,11 @@ object Relational {
         |  AND l_shipdate <  TIMESTAMP '1996-10-01'""".stripMargin) { (s, d) =>
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
       Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        // NTZ literals like q01/q02: an LTZ cast would coerce the NTZ column
+        // through the session timezone and only stays correct because
+        // Tables.load pins UTC as a side effect
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp_ntz"))
         .join(Tables.part(s, d).select("p_partkey", "p_type"),
           col("l_partkey") === col("p_partkey"))
         .agg(

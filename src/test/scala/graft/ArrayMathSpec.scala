@@ -22,10 +22,10 @@ class ArrayMathSpec extends SparkSpec {
     assert(r == 1.5 * 2 - 2.0 * 3)
   }
 
-  test("length mismatch folds over the common prefix") {
+  test("length mismatch yields null (zip_with pads with nulls, folds to null)") {
     val df = Seq((floats(1, 2, 3), floats(10, 10))).toDF("a", "b")
-    val r = df.select(ArrayMath.dot(col("a"), col("b"))).head().getDouble(0)
-    assert(r == 30.0)
+    assert(df.select(ArrayMath.dot(col("a"), col("b"))).head().isNullAt(0))
+    assert(df.select(ArrayMath.cosine(col("a"), col("b"))).head().isNullAt(0))
   }
 
   test("null input yields null") {
@@ -43,11 +43,11 @@ class ArrayMathSpec extends SparkSpec {
     val rows = df.select(ArrayMath.dot(col("a"), col("b"))).collect()
     assert(rows(0).isNullAt(0)) // null*5 = null, null+s = null — like zip_with/aggregate
     assert(rows(1).getDouble(0) == 14.0)
-    // null element PAST the common prefix is never consumed -> non-null
-    val past = Seq((Seq(Option(1.0f), None), Seq(Option(2.0f))))
+    // ragged pair -> null regardless of where the null element sits
+    val ragged = Seq((Seq(Option(1.0f), None), Seq(Option(2.0f))))
       .toDF("a", "b")
       .select(ArrayMath.dot(col("a"), col("b"))).head()
-    assert(past.getDouble(0) == 2.0)
+    assert(ragged.isNullAt(0))
   }
 
   test("hyperplane bands: null element yields null signature") {
@@ -73,6 +73,20 @@ class ArrayMathSpec extends SparkSpec {
     assert(rows(0).getDouble(0) == 5.0 && rows(0).getDouble(1) == 1.0)
     assert(rows(1).getDouble(1) == 0.0)
     assert(rows(2).isNullAt(1)) // zero norm -> null, not NaN/divide-by-zero
+  }
+
+  test("fused cosine kernel is bit-identical to dot/(norm*norm)") {
+    val rnd = new scala.util.Random(13)
+    val df = Seq.fill(40)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("a", "b")
+    val rows = df.select(
+      ArrayMath.cosine(col("a"), col("b")).as("fused"),
+      (ArrayMath.dot(col("a"), col("b")) /
+        (ArrayMath.norm(col("a")) * ArrayMath.norm(col("b")))).as("unfused"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
   test("codegen and interpreted paths agree bit-for-bit") {

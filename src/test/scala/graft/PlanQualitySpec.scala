@@ -56,7 +56,7 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"query side not broadcast:\n$p")
     // the corpus side must not be exchanged before the join
-    assert(p.contains("graft_dot"), s"custom kernel absent from the plan:\n$p")
+    assert(p.contains("graft_cosine"), s"custom kernel absent from the plan:\n$p")
   }
 
   test("whole-stage codegen covers the custom expressions (no interpreted islands)") {
@@ -68,11 +68,11 @@ class PlanQualitySpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     // codegen stages render as "*(n) Operator" markers in toString
     assert(p.contains("*("), s"no codegen spans:\n$p")
-    // DotProduct participates in codegen: the kernel appears inside
+    // the fused cosine kernel participates in codegen: it appears inside
     // codegen-staged operators (asterisked), not interpreted islands
-    val dotLines = p.linesIterator.filter(_.contains("graft_dot")).toSeq
-    assert(dotLines.nonEmpty && dotLines.exists(_.contains("*")),
-      s"graft_dot evaluated outside whole-stage codegen:\n$p")
+    val cosLines = p.linesIterator.filter(_.contains("graft_cosine")).toSeq
+    assert(cosLines.nonEmpty && cosLines.exists(_.contains("*")),
+      s"graft_cosine evaluated outside whole-stage codegen:\n$p")
   }
 
   test("q75: part join is keyed (BHJ at test SF), shipdate pushed, part scan pruned") {
