@@ -16,10 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * one less wide exchange in every dedup family that shingles feeds
   * (exact Jaccard, MinHash-LSH, SimHash).
   *
-  * Tokenization replicates the SQL form `split(trim(lower(text)), "\s+")`
-  * exactly — space-only trim (Spark/DuckDB `trim` semantics, NOT Java's
-  * control-character trim), UTF8String lowercasing, Java-regex split with
-  * limit -1 — so shingle strings stay bit-identical to the DuckDB oracle's.
+  * Tokenization replicates TextOps.tokens exactly — space-only trim
+  * (Spark/DuckDB `trim` semantics, NOT Java's control-character trim),
+  * UTF8String lowercasing, and a split on the explicit class [ \t\n\f\r]
+  * (RE2's \s; Java's \s also matches vertical tab, which DuckDB's
+  * string_split_regex('\s+') does not) — so shingle strings stay
+  * bit-identical to the DuckDB oracle's on any input.
   * Fewer than n tokens → empty array (the SQL filter `size(w) >= n`).
   * First-occurrence order, deterministic.
   */
@@ -37,7 +39,7 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   }
 
   def computeShingles(text: UTF8String): ArrayData = {
-    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val toks = text.trim().toLowerCase().toString.split("[ \t\n\f\r]+", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0

@@ -38,8 +38,15 @@ object Events {
     * (sig, vw, ck, by). Shared with EventsSpec. */
   def funnelFlags(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val prefix = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // RANGE frame over event-time micros: the prefix sees STRICTLY earlier
+    // events only, matching the oracle's `e.ts > s.ts` exactly — a ROWS
+    // frame ordered by ts alone made equal-ts visibility depend on the
+    // partition layout (nondeterministic, and wrong whichever way it fell).
+    // unix_micros wants TIMESTAMP; the NTZ→LTZ cast only has to preserve
+    // order and equality, which any fixed zone does (the session is UTC).
+    val prefix = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts").cast("timestamp")))
+      .rangeBetween(Window.unboundedPreceding, -1)
     events
       .select(col("user_id"), col("ts"), col("event_type"))
       .withColumn("sig_ok", (col("event_type") === "signup").cast("int"))

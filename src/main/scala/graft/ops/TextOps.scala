@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of the lowercased, trimmed text. */
-  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+  /** Whitespace tokens of the lowercased, trimmed text. The explicit class
+    * [ \t\n\f\r] is RE2's \s — Java's \s additionally matches vertical tab
+    * (\x0B), so a bare "\\s+" here would tokenize a VT-bearing document
+    * differently from every DuckDB oracle's string_split_regex('\s+') and
+    * silently diverge token counts, shingles, and all downstream dedup. */
+  def tokens(c: Column): Column = split(trim(lower(c)), "[ \\t\\n\\f\\r]+")
 
   /** First 16 bits of md5(doc_id) as 4 lowercase hex chars — the shared
     * RNG-free sampling device of q103 (downsample) and q108 (upsample).
@@ -27,10 +31,18 @@ object TextOps {
     substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
 
   /** Source mixture tier: numeric suffix of the source name mod `m`
-    * (shared by q103/q108 and their oracles' `CAST(substr(source, 4) AS
-    * INT) % m`). */
+    * (shared by q103/q108 and their oracles' `TRY_CAST(substr(source, 4)
+    * AS INT) % m`). Unbounded substring + null-on-unparseable cast on BOTH
+    * sides: a source outside the srcN pattern tiers to the CASE's ELSE
+    * branch identically in both engines instead of drifting. */
   private def sourceTier(m: Int): Column =
-    substring(col("source"), 4, 10).cast("int") % m
+    expr("substring(source, 4)").cast("int") % m
+
+  /** Raw Jaccard from intersection + per-doc set sizes — shared by the
+    * exact shingle-self-join ground truth and the simhash verify stage;
+    * q44's precision contract requires the two to stay bit-identical. */
+  private def rawJaccard: Column =
+    col("inter") / (col("na") + col("nb") - col("inter"))
 
   /** Word n-gram shingle set (distinct), one (doc_id, shingle) row each.
     * The per-doc dedup happens inside the codegen'd WordShingles expression
@@ -73,7 +85,7 @@ object TextOps {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     // raw small-integer ratio: bit-identical across engines, round only at
     // the output edge
-    val jac = col("inter") / (col("na") + col("nb") - col("inter"))
+    val jac = rawJaccard
     pairs
       .join(cnt.toDF("doc_a", "na"), "doc_a")
       .join(cnt.toDF("doc_b", "nb"), "doc_b")
@@ -357,25 +369,27 @@ object TextOps {
          |  FROM documents),
          |n AS (
          |  SELECT doc_id, len(toks) AS n_toks,
-         |         array_to_string(
-         |           list_filter(toks, x -> NOT list_contains($en, x)), ' ') AS norm
+         |         list_filter(toks, x -> NOT list_contains($en, x)) AS kept
          |  FROM t)
          |SELECT doc_id, n_toks,
-         |       len(string_split_regex(norm, '\\s+')) AS n_kept,
-         |       length(norm) AS norm_chars
+         |       len(kept) AS n_kept,
+         |       length(array_to_string(kept, ' ')) AS norm_chars
          |FROM n ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       val stoplist = array(stop("en").map(lit): _*)
       val toks = tokens(col("text"))
+      // n_kept counts the FILTERED ARRAY, not a re-split of the normalized
+      // string: split("") yields [""] in both engines, so an all-stopword
+      // doc would report n_kept=1 — a mutual bug the oracle gate is
+      // structurally blind to
       Tables.documents(s, d)
         .withColumn("toks", toks)
-        .withColumn("norm",
-          concat_ws(" ", filter(col("toks"), t => !array_contains(stoplist, t))))
+        .withColumn("kept", filter(col("toks"), t => !array_contains(stoplist, t)))
         .select(
           col("doc_id"),
           size(col("toks")).as("n_toks"),
-          size(split(col("norm"), "\\s+")).as("n_kept"),
-          length(col("norm")).cast("long").as("norm_chars"))
+          size(col("kept")).as("n_kept"),
+          length(concat_ws(" ", col("kept"))).cast("long").as("norm_chars"))
         .orderBy(col("doc_id"))
     },
 
@@ -901,7 +915,7 @@ object TextOps {
     Q("q103_mixture_sample",
       """WITH t AS (
         |  SELECT source, n_chars,
-        |         CAST(substr(source, 4) AS INT) % 4 AS tier,
+        |         TRY_CAST(substr(source, 4) AS INT) % 4 AS tier,
         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
         |  FROM documents),
         |k AS (
@@ -1034,7 +1048,7 @@ object TextOps {
     Q("q108_source_upsample",
       """WITH t AS (
         |  SELECT source, doc_id,
-        |         CAST(substr(source, 4) AS INT) % 3 AS tier,
+        |         TRY_CAST(substr(source, 4) AS INT) % 3 AS tier,
         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
         |  FROM documents),
         |k AS (
@@ -1203,7 +1217,7 @@ object TextOps {
       // in the output band is guaranteed found; 8-10 would be found only
       // when a chunk coincidentally matched (opportunistic semantics)
       .filter(col("hamming") <= 7)
-    val jac = col("inter") / (col("na") + col("nb") - col("inter"))
+    val jac = rawJaccard
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"),
         col("n_sh").as("na")), "doc_a")
