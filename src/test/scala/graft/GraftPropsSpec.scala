@@ -62,4 +62,31 @@ class GraftPropsSpec extends SparkSpec {
       (c1 ++ c2, open2) == whole
     })
   }
+
+  test("property: interval-merge fold equals sequential gap-split on sorted input") {
+    // independent reference: the textbook single-pass gap rule over
+    // GLOBALLY sorted events — correct by construction when input is
+    // sorted. The interval-merge fold must produce the same sessions from
+    // the SAME events in ANY arrival order (late events, shuffles): that
+    // arrival-order invariance is exactly what the streaming path needs
+    // from watermark-admitted late data.
+    val us = 60L * 1000 * 1000
+    val evGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(1, 9)))
+      .map(_.map { case (minute, v) => (minute * us, v.toDouble) })
+    check(Prop.forAll(evGen, Gen.chooseNum(0L, Long.MaxValue)) { (events, seed) =>
+      val reference = events.sorted
+        .foldLeft(Vector.empty[StatefulSessions.SessionState]) {
+          case (acc, (t, v))
+              if acc.nonEmpty && t - acc.last.lastTs < StatefulSessions.GapUs =>
+            acc.init :+ acc.last.copy(lastTs = t,
+              n = acc.last.n + 1, total = acc.last.total + v)
+          case (acc, (t, v)) =>
+            acc :+ StatefulSessions.SessionState(t, t, 1, v)
+        }
+      val shuffled = new scala.util.Random(seed).shuffle(events)
+      val (closed, open) = StatefulSessions.fold(shuffled, None)
+      (closed ++ open) == reference
+    })
+  }
 }
