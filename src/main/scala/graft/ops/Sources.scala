@@ -178,7 +178,13 @@ object Sources {
         // session-catalog bucketed table backed by an explicit external
         // path (same scratch lifecycle as q52); re-registered per session
         s.sql(s"DROP TABLE IF EXISTS $name")
-        df.write.mode("overwrite")
+        // co-locate rows with their bucket before the write: repartition's
+        // HashPartitioning is the same murmur3 scheme bucketBy uses, so
+        // bucket i's rows all land in task i and the layout is exactly one
+        // file per bucket. Without it every shuffle task writes its own
+        // slice of every bucket — tasks × buckets files (32 × 8 here), the
+        // bucketed flavor of the small-files failure.
+        df.repartition(8, col(key)).write.mode("overwrite")
           .bucketBy(8, key).sortBy(key)
           .option("path", s"$warehouse/$name")
           .saveAsTable(name)
