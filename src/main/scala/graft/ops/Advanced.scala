@@ -519,6 +519,42 @@ object Advanced {
         .groupBy(col("verdict"))
         .agg(count(lit(1)).as("n_keys"))
         .orderBy(col("verdict"))
+    },
+
+    // Bloom-filter join pruning — the runtime row-level filter that saves a
+    // 100 TB fact scan from shuffling rows whose keys cannot survive the
+    // join: build a bloom over the (selective) dim side's join keys in one
+    // distributed aggregate, ship the few-KB sketch to every fact-scan task
+    // as a literal, and drop non-members BEFORE the join's exchange. This
+    // mirrors Spark's own InjectRuntimeFilter pair (BloomFilterAggregate /
+    // BloomFilterMightContain over xxhash64) but builds the filter
+    // explicitly, so the pattern works on plans the optimizer's heuristics
+    // skip. False positives only ever ADD rows back to the exact join that
+    // follows, so the result is identical to the unfiltered join — which is
+    // exactly what the oracle computes. PlanQualitySpec pins the
+    // might_contain filter sitting on the lineitem scan.
+    Q("q111_bloom_prune",
+      """SELECT l.l_returnflag, count(*) AS n_items,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |         AS urgent_rev
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val pruned = graft.functions.BloomPrune.filterByKeys(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"),
+        col("l_orderkey"), urgent, col("o_orderkey"))
+      pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("urgent_rev"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

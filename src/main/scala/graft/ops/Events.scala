@@ -430,6 +430,59 @@ object Events {
             col("n_stream_unique") === col("n_unique") &&
             col("n_stream") === col("n_rows") &&
             lit(nFeed) === col("n_rows") * 2).as("dedup_ok"))
+    },
+
+    // Slowly-changing-dimension (type 2) history build — the standard
+    // warehouse op that turns an append-only attribute feed into validity
+    // intervals: consecutive runs of the same attribute value collapse to
+    // one version row [valid_from, valid_to), open-ended (null valid_to +
+    // is_current) on the latest run. Pure windowed plan: one shuffle on the
+    // entity key serves both the change-flag lag and the running version
+    // number, then the per-version aggregate and the valid_to lead reuse
+    // the same partitioning — at 100 TB this is a single exchange by
+    // user_id end to end. Bounded to a user slice so the dump stays
+    // review-sized at every SF; the interval logic is per-user and
+    // slice-invariant. Null-safe change test (<=>): a null attribute run
+    // still versions correctly on both engines (IS DISTINCT FROM).
+    Q("q110_scd2",
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id < 50),
+        |x AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM x),
+        |v AS (
+        |  SELECT user_id, ver, event_type, min(ts) AS valid_from,
+        |         count(*) AS n_events
+        |  FROM g GROUP BY user_id, ver, event_type)
+        |SELECT user_id, ver, event_type, valid_from,
+        |       lead(valid_from) OVER pv AS valid_to,
+        |       (lead(valid_from) OVER pv IS NULL) AS is_current,
+        |       n_events
+        |FROM v WINDOW pv AS (PARTITION BY user_id ORDER BY ver)
+        |ORDER BY user_id, ver""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pv = Window.partitionBy("user_id").orderBy("ver")
+      Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("chg",
+          (!(lag(col("event_type"), 1).over(w) <=> col("event_type"))).cast("int"))
+        .withColumn("ver", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("ver"), col("event_type"))
+        .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(pv))
+        .select(col("user_id"), col("ver"), col("event_type"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"), col("n_events"))
+        .orderBy(col("user_id"), col("ver"))
     }
   )
 }

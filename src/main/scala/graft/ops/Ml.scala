@@ -108,6 +108,61 @@ object Ml {
             (col("n_vectors") === n).as("partition_ok"),
             lit(cost > 0 && cost < sse).as("inertia_ok"))
       } finally vecs.unpersist(blocking = false)
+    },
+
+    // PCA dimensionality reduction over the embedding corpus — the standard
+    // pre-step before indexing/clustering high-dim vectors (and the exact
+    // spectral cousin of q101's matryoshka truncation: optimal-variance
+    // axes instead of prefix axes). MLlib computes the k top principal
+    // components from one distributed Gramian/covariance pass (vectors
+    // never leave their partitions; only the dim×dim accumulator reduces),
+    // then projection is a map-side matrix multiply — the 100 TB shape.
+    // Eigendecomposition is engine-specific floating point, so the oracle
+    // contract is the q49 property pattern: algebraic invariants checked
+    // in-engine to tight tolerances — components orthonormal (LAPACK
+    // guarantees near-machine-epsilon), explained variance a non-increasing
+    // probability vector, and the projected corpus preserving exactly
+    // n_vectors rows at k columns.
+    Q("q113_pca",
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, 8 AS k,
+        |       CAST(1 AS BOOLEAN) AS orthonormal_ok,
+        |       CAST(1 AS BOOLEAN) AS variance_ok,
+        |       CAST(1 AS BOOLEAN) AS projection_ok
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      val k = 8
+      val vecs = Tables.embeddings(s, d)
+        .select(array_to_vector(col("embedding")).as("features"))
+        .cache()
+      try {
+        val model = new org.apache.spark.ml.feature.PCA()
+          .setK(k).setInputCol("features").setOutputCol("pc")
+          .fit(vecs)
+        // driver-side invariant checks on the k×dim loading matrix (tiny):
+        // columns of `pc` are the principal axes
+        val pc = model.pc // dim x k, column-major
+        val dim = pc.numRows
+        def dot(i: Int, j: Int): Double =
+          (0 until dim).map(r => pc(r, i) * pc(r, j)).sum
+        val orthonormal = (0 until k).forall { i =>
+          math.abs(dot(i, i) - 1.0) < 1e-9 &&
+            (i + 1 until k).forall(j => math.abs(dot(i, j)) < 1e-9)
+        }
+        val ev = model.explainedVariance.toArray
+        val varianceOk = ev.forall(v => v >= 0 && v <= 1) &&
+          ev.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-12) &&
+          ev.sum <= 1.0 + 1e-9
+        // one pass over the projected corpus: row count + the min/max
+        // projected dimensionality (every vector must carry exactly k)
+        model.transform(vecs)
+          .select(size(org.apache.spark.ml.functions.vector_to_array(col("pc")))
+            .as("sz"))
+          .agg(count(lit(1)).cast("long").as("n_vectors"),
+            min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"))
+          .select(col("n_vectors"), lit(k).as("k"),
+            lit(orthonormal).as("orthonormal_ok"),
+            lit(varianceOk).as("variance_ok"),
+            (col("min_sz") === k && col("max_sz") === k).as("projection_ok"))
+      } finally vecs.unpersist(blocking = false)
     }
   )
 }

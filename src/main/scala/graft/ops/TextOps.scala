@@ -1121,6 +1121,56 @@ object TextOps {
           round(avg(when(col("n_chars") >= col("p25"),
             col("n_chars").cast("double"))), 2).as("kept_avg_chars"))
         .orderBy(col("source"))
+    },
+
+    // Corpus-relative token-rarity scoring — the IDF-flavored quality
+    // signal: a doc whose (distinct) tokens mostly appear corpus-wide is
+    // boilerplate; one whose tokens are rare is distinctive (or noise).
+    // Two hash shuffles, both narrow: token→df (rows already distinct per
+    // doc, so the df aggregate is a plain count), then doc→(n_tok, sum_df).
+    // The banding stays in INTEGER cross-multiplied space (k·sum_df vs
+    // m·n_tok·n_docs) — the mean-df ratio itself is never materialized as
+    // a double, so band edges cannot round differently across engines
+    // (same discipline as the Jaccard family's raw-ratio filters).
+    Q("q112_token_rarity",
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_filter(
+        |           string_split_regex(trim(lower(text)), '\s+'),
+        |           x -> x <> ''))) AS token
+        |  FROM documents),
+        |tdf AS (SELECT token, count(*) AS dfq FROM t GROUP BY token),
+        |nd AS (SELECT count(*) AS n_corpus FROM documents),
+        |per AS (
+        |  SELECT t.doc_id, any_value(t.source) AS source,
+        |         count(*) AS n_tok, sum(tdf.dfq) AS sum_df
+        |  FROM t JOIN tdf USING (token) GROUP BY t.doc_id)
+        |SELECT source,
+        |       CASE WHEN 50 * sum_df >= 39 * n_tok * n_corpus THEN 'common'
+        |            WHEN 4 * sum_df >= 3 * n_tok * n_corpus THEN 'mid'
+        |            ELSE 'rare' END AS band,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM per, nd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(filter(
+            split(trim(lower(col("text"))), "\\s+"),
+            t => t =!= ""))).as("token"))
+      val tdf = toks.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
+      val nCorpus = Tables.documents(s, d).agg(count(lit(1)).as("n_corpus"))
+      toks.join(tdf, "token")
+        .groupBy(col("doc_id"))
+        .agg(any_value(col("source")).as("source"),
+          count(lit(1)).as("n_tok"), sum(col("dfq")).as("sum_df"))
+        .crossJoin(nCorpus)
+        .withColumn("band",
+          when(lit(50) * col("sum_df") >= lit(39) * col("n_tok") * col("n_corpus"), "common")
+            .when(lit(4) * col("sum_df") >= lit(3) * col("n_tok") * col("n_corpus"), "mid")
+            .otherwise("rare"))
+        .groupBy(col("source"), col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("total_tokens"))
+        .orderBy(col("source"), col("band"))
     }
   )
 

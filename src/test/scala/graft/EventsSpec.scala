@@ -142,4 +142,38 @@ class EventsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(stream == batch)
   }
+
+  test("q110 SCD2 intervals: contiguous versions, seamless validity, one current row") {
+    val rows = SparkEntry.queries("q110_scd2")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        // events.ts is timestamp_ntz → LocalDateTime in collected rows
+        r.getAs[java.time.LocalDateTime](3),
+        Option(r.getAs[java.time.LocalDateTime](4)), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions are 1..n with no gaps
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"user $user: version numbers not contiguous")
+      // each interval closes exactly where the next opens (no gap/overlap),
+      // and only the last is open-ended/current
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $user: interval gap at ver ${a._2}")
+          assert(!a._6, s"user $user: non-final version flagged current")
+        case _ =>
+      }
+      assert(sorted.last._5.isEmpty && sorted.last._6,
+        s"user $user: final version must be open-ended and current")
+      // consecutive versions must actually change the attribute (runs are
+      // maximal — two adjacent versions with the same value would mean the
+      // collapse under-merged)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 != b._3, s"user $user: adjacent versions share value ${a._3}")
+        case _ =>
+      }
+    }
+  }
 }

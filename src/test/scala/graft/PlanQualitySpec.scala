@@ -251,4 +251,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(genIdx >= 0 && (lastExIdx < 0 || genIdx > lastExIdx),
       s"explode must run below every exchange (map side):\n$p")
   }
+
+  test("q111: bloom pre-filter probes the fact rows below the join exchange") {
+    val p = planOf("q111_bloom_prune")
+    val probeIdx = p.indexOf("might_contain")
+    assert(probeIdx >= 0, s"bloom membership probe absent from the plan:\n$p")
+    // root-first toString: every join prints BEFORE (above) the operators
+    // that feed it — the probe must sit below the last join, on the scan
+    // side, so non-member fact rows never reach the join's exchange
+    val lastJoin = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+      .map(p.lastIndexOf).max
+    assert(lastJoin >= 0, s"no keyed join in a bloom-pruned equi join:\n$p")
+    assert(probeIdx > lastJoin,
+      s"bloom probe runs above the join instead of pruning its input:\n$p")
+    // the pruned scan stays narrow: only the four columns the query needs
+    assert(!p.contains("l_comment") && !p.contains("l_shipdate"),
+      s"bloom-pruned scan reads columns the query never touches:\n$p")
+  }
+
+  test("q110: one hash exchange serves the change-flag, version and interval windows") {
+    val p = planOf("q110_scd2")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"SCD2 build should reuse a single user_id partitioning, found $hashExchanges:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id,50)]") ||
+      p.contains("LessThan(user_id,50)"),
+      s"entity-slice predicate not pushed to the scan:\n$p")
+  }
 }

@@ -191,4 +191,29 @@ class ScalePatternsSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("explicit BloomPrune: no false negatives, real reduction, join-equivalent") {
+    // a bloom may pass strangers (false positives) but must NEVER drop a
+    // member — otherwise the pre-filter silently changes join results
+    val keys = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val nKeys = keys.count()
+    val self = graft.functions.BloomPrune.filterByKeys(
+      keys, col("o_orderkey"), keys, col("o_orderkey"))
+    assert(self.count() == nKeys, "bloom dropped a key it was built from")
+    // pruning a disjoint probe side keeps every true match (the exact join
+    // after the pre-filter equals the unfiltered join) and the pre-filter
+    // genuinely reduces the probe at the tested fpp
+    val fact = Tables.lineitem(spark, sf0001).select("l_orderkey")
+    val pruned = graft.functions.BloomPrune.filterByKeys(
+      fact, col("l_orderkey"), keys, col("o_orderkey"))
+    val exact = fact.join(keys, col("l_orderkey") === col("o_orderkey")).count()
+    val viaBloom = pruned.join(keys, col("l_orderkey") === col("o_orderkey")).count()
+    assert(viaBloom == exact, "bloom pre-filter changed the join result")
+    val factN = fact.count()
+    val prunedN = pruned.count()
+    assert(prunedN >= exact && prunedN < factN,
+      s"pre-filter reduced $factN rows to $prunedN (matches=$exact) — " +
+        "either dropped members or pruned nothing")
+  }
 }
