@@ -459,11 +459,18 @@ object TextOps {
         .withColumn("score",
           (col("c") / col("len").cast("double")) *
             log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")))
-      val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("tok"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("tok").as("top_term"),
-          round(col("score"), 6).as("score"))
+      // per-doc argmax as a HASH AGGREGATE, not a sort window: min over
+      // (−score, tok) structs is the same total order as the oracle's
+      // row_number() OVER (ORDER BY score DESC, tok) pick — scores are
+      // non-negative products so negation is exact — but aggregates
+      // partially map-side and shuffles one row per doc instead of sorting
+      // every (doc, token) row inside an exchange. At corpus scale the
+      // window variant's sort is the dominant cost of the whole query.
+      scored
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("score")).as("neg"), col("tok"))).as("best"))
+        .select(col("doc_id"), col("best.tok").as("top_term"),
+          round(-col("best.neg"), 6).as("score"))
         .orderBy(col("doc_id"))
     },
 
