@@ -483,6 +483,40 @@ object Events {
           col("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"), col("n_events"))
         .orderBy(col("user_id"), col("ver"))
+    },
+
+    // Stream-stream join — the one Structured Streaming join shape, run on
+    // the REAL streaming path (two watermarked file streams, event-time
+    // range condition, append-mode memory sink) and parity-checked against
+    // the identical join compiled as a batch range join. The oracle
+    // recomputes the attribution counts straight from parquet, so both the
+    // streamed and the batch side are pinned: a streaming divergence flips
+    // parity_ok, a batch bug breaks the counts. See
+    // EventStreams.attribution for why the time bound is what keeps join
+    // state finite at 100 TB.
+    Q("q114_stream_join",
+      """SELECT count(*) AS n_attributed,
+        |       count(DISTINCT v.user_id) AS n_users,
+        |       CAST(1 AS BOOLEAN) AS parity_ok
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin) { (s, d) =>
+      import graft.streaming.EventStreams
+      val stream = EventStreams.runToMemory(s,
+        EventStreams.attribution(
+          EventStreams.readEvents(s, d), EventStreams.readEvents(s, d)),
+        "q114_attr", outputMode = "append")
+        .localCheckpoint(true)
+      val batch = EventStreams.attribution(
+        Tables.events(s, d), Tables.events(s, d))
+      batch.agg(count(lit(1)).as("n_attributed"),
+          countDistinct(col("v_user")).as("n_users"))
+        .crossJoin(stream.agg(count(lit(1)).as("n_stream"),
+          countDistinct(col("v_user")).as("n_stream_users")))
+        .select(col("n_attributed"), col("n_users"),
+          (col("n_stream") === col("n_attributed") &&
+            col("n_stream_users") === col("n_users")).as("parity_ok"))
     }
   )
 }

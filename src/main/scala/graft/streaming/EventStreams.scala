@@ -61,6 +61,29 @@ object EventStreams {
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream inner join with event-time bounds: each purchase joins
+    * the views of the SAME user in the preceding hour (view→purchase
+    * attribution). The time-range predicate is what makes this viable as a
+    * stream-stream join — with both sides watermarked, Spark derives a
+    * state-eviction bound from `p_ts ∈ (v_ts, v_ts + 1h]` and drops buffered
+    * rows once the other side's watermark passes their join horizon, so
+    * join state is bounded at any input size (an unconstrained
+    * stream-stream join would buffer both streams forever). Same def serves
+    * the batch side (watermarks only attach to streaming frames), so the
+    * parity baseline cannot drift from the streamed plan. */
+  def attribution(views: DataFrame, purchases: DataFrame): DataFrame = {
+    def wm(df: DataFrame, tsCol: String): DataFrame =
+      if (df.isStreaming) df.withWatermark(tsCol, "1 hour") else df
+    val v = wm(views.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts")), "v_ts")
+    val p = wm(purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value")), "p_ts")
+    v.join(p, col("v_user") === col("p_user") &&
+      col("p_ts") > col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** Run a streaming DataFrame to completion against the static input via a
     * memory sink; returns the collected result table. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,

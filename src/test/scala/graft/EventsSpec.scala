@@ -143,6 +143,34 @@ class EventsSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream-stream attribution join equals the batch range join row for row") {
+    import graft.streaming.EventStreams
+    val cols = Seq("v_user", "v_ts", "p_ts", "p_value")
+    val stream = EventStreams.runToMemory(spark,
+      EventStreams.attribution(
+        EventStreams.readEvents(spark, sf0001),
+        EventStreams.readEvents(spark, sf0001)),
+      "t_attr_parity", outputMode = "append")
+      // stream ts is LTZ (watermark requirement), batch is NTZ — compare
+      // wall-clock forms under the UTC session
+      .select(col("v_user"), col("v_ts").cast("timestamp_ntz").as("v_ts"),
+        col("p_ts").cast("timestamp_ntz").as("p_ts"), col("p_value"))
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.attribution(
+      Tables.events(spark, sf0001), Tables.events(spark, sf0001))
+      .select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty, "attribution fixture produced no joined pairs")
+    // no BNLJ on the batch side: the range predicate must ride the user
+    // equi key
+    val p = EventStreams.attribution(
+      Tables.events(spark, sf0001), Tables.events(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"attribution degenerated to a nested-loop join:\n$p")
+  }
+
   test("q110 SCD2 intervals: contiguous versions, seamless validity, one current row") {
     val rows = SparkEntry.queries("q110_scd2")(spark, sf0001)
       .collect()

@@ -25,4 +25,16 @@ class RowsOnlySpec extends SparkSpec {
     assert(r.getAs[Boolean]("partition_ok"))
     assert(r.getAs[Boolean]("inertia_ok"))
   }
+
+  test("q113: PCA invariants hold, cover every vector, and are deterministic") {
+    def run() = SparkEntry.queries("q113_pca")(spark, sf0001).collect().head
+    val r = run()
+    assert(r.getAs[Long]("n_vectors") == Tables.embeddings(spark, sf0001).count())
+    assert(r.getAs[Int]("k") == 8)
+    assert(r.getAs[Boolean]("orthonormal_ok"))
+    assert(r.getAs[Boolean]("variance_ok"))
+    assert(r.getAs[Boolean]("projection_ok"))
+    // covariance eigendecomposition has no RNG — rerun must be identical
+    assert(run() == r, "PCA query must be reproducible run-to-run")
+  }
 }
