@@ -44,6 +44,19 @@ object Bench {
         .fit(vecs).transform(vecs).write.mode("overwrite").format("noop").save()
       spark.catalog.clearCache()
     }
+    // And the streaming machinery: the first StreamingQuery in a JVM pays
+    // StreamExecution/state-store/memory-sink class loading and the
+    // micro-batch planner's first codegen — session costs the first
+    // streaming query (q76 in sorted order) otherwise absorbs. One tiny
+    // windowed aggregate over the smallest corpus replays the whole path.
+    locally {
+      import graft.streaming.EventStreams
+      EventStreams.runToMemory(spark,
+        EventStreams.tumblingDaily(
+          EventStreams.readEvents(spark, "/root/testdata/sf0.001")),
+        "bench_stream_warm")
+      spark.catalog.clearCache()
+    }
     // sorted: deterministic run order, comparable across rounds
     val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

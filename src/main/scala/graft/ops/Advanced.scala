@@ -555,6 +555,56 @@ object Advanced {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("urgent_rev"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ROLLUP — the hierarchical third of the multi-grouping family (q45
+    // CUBE, q59 GROUPING SETS): per (flag, status), per flag, grand total,
+    // in ONE pass with map-side partial aggregation (the Expand operator
+    // replicates each row once per grouping set before the partial agg, so
+    // the exchange carries pre-reduced rows — three separate aggregates
+    // would scan the fact three times).
+    Q("q115_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total_price"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // Blocked fuzzy matching (record linkage): the scalable shape for
+    // edit-distance dedup — block on cheap equality keys first (brand ×
+    // size), THEN run the quadratic comparator only within blocks. The
+    // equi-key join keeps the plan a hash join at any scale (never an
+    // all-pairs cartesian; blocks bound the per-task quadratic work), and
+    // the key-ordered pair predicate halves the comparisons. Output stays
+    // in exact-integer space (pair counts + summed distances — avg is
+    // derivable, but a rounded rational would be the one engine-divergence
+    // risk in the query).
+    Q("q116_fuzzy_match",
+      """SELECT a.p_brand AS brand, count(*) AS n_pairs,
+        |       CAST(sum(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS sum_dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size", "p_name")
+      val a = p.toDF("key_a", "p_brand", "p_size", "name_a")
+      val b = p.toDF("key_b", "p_brand", "p_size", "name_b")
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("key_a") < col("key_b"))
+        // project the comparator once; filter and aggregate both read it
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dist")).cast("long").as("sum_dist"))
+        .orderBy(col("brand"))
     }
   )
 }
