@@ -269,6 +269,24 @@ class PlanQualitySpec extends SparkSpec {
       s"bloom-pruned scan reads columns the query never touches:\n$p")
   }
 
+  test("q115: rollup is one Expand pass with map-side partial aggregation") {
+    val p = planOf("q115_rollup")
+    assert("Expand".r.findAllIn(p).size >= 1 && p.contains("Expand"),
+      s"rollup not compiled to Expand:\n$p")
+    // exactly one scan: three grouping levels must not mean three passes
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"rollup re-scanned the fact table:\n$p")
+    assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q116: blocked fuzzy match stays a hash/merge join — never a cartesian") {
+    val p = planOf("q116_fuzzy_match")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocking keys failed to keep the comparator join equi-keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no keyed join:\n$p")
+  }
+
   test("q110: one hash exchange serves the change-flag, version and interval windows") {
     val p = planOf("q110_scd2")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size

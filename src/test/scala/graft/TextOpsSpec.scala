@@ -252,4 +252,30 @@ class TextOpsSpec extends SparkSpec {
     // and within a doc only distinct windows (doc 3's two windows differ)
     assert(r.getAs[Long]("n_uniq_chunks") == r.getAs[Long]("n_chunks"))
   }
+
+  test("argmax fold (min over (-score, tok)) equals the row_number window pick") {
+    // pins q70's rewrite: the aggregating argmax must select exactly the
+    // row a (score DESC, tok ASC) row_number()=1 window selects, including
+    // on tied scores — random non-negative scores with forced duplicates
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      doc <- 1 to 200
+      tok <- 1 to 20
+    } yield {
+      // quantize so every doc has score ties across several tokens
+      val score = math.floor(rnd.nextDouble() * 5) / 7.0
+      (doc.toLong, f"tok$tok%02d", score)
+    }
+    val df = rows.toDF("doc_id", "tok", "score")
+    val viaWindow = df.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("tok"))))
+      .filter(col("rn") === 1).select("doc_id", "tok", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val viaFold = df.groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("neg"), col("tok"))).as("best"))
+      .select(col("doc_id"), col("best.tok"), (-col("best.neg")).as("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaFold == viaWindow)
+  }
 }
