@@ -206,6 +206,43 @@ object Sources {
           max(col("n_items")).as("max_items"))
     },
 
+    // Observed write — df.observe(): data-quality metrics accumulated
+    // DURING the sink job itself (per-task accumulators folded on the
+    // driver), not by a second scan. At 100 TB this is how a pipeline
+    // audits what it just wrote (row counts, null counts, value bounds)
+    // for free; a follow-up validation query would double the I/O. The
+    // emitted row is the observation payload itself; the oracle recomputes
+    // every metric from the source table, so a drifting accumulator (rows
+    // double-counted under task retry, a lost partition) breaks the hash.
+    Q("q117_observed_write",
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null_price,
+        |       round(sum(o_totalprice), 2) AS total_price,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders""".stripMargin) { (s, d) =>
+      val obs = new org.apache.spark.sql.Observation()
+      val dir = Sources.scratchDir(s, "graft_observe")
+      Tables.orders(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").isNull.cast("int")).cast("long")
+            .as("n_null_price"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).cast("long").as("min_key"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+        .write.mode("overwrite").parquet(s"$dir/orders_observed")
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("n_null_price").asInstanceOf[Long],
+        m("total_price").asInstanceOf[Double],
+        m("min_key").asInstanceOf[Long],
+        m("max_key").asInstanceOf[Long]))
+        .toDF("n_rows", "n_null_price", "total_price", "min_key", "max_key")
+    },
+
     // Schema drift across ingest batches: two parquet slices of the same
     // logical feed written with DIFFERENT schemas — an early batch with
     // (event_id, user_id, value_cents) and a later batch that renamed the
