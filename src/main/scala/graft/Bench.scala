@@ -52,8 +52,7 @@ object Bench {
     locally {
       import graft.streaming.EventStreams
       EventStreams.runToMemory(spark,
-        EventStreams.tumblingDaily(
-          EventStreams.readEvents(spark, "/root/testdata/sf0.001")),
+        EventStreams.tumblingDaily(EventStreams.readEvents(spark, sfDir)),
         "bench_stream_warm")
       spark.catalog.clearCache()
     }
@@ -77,8 +76,10 @@ object Bench {
       // like the driver's own per-query accounting
       spark.catalog.clearCache()
       // failed query → negated time: visibly broken in the JSON instead of
-      // masquerading as a (suspiciously fast) success
-      name -> (if (ok) secs else -secs)
+      // masquerading as a (suspiciously fast) success. Floor the magnitude
+      // so a sub-5ms analysis failure can't round to "-0.00" at the
+      // 2-decimal output precision and read back as a ~0s success.
+      name -> (if (ok) secs else -math.max(secs, 0.01))
     }
     // Locale.ROOT: the f interpolator uses the JVM default locale, which in
     // comma-decimal locales would print "1,234" and corrupt the JSON.
@@ -116,9 +117,11 @@ object Bench {
       else errors.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":\"" + esc(v.take(60)) + "\""
       }.mkString(""","errors":{""", ",", "}")
-    // sf as a bare number when the dir follows the testdata naming scheme
+    // sf as a bare number ONLY when it is one (a digit/dot scan would let
+    // "01" or "0.1.2" through and corrupt the whole line) — else the quoted
+    // path
     val sf = sfDir.split("/").last.stripPrefix("sf") match {
-      case s if s.nonEmpty && s.forall(c => c.isDigit || c == '.') => s
+      case s if s.matches("(0|[1-9][0-9]*)(\\.[0-9]+)?") => s
       case _ => "\"" + esc(sfDir) + "\""
     }
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":$sf,"n_queries":${results.size},"n_errors":${errors.size}$errJson,"queries":$qs}"""

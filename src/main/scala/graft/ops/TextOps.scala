@@ -1158,11 +1158,17 @@ object TextOps {
         |       count(*) AS n_docs,
         |       CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM per, nd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // tokens(): the RE2-exact class — a bare "\\s+" would re-open the
+      // Java-vs-RE2 vertical-tab divergence this file's tokenizer exists
+      // to close. Materialized ONCE (q70's pattern): the df aggregate and
+      // the join probe side would otherwise each re-run the
+      // tokenize+explode, and their differing downstream shapes defeat
+      // exchange reuse.
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          explode(array_distinct(filter(
-            split(trim(lower(col("text"))), "\\s+"),
+          explode(array_distinct(filter(tokens(col("text")),
             t => t =!= ""))).as("token"))
+        .localCheckpoint(true)
       val tdf = toks.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
       val nCorpus = Tables.documents(s, d).agg(count(lit(1)).as("n_corpus"))
       toks.join(tdf, "token")
