@@ -605,6 +605,28 @@ object Advanced {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("dist")).cast("long").as("sum_dist"))
         .orderBy(col("brand"))
+    },
+
+    // Grouped sketch quantiles — percentile_approx per group: the mergeable
+    // per-group KLL/GK-style sketch that replaces q71's exact sort-based
+    // grouped quantiles when groups no longer fit a sort (each partition
+    // folds its rows into a bounded sketch; sketches merge associatively in
+    // the exchange — constant state per group at any row count). Property
+    // contract (q64's pattern, per group): the sketch's p50 must land
+    // inside the exact p45–p55 band computed in the SAME grouped pass;
+    // n_docs is a real count the oracle recomputes.
+    Q("q118_grouped_sketch",
+      """SELECT source, count(*) AS n_docs, CAST(1 AS BOOLEAN) AS p50_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("ap"),
+          expr("percentile(n_chars, 0.45)").as("lo"),
+          expr("percentile(n_chars, 0.55)").as("hi"))
+        .select(col("source"), col("n_docs"),
+          col("ap").between(col("lo"), col("hi")).as("p50_ok"))
+        .orderBy(col("source"))
     }
   )
 }
