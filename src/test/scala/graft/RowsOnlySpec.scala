@@ -37,4 +37,28 @@ class RowsOnlySpec extends SparkSpec {
     // covariance eigendecomposition has no RNG — rerun must be identical
     assert(run() == r, "PCA query must be reproducible run-to-run")
   }
+
+  test("q117: observed-write metrics equal a direct aggregate of the source") {
+    val r = SparkEntry.queries("q117_observed_write")(spark, sf0001).collect().head
+    val direct = Tables.orders(spark, sf0001).agg(
+      count(lit(1)).as("n"),
+      sum(col("o_totalprice").isNull.cast("int")).cast("long").as("nulls"),
+      round(sum(col("o_totalprice")), 2).as("total"),
+      min(col("o_orderkey")).cast("long").as("mn"),
+      max(col("o_orderkey")).cast("long").as("mx")).collect().head
+    assert(r.getAs[Long]("n_rows") == direct.getAs[Long]("n"))
+    assert(r.getAs[Long]("n_null_price") == direct.getAs[Long]("nulls"))
+    assert(r.getAs[Double]("total_price") == direct.getAs[Double]("total"))
+    assert(r.getAs[Long]("min_key") == direct.getAs[Long]("mn"))
+    assert(r.getAs[Long]("max_key") == direct.getAs[Long]("mx"))
+  }
+
+  test("q118: grouped sketch p50 actually sits in the exact p45-p55 band everywhere") {
+    val rows = SparkEntry.queries("q118_grouped_sketch")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok"),
+        s"sketch median outside the exact rank band for ${r.getAs[String]("source")}")
+    }
+  }
 }
