@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts on the bench's machine-readable output line — pure registry
+  * arithmetic, no SparkSession needed. The driver retains only the last
+  * ~2000 chars of stdout and parses the JSON out of that tail; rounds 3
+  * and 4 were recorded parsed:null because the line outgrew the window.
+  * These tests make that regression impossible to reintroduce silently. */
+class BenchContractSpec extends AnyFunSuite {
+
+  test("compact bench line fits the driver's 2000-char stdout tail with headroom") {
+    // per-entry rendering "qNNN":NN.NN, — prefix + quotes + colon + up to
+    // 5 value chars + comma (triple-digit seconds or negated failure
+    // markers add a char each; the 100-char margin below absorbs a few)
+    val entries = SparkEntry.registry.map(_.name.takeWhile(_ != '_')).map(_.length + 10).sum
+    val header = 120 // {"metric":"total","value":NNN.NNN,...,"queries":{
+    val sbtBanner = 110 // trailing "[success] Total time: ..." line
+    val line = header + entries
+    assert(line + sbtBanner <= 1900,
+      s"estimated bench line $line chars + $sbtBanner sbt banner nears the " +
+        s"2000-char driver tail at ${SparkEntry.registry.size} queries — " +
+        "shorten keys or drop precision before adding more queries")
+  }
+
+  test("bench prefix keys are unique and name every registered query") {
+    val prefixes = SparkEntry.registry.map(_.name.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size == prefixes.size)
+    assert(prefixes.forall(_.matches("q[0-9]+")),
+      "bench keys must stay bare qNN prefixes (compactness contract)")
+  }
+
+  test("every query name is oracle-keyed or intentionally rows-only") {
+    // the driver's correctness gate keys DuckDB SQL by exact query name;
+    // a name/oracle mismatch silently downgrades a query to rows-only
+    val names = SparkEntry.registry.map(_.name).toSet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names))
+    val rowsOnly = names -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.isEmpty,
+      s"queries without oracles: $rowsOnly — every operator carries a " +
+        "DuckDB oracle (property-boolean form where not SQL-expressible)")
+  }
+}
