@@ -89,4 +89,21 @@ class GraftPropsSpec extends SparkSpec {
       (closed ++ open) == reference
     })
   }
+
+  test("property: bloom pre-filter never drops a member on random key sets") {
+    // beyond the corpus-key spec in ScalePatternsSpec: arbitrary long keys,
+    // including negatives and near-collisions, must all survive a filter
+    // built over them (false positives allowed, false negatives never) —
+    // few trials, bigger sets: each trial is a pair of Spark jobs
+    val rnd = new scala.util.Random(7L)
+    (1 to 3).foreach { trial =>
+      val keys = Seq.fill(500)(rnd.nextLong() >> (trial * 8)).distinct
+      val build = keys.toDF("k")
+      val surviving = graft.functions.BloomPrune
+        .filterByKeys(build, col("k"), build, col("k"))
+        .count()
+      assert(surviving == keys.size,
+        s"trial $trial: bloom dropped ${keys.size - surviving} of its own keys")
+    }
+  }
 }
