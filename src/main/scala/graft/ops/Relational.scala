@@ -489,6 +489,55 @@ object Relational {
         .orderBy("op", "nationkey")
     },
 
+    // Multiset set operations — exceptAll/intersectAll keep DUPLICATE
+    // multiplicity (bag semantics: a value occurring m times on the left
+    // and n on the right survives except max(m−n,0) times, intersect
+    // min(m,n) times), where q18's except/intersect are set-distinct.
+    // Spark plans both as aggregate+generate over counts — no join of the
+    // raw rows, so the exchange carries one row per distinct value. The
+    // grouped output keeps the result small and order-stable at any SF.
+    Q("q119_multiset_ops",
+      """WITH lf AS (SELECT l_returnflag AS flag FROM lineitem WHERE l_extendedprice > 3000),
+        |     rf AS (SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity > 25),
+        |     ex AS (SELECT flag FROM lf EXCEPT ALL SELECT flag FROM rf),
+        |     ia AS (SELECT flag FROM lf INTERSECT ALL SELECT flag FROM rf)
+        |SELECT 'except_all' AS op, flag, count(*) AS n FROM ex GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, flag, count(*) AS n FROM ia GROUP BY 1, 2
+        |ORDER BY op, flag""".stripMargin) { (s, d) =>
+      // sides chosen so BOTH ops emit rows at every SF (the price filter
+      // passes ~2x the quantity filter per flag — except_all keeps the
+      // surplus multiplicity, intersect_all the overlap)
+      val lf = Tables.lineitem(s, d).filter(col("l_extendedprice") > 3000)
+        .select(col("l_returnflag").as("flag"))
+      val rf = Tables.lineitem(s, d).filter(col("l_quantity") > 25)
+        .select(col("l_returnflag").as("flag"))
+      lf.exceptAll(rf).withColumn("op", lit("except_all"))
+        .union(lf.intersectAll(rf).withColumn("op", lit("intersect_all")))
+        .groupBy(col("op"), col("flag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("op"), col("flag"))
+    },
+
+    // DataFrameNaFunctions.replace — the value-remap sibling of na.drop
+    // (P4) and na.fill (P9): a sentinel-to-canonical dictionary applied
+    // map-side (compiles to the same CASE WHEN chain the oracle spells
+    // out; no shuffle before the final accounting aggregate).
+    Q("q120_na_replace",
+      """SELECT CASE o_orderpriority
+        |         WHEN '4-NOT SPECIFIED' THEN '0-UNSPECIFIED'
+        |         WHEN '5-LOW' THEN '5-DEFERRABLE'
+        |         ELSE o_orderpriority END AS priority,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .na.replace("o_orderpriority", Map(
+          "4-NOT SPECIFIED" -> "0-UNSPECIFIED",
+          "5-LOW" -> "5-DEFERRABLE"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("priority"))
+    },
+
     // Exact distinct aggregates.
     Q("q19_distinct_counts",
       """SELECT count(DISTINCT l_partkey) AS nd_part,
