@@ -631,6 +631,83 @@ object Advanced {
         .select(col("source"), col("n_docs"),
           col("ap").between(col("lo"), col("hi")).as("p50_ok"))
         .orderBy(col("source"))
+    },
+
+    // Winsorization — robust-statistics clipping: cap each group's values
+    // at its own p05/p95 before averaging, so a handful of extreme rows
+    // stop dominating the group mean (the feature-pipeline companion of
+    // q12's outlier COUNTING). Same two-pass shape as q109: a
+    // group-cardinality-sized threshold table computed once, broadcast
+    // back, clip applied map-side — the corpus never shuffles for its own
+    // thresholds. Clip counts are exact integers; both engines interpolate
+    // type-7 quantiles (parity established by q71).
+    Q("q121_winsorize",
+      """WITH thr AS (
+        |  SELECT l_returnflag AS flag,
+        |         quantile_cont(l_extendedprice, 0.05) AS lo,
+        |         quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag AS flag, count(*) AS n,
+        |       CAST(sum(CASE WHEN l.l_extendedprice < t.lo THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clip_lo,
+        |       CAST(sum(CASE WHEN l.l_extendedprice > t.hi THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clip_hi,
+        |       round(avg(least(greatest(l.l_extendedprice, t.lo), t.hi)), 4)
+        |         AS winsor_avg
+        |FROM lineitem l JOIN thr t ON l.l_returnflag = t.flag
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      val thr = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+          expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(thr), col("l_returnflag") === col("flag"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") < col("lo")).cast("int")).cast("long")
+            .as("n_clip_lo"),
+          sum((col("l_extendedprice") > col("hi")).cast("int")).cast("long")
+            .as("n_clip_hi"),
+          round(avg(least(greatest(col("l_extendedprice"), col("lo")),
+            col("hi"))), 4).as("winsor_avg"))
+        .orderBy(col("flag"))
+    },
+
+    // Order-independent table checksum — the anti-entropy primitive: two
+    // replicas of a 100 TB table are compared by ONE aggregate each (bit-
+    // xor of per-row hashes folds associatively and commutatively, so the
+    // digest is identical under any partitioning, row order, or merge
+    // tree) instead of a sorted row-by-row diff. Verified in-engine: the
+    // digest survives an adversarial repartition+sort-scramble, and flips
+    // when a single row is perturbed. xor (not sum): immune to ANSI-mode
+    // long-overflow and still detects any single-row difference.
+    Q("q122_table_checksum",
+      """SELECT count(*) AS n_rows,
+        |       CAST(1 AS BOOLEAN) AS layout_invariant_ok,
+        |       CAST(1 AS BOOLEAN) AS mutation_detected_ok
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      def digest(df: org.apache.spark.sql.DataFrame) =
+        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(expr("bit_xor(h)").as("digest"), count(lit(1)).as("n"))
+      val base = digest(li).localCheckpoint(true)
+      val scrambled = digest(li.repartition(7, col("l_partkey"))
+        .sortWithinPartitions(col("l_extendedprice")))
+      // perturb exactly ONE row — (orderkey, linenumber) is the table's
+      // primary key, so the min pair (one tiny scalar job, the q48-style
+      // index-build pattern) identifies a unique row at any SF
+      val target = li.agg(min(struct(col("l_orderkey"), col("l_linenumber")))
+        .as("t")).head().getStruct(0)
+      val mutated = digest(li.withColumn("l_quantity",
+        when(col("l_orderkey") === target.get(0) &&
+          col("l_linenumber") === target.get(1),
+          col("l_quantity") + 1).otherwise(col("l_quantity"))))
+      base.crossJoin(scrambled.toDF("digest2", "n2"))
+        .crossJoin(mutated.toDF("digest3", "n3"))
+        .select(col("n").as("n_rows"),
+          (col("digest") === col("digest2") && col("n") === col("n2"))
+            .as("layout_invariant_ok"),
+          (col("digest") =!= col("digest3") && col("n") === col("n3"))
+            .as("mutation_detected_ok"))
     }
   )
 }

@@ -243,6 +243,59 @@ object Sources {
         .toDF("n_rows", "n_null_price", "total_price", "min_key", "max_key")
     },
 
+    // Corrupt-record ingestion — PERMISSIVE mode with a
+    // _corrupt_record column: the production posture for untrusted feeds
+    // at scale, where one malformed line must cost one quarantined row,
+    // never a failed 100 TB job (FAILFAST) or a silent drop (DROPMALFORMED).
+    // A JSONL replay of the events feed is deterministically vandalized
+    // (every event_id ≡ 0 mod 97 loses its closing brace) and read back
+    // with an explicit schema; good rows parse, bad rows land intact in
+    // the quarantine column for reprocessing. The oracle recomputes the
+    // good/bad split from the same modular rule on the source table.
+    Q("q123_corrupt_records",
+      """SELECT count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_parsed,
+        |       CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_quarantined,
+        |       CAST(1 AS BOOLEAN) AS quarantine_ok
+        |FROM events""".stripMargin) { (s, d) =>
+      val dir = Sources.scratchDir(s, "graft_corrupt")
+      val jsonl = Tables.events(s, d)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))).as("line"))
+        .select(when(col("event_id") % 97 === 0,
+          expr("substring(line, 1, length(line) - 1)")) // drop closing brace
+          .otherwise(col("line")).as("value"))
+      jsonl.write.mode("overwrite").text(s"$dir/events_jsonl")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, " +
+          "_corrupt_record STRING")
+      val read = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$dir/events_jsonl")
+        .localCheckpoint(true) // two consumers: accounting + quarantine audit
+      val acct = read.agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("_corrupt_record").isNull.cast("int")).cast("long").as("n_parsed"),
+        sum(col("_corrupt_record").isNotNull.cast("int")).cast("long")
+          .as("n_quarantined"))
+      // quarantine audit: every bad row kept its raw bytes (reprocessable),
+      // and no parsed row was secretly malformed
+      val audit = read.agg(
+        sum((col("_corrupt_record").isNotNull &&
+          !col("_corrupt_record").endsWith("}")).cast("int")).as("bad_kept"),
+        sum((col("_corrupt_record").isNotNull).cast("int")).as("bad_total"),
+        sum((col("_corrupt_record").isNull && col("event_id").isNull).cast("int"))
+          .as("parsed_but_null"))
+      acct.crossJoin(audit)
+        .select(col("n_lines"), col("n_parsed"), col("n_quarantined"),
+          (col("bad_kept") === col("bad_total") &&
+            col("parsed_but_null") === 0).as("quarantine_ok"))
+    },
+
     // Schema drift across ingest batches: two parquet slices of the same
     // logical feed written with DIFFERENT schemas — an early batch with
     // (event_id, user_id, value_cents) and a later batch that renamed the
