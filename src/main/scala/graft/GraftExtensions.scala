@@ -29,8 +29,12 @@ import graft.functions.{CosineSim, DotProduct, HyperplaneBands, SimHash64, Winno
   * the same functions on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    // whole-plan rewrites (the (c) tier of the extension ladder): bounded
+    // edit-distance predicates — see graft.plans.BoundLevenshtein
+    ext.injectOptimizerRule(_ => graft.plans.BoundLevenshtein)
+  }
 }
 
 object GraftExtensions {
@@ -78,8 +82,13 @@ object GraftExtensions {
 
   /** Install the functions on an already-built session (the path for users
     * who didn't set `spark.sql.extensions`). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (id, inf, builder) =>
       GraftSql.registerFunction(spark, id, inf, builder)
     }
+    // live-session counterpart of injectOptimizerRule (idempotent append)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BoundLevenshtein
+  }
 }

@@ -94,4 +94,34 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("BoundLevenshtein rule rewrites threshold predicates and preserves results") {
+    val s = spark.newSession()
+    GraftExtensions.register(s)
+    import s.implicits._
+    // parquet-backed fixture: a LocalRelation would be constant-folded by
+    // ConvertToLocalRelation before the rewrite is observable in the plan
+    val dir = ops.Sources.scratchDir(s, "graft_lev_rule")
+    Seq(("kitten", "sitting"), ("flaw", "lawn"), ("abc", "abc"),
+      ("aaaaaaaaaa", "bbbbbbbbbb"), ("x", "xy"))
+      .toDF("a", "b").write.mode("overwrite").parquet(s"$dir/pairs")
+    s.read.parquet(s"$dir/pairs").createOrReplaceTempView("pairs")
+    val q = s.sql("SELECT a, b FROM pairs WHERE levenshtein(a, b) <= 3 ORDER BY a")
+    // the optimized plan carries the bounded kernel: levenshtein(a, b, 3) >= 0
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("levenshtein(a#") && opt.contains("Some(3)) >= 0"),
+      s"unbounded comparator survived optimization:\n$opt")
+    assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("abc", "abc"), ("flaw", "lawn"), ("kitten", "sitting"), ("x", "xy")))
+    // strict form rewrites through k-1; mirrored literal-first form too
+    val strict = s.sql("SELECT count(*) FROM pairs WHERE levenshtein(a, b) < 3")
+    assert(strict.queryExecution.optimizedPlan.toString.contains("Some(2)) >= 0"))
+    assert(strict.head().getLong(0) == 3L)
+    val mirrored = s.sql("SELECT count(*) FROM pairs WHERE 3 >= levenshtein(a, b)")
+    assert(mirrored.queryExecution.optimizedPlan.toString.contains("Some(3)) >= 0"))
+    assert(mirrored.head().getLong(0) == 4L)
+    // expected sets hand-verified against the true distances (kitten→3,
+    // flaw→2, abc→0, aaaa…→10, x→1), so the rewrite's semantics are pinned
+    // against an independent reference, not against itself
+  }
 }
