@@ -47,8 +47,10 @@ object Bench {
     // And the streaming machinery: the first StreamingQuery in a JVM pays
     // StreamExecution/state-store/memory-sink class loading and the
     // micro-batch planner's first codegen — session costs the first
-    // streaming query (q76 in sorted order) otherwise absorbs. One tiny
-    // windowed aggregate over the smallest corpus replays the whole path.
+    // streaming query (q76 in sorted order) otherwise absorbs. One windowed
+    // aggregate over the bench dir's events table (2 MB at sf0.1; the dir
+    // is the configurable source of truth, never a hardcoded path) replays
+    // the whole path uncounted.
     locally {
       import graft.streaming.EventStreams
       EventStreams.runToMemory(spark,

@@ -507,11 +507,13 @@ object Relational {
         |ORDER BY op, flag""".stripMargin) { (s, d) =>
       // sides chosen so BOTH ops emit rows at every SF (the price filter
       // passes ~2x the quantity filter per flag — except_all keeps the
-      // surplus multiplicity, intersect_all the overlap)
+      // surplus multiplicity, intersect_all the overlap). Each side is
+      // materialized once: exceptAll and intersectAll both consume both
+      // sides, which would otherwise mean four fact scans for one query.
       val lf = Tables.lineitem(s, d).filter(col("l_extendedprice") > 3000)
-        .select(col("l_returnflag").as("flag"))
+        .select(col("l_returnflag").as("flag")).localCheckpoint(true)
       val rf = Tables.lineitem(s, d).filter(col("l_quantity") > 25)
-        .select(col("l_returnflag").as("flag"))
+        .select(col("l_returnflag").as("flag")).localCheckpoint(true)
       lf.exceptAll(rf).withColumn("op", lit("except_all"))
         .union(lf.intersectAll(rf).withColumn("op", lit("intersect_all")))
         .groupBy(col("op"), col("flag")).agg(count(lit(1)).as("n"))

@@ -30,12 +30,12 @@ class BenchContractSpec extends AnyFunSuite {
       "bench keys must stay bare qNN prefixes (compactness contract)")
   }
 
-  test("every query name is oracle-keyed or intentionally rows-only") {
-    // the driver's correctness gate keys DuckDB SQL by exact query name;
-    // a name/oracle mismatch silently downgrades a query to rows-only
-    val names = SparkEntry.registry.map(_.name).toSet
-    assert(SparkEntry.oracleSql.keySet.subsetOf(names))
-    val rowsOnly = names -- SparkEntry.oracleSql.keySet
+  test("every registered query carries a DuckDB oracle") {
+    // current contract: zero rows-only queries — operators whose values
+    // are not SQL-expressible use the property-boolean oracle form
+    // instead of opting out. Relaxing this is a deliberate decision:
+    // update this test alongside the SURVEY coverage table.
+    val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.isEmpty,
       s"queries without oracles: $rowsOnly — every operator carries a " +
         "DuckDB oracle (property-boolean form where not SQL-expressible)")
