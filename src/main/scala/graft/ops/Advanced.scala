@@ -708,6 +708,38 @@ object Advanced {
             .as("layout_invariant_ok"),
           (col("digest") =!= col("digest3") && col("n") === col("n3"))
             .as("mutation_detected_ok"))
+    },
+
+    // Count-Min sketch — the point-frequency cousin of the sketch family
+    // (HLL q49 distinct counts, GK q64/q118 quantiles, freqItems q65,
+    // Space-Saving q74/q85 heavy hitters, bloom q111 membership): sublinear
+    // state, one distributed pass, mergeable across partitions, answers
+    // "how often does THIS key occur" with a one-sided guarantee
+    // (never undercounts; overcounts by at most eps*N with probability
+    // >= confidence). Checked in-engine against the exact counts of the
+    // five hottest keys — both bounds, per key.
+    Q("q125_count_min",
+      """SELECT count(*) AS n_rows, 5 AS n_checked,
+        |       CAST(1 AS BOOLEAN) AS never_undercounts_ok,
+        |       CAST(1 AS BOOLEAN) AS eps_bound_ok
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val eps = 0.001
+      val li = Tables.lineitem(s, d).select("l_partkey")
+      val cms = li.stat.countMinSketch(col("l_partkey"), eps,
+        confidence = 0.999, seed = 42)
+      // exact counts of the five hottest keys (deterministic tie-break)
+      val hot = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("l_partkey")).limit(5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val n = cms.totalCount()
+      val lowerOk = hot.forall { case (k, t) => cms.estimateCount(k) >= t }
+      val upperOk = hot.forall { case (k, t) =>
+        cms.estimateCount(k) <= t + (eps * n).ceil.toLong
+      }
+      li.agg(count(lit(1)).as("n_rows"))
+        .select(col("n_rows"), lit(5).as("n_checked"),
+          lit(lowerOk).as("never_undercounts_ok"),
+          lit(upperOk).as("eps_bound_ok"))
     }
   )
 }
