@@ -507,13 +507,21 @@ object Relational {
         |ORDER BY op, flag""".stripMargin) { (s, d) =>
       // sides chosen so BOTH ops emit rows at every SF (the price filter
       // passes ~2x the quantity filter per flag — except_all keeps the
-      // surplus multiplicity, intersect_all the overlap). Each side is
-      // materialized once: exceptAll and intersectAll both consume both
-      // sides, which would otherwise mean four fact scans for one query.
+      // surplus multiplicity, intersect_all the overlap). exceptAll and
+      // intersectAll each consume both sides, so the fact is scanned four
+      // times — DELIBERATELY not materialized: each scan is one pruned
+      // column behind a pushed predicate (KBs of parquet pages per
+      // row-group), while checkpointing the ~50%-selectivity row sets
+      // writes half the fact table to storage first. Measured 3x slower
+      // with localCheckpoint at sf0.1; at cluster scale re-scanning narrow
+      // pruned columns beats materializing wide row sets for the same
+      // reason. The dedup family's checkpoints (q51) are the opposite
+      // trade: their front end is an expensive COMPUTED explode, not a
+      // cheap pruned scan.
       val lf = Tables.lineitem(s, d).filter(col("l_extendedprice") > 3000)
-        .select(col("l_returnflag").as("flag")).localCheckpoint(true)
+        .select(col("l_returnflag").as("flag"))
       val rf = Tables.lineitem(s, d).filter(col("l_quantity") > 25)
-        .select(col("l_returnflag").as("flag")).localCheckpoint(true)
+        .select(col("l_returnflag").as("flag"))
       lf.exceptAll(rf).withColumn("op", lit("except_all"))
         .union(lf.intersectAll(rf).withColumn("op", lit("intersect_all")))
         .groupBy(col("op"), col("flag")).agg(count(lit(1)).as("n"))
