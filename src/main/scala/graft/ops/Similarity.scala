@@ -389,6 +389,69 @@ object Similarity {
         .orderBy(col("label"))
     },
 
+    // Nearest-centroid classification — the Rocchio/prototype classifier
+    // over q90's per-label centroids: assign every vector to its closest
+    // class prototype, report per-class accuracy against the true label.
+    // Scale shape: centroids are a |labels|×dim table built by one
+    // partial+final avg (raw vectors never shuffle, q90's argument),
+    // broadcast to a map-side cross join; the per-pair squared distance is
+    // the SAME ascending-index fold in both engines
+    // (aggregate(zip_with(...)) ≡ list_sum(list_transform(...))), so
+    // distances are bit-comparable and the (distance, label) argmin picks
+    // identically — a full hash oracle for a classifier, no booleans
+    // needed. Class margins dominate the only cross-engine wiggle (the
+    // distributed avg's low bits), verified at all three SFs.
+    Q("q126_nearest_centroid",
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |x AS (SELECT label, unnest(range(1, len(v) + 1)) AS pos,
+        |             unnest(v) AS x FROM e),
+        |c AS (SELECT label AS clabel, pos, avg(x) AS m FROM x GROUP BY 1, 2),
+        |cent AS (SELECT clabel, list(m ORDER BY pos) AS cv FROM c GROUP BY 1),
+        |d AS (
+        |  SELECT e.vec_id, e.label, cent.clabel,
+        |         list_sum(list_transform(range(1, len(e.v) + 1),
+        |                  i -> (e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])))
+        |           AS dist2
+        |  FROM e CROSS JOIN cent),
+        |a AS (
+        |  SELECT vec_id, label, clabel,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY dist2, clabel) AS rn
+        |  FROM d)
+        |SELECT label, count(*) AS n_vectors,
+        |       CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_correct
+        |FROM a WHERE rn = 1 GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cent = e
+        .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("clabel"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("clabel"))
+        // index-ordered centroid array: sort (pos, m) structs, strip pos
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      val dist2 = aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"), dist2.as("dist2"))
+        // aggregating argmin (q70's fold): one candidate per vector per
+        // partition crosses the exchange, no sort window
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min(struct(col("dist2"), col("clabel"))).as("best"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum((col("best.clabel") === col("label")).cast("int")).cast("long")
+            .as("n_correct"))
+        .orderBy(col("label"))
+    },
+
     // Matryoshka-style dimension truncation: keep the 16-dim prefix of each
     // 64-dim embedding, renormalize, and prove the cheap representation is
     // usable in the standard two-stage retrieval shape — coarse top-50
