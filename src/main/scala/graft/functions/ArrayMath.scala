@@ -218,6 +218,99 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused squared-L2 distance: ONE primitive loop accumulating
+  * `(x[i]-y[i])²` in ascending index order — the identical doubles the
+  * HOF form `aggregate(zip_with(a, b, (p,q) => (p-q)*(p-q)), 0.0, _+_)`
+  * produces (same subtract, same square, same left-fold add), and the
+  * identical doubles DuckDB's `list_sum(list_transform(range(...), i ->
+  * (v[i]-c[i])*(v[i]-c[i])))` produces, so distances stay bit-comparable
+  * across engines. On nearest-centroid classification the unfused HOF
+  * form allocates an intermediate array and interprets a lambda per
+  * element per (vector × centroid) pair; this keeps the kernel inside
+  * whole-stage codegen. NULL on: null input, ragged pair, null element —
+  * the zip_with contract. */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (supported(left.dataType) && supported(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> inputs, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sql2"
+  override def nullable: Boolean = true
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def elementsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    val checkNulls = elementsNullable
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val dv = ctx.freshName("d")
+      val nullCheck = if (elementsNullable) {
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      } else ""
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    final double $dv = ((double) $a.$lGet($i)) - ((double) $b.$rGet($i));
+         |    $s += $dv * $dv;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API over the custom expressions. */
 object ArrayMath {
 
@@ -232,4 +325,9 @@ object ArrayMath {
     * single-loop kernel; bit-identical to dot/(norm*norm). */
   def cosine(a: Column, b: Column): Column =
     GraftSql.column(CosineSim(GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** Squared L2 distance (codegen'd), bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces. */
+  def squaredL2(a: Column, b: Column): Column =
+    GraftSql.column(SquaredL2(GraftSql.expression(a), GraftSql.expression(b)))
 }

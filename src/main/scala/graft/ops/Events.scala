@@ -453,8 +453,8 @@ object Events {
         |                 THEN 1 ELSE 0 END AS chg
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (
-        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS ver
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ver
         |  FROM x),
         |v AS (
         |  SELECT user_id, ver, event_type, min(ts) AS valid_from,

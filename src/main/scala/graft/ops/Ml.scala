@@ -107,6 +107,8 @@ object Ml {
             col("n_clusters"),
             (col("n_vectors") === n).as("partition_ok"),
             lit(cost > 0 && cost < sse).as("inertia_ok"))
+          // eager 1-row materialization before the finally drops the cache
+          .localCheckpoint()
       } finally vecs.unpersist(blocking = false)
     },
 
@@ -162,6 +164,10 @@ object Ml {
             lit(orthonormal).as("orthonormal_ok"),
             lit(varianceOk).as("variance_ok"),
             (col("min_sz") === k && col("max_sz") === k).as("projection_ok"))
+          // eager: materialize the 1-row aggregate while vecs is still
+          // cached — the harness executes the returned frame after the
+          // finally below has dropped the cache
+          .localCheckpoint()
       } finally vecs.unpersist(blocking = false)
     }
   )

@@ -436,9 +436,11 @@ object Similarity {
         // index-ordered centroid array: sort (pos, m) structs, strip pos
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
-      val dist2 = aggregate(
-        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      // fused codegen kernel (functions/ArrayMath.SquaredL2): same
+      // ascending-index (a-b)² left-fold as the HOF form and the DuckDB
+      // oracle, one primitive loop instead of an interpreted lambda per
+      // element per (vector × centroid) pair
+      val dist2 = ArrayMath.squaredL2(col("v"), col("cv"))
       e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("label"), col("clabel"), dist2.as("dist2"))
         // aggregating argmin (q70's fold): one candidate per vector per
