@@ -219,12 +219,19 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 /** Fused squared-L2 distance: ONE primitive loop accumulating
-  * `(x[i]-y[i])²` in ascending index order — the identical doubles the
-  * HOF form `aggregate(zip_with(a, b, (p,q) => (p-q)*(p-q)), 0.0, _+_)`
-  * produces (same subtract, same square, same left-fold add), and the
-  * identical doubles DuckDB's `list_sum(list_transform(range(...), i ->
+  * `(x[i]-y[i])²` in ascending index order. For array<double> inputs (every
+  * current call site, e.g. q126's centroid distances) this produces the
+  * identical doubles the HOF form
+  * `aggregate(zip_with(a, b, (p,q) => (p-q)*(p-q)), 0.0, _+_)` produces
+  * (same subtract, same square, same left-fold add), and the identical
+  * doubles DuckDB's `list_sum(list_transform(range(...), i ->
   * (v[i]-c[i])*(v[i]-c[i])))` produces, so distances stay bit-comparable
-  * across engines. On nearest-centroid classification the unfused HOF
+  * across engines. For array<float> pairs the bit-identity claim does NOT
+  * extend to the float-typed zip_with fold: zip_with subtracts and squares
+  * in FLOAT precision before widening, while this kernel widens each
+  * element to double first (the more accurate choice, and the one that
+  * matches DuckDB's double-lambda evaluation — which is why the kernel
+  * widens rather than mimicking float rounding). On nearest-centroid classification the unfused HOF
   * form allocates an intermediate array and interprets a lambda per
   * element per (vector × centroid) pair; this keeps the kernel inside
   * whole-stage codegen. NULL on: null input, ragged pair, null element —

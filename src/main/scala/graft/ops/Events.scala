@@ -575,6 +575,75 @@ object Events {
           sum(col("v").isNull.cast("int")).cast("long").as("n_filled"),
           round(sum(col("filled")), 2).as("series_sum"))
         .orderBy(col("user_id"))
+    },
+
+    // transformWithState sessionizer (Spark 4's arbitrary-state v2 API, the
+    // third streaming path next to session_window/q76 and
+    // flatMapGroupsWithState) run driver-checked end to end: RocksDB-backed
+    // state store (the API requires it), per-key ValueState + event-time
+    // timers, append mode. Append-mode emission on a bounded replay is
+    // sessions closed by a later event PLUS tails whose timer passed the
+    // final watermark (max ts − 1 h), so exact parity is checked as a
+    // sandwich against the shared pure fold's two batch references:
+    // closed-by-event ⊆ emitted ⊆ all, timer-expired tails really emitted
+    // (n > n_closed), and per-session values equal on the joined keys (same
+    // fold, same per-user order → bit-equal; the 0.011 band only guards
+    // double formatting at the edge). The oracle recomputes the full batch
+    // session count via the q25 gaps-and-islands CTE, so the batch anchor
+    // and the streamed path are both pinned — a divergence in either flips
+    // n_sessions or tws_ok.
+    Q("q127_tws_sessions",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT count(*) AS n_sessions, CAST(1 AS BOOLEAN) AS tws_ok
+        |FROM (SELECT DISTINCT user_id, sid FROM s)""".stripMargin) { (s, d) =>
+      import graft.streaming.{EventStreams, StatefulSessions, TwsSessions}
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      val emitted =
+        try {
+          s.conf.set(providerKey, "org.apache.spark.sql.execution.streaming" +
+            ".state.RocksDBStateStoreProvider")
+          EventStreams.runToMemory(s,
+            TwsSessions.run(s, EventStreams.readEvents(s, d)).toDF(),
+            "q127_tws", outputMode = "append", shufflePartitions = Some(8))
+        } finally prevProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      val stream = emitted
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          col("total_value").as("stream_value"))
+        .localCheckpoint(true)
+      val keys = Seq("user_id", "session_start", "n_events")
+      val ev = Tables.events(s, d)
+      val all = StatefulSessions.batchReference(s, ev, includeOpen = true)
+        .localCheckpoint(true)
+      val closed = StatefulSessions.batchReference(s, ev, includeOpen = false)
+      all.agg(count(lit(1)).as("n_sessions"))
+        .crossJoin(closed.join(stream, keys, "left_anti")
+          .agg(count(lit(1)).as("n_missing_closed")))
+        .crossJoin(stream.join(all, keys, "left_anti")
+          .agg(count(lit(1)).as("n_phantom")))
+        .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+        .crossJoin(stream.agg(count(lit(1)).as("n_emitted")))
+        .crossJoin(stream.join(all, keys)
+          .agg(coalesce(max(abs(col("total_value") - col("stream_value"))),
+            lit(0.0)).as("max_value_diff")))
+        .select(col("n_sessions"),
+          (col("n_missing_closed") === 0 && col("n_phantom") === 0 &&
+            col("n_emitted") > col("n_closed") &&
+            col("max_value_diff") <= 0.011).as("tws_ok"))
     }
   )
 }

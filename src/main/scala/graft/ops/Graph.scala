@@ -7,16 +7,22 @@ import org.apache.spark.sql.functions._
   * PAIRS (q27/q36/q44/q51) become near-dup CLUSTERS, from which a training
   * corpus keeps one canonical doc per cluster.
   *
-  * Min-label propagation: every node starts labeled with itself; each round
-  * a node takes the minimum label among itself and its neighbors; fixpoint =
-  * connected components (label = smallest node id in the component). The
-  * loop is driver-coordinated — the standard shape for iterative algorithms
-  * on DataFrames (GraphX/GraphFrames do the same under the hood):
-  *  - rounds needed ≤ component diameter (near-dup clusters are small
-  *    cliques, so 2-3 rounds in practice; the hard cap guards degenerate
-  *    chains);
+  * Min-label propagation WITH pointer jumping: every node starts labeled
+  * with itself; each round a node takes the minimum label among itself, its
+  * neighbors, and — the jump — its current label's own label. Fixpoint =
+  * connected components (label = smallest node id in the component).
+  * Neighbor propagation alone needs O(diameter) rounds (a depth-10³
+  * adversarial chain = 10³ rounds); the label(label(n)) contraction halves
+  * remaining label-chain depth every round, the same doubling trick as
+  * pointer jumping in PRAM list ranking / the two-phase star contraction of
+  * Kiveris et al. "Connected Components in MapReduce" (SoCC'14), so
+  * convergence is O(log diameter) — ~12 rounds for the depth-10³ chain
+  * (GraphSpec pins it ≤ 16). Near-dup clusters are small cliques (2-3
+  * rounds); the cap guards pathology. The loop is driver-coordinated — the
+  * standard shape for iterative algorithms on DataFrames (GraphX/
+  * GraphFrames do the same under the hood):
   *  - every round localCheckpoints its result: lineage would otherwise grow
-  *    by two joins per round and replan from the source each time (at
+  *    by three joins per round and replan from the source each time (at
   *    cluster scale, a HDFS checkpoint or a persisted table per round);
   *  - convergence test is an isEmpty on changed labels — it short-circuits
   *    at the first changed row rather than counting them all.
@@ -40,8 +46,22 @@ object Graph {
     while (!converged && iter < maxIters) {
       val neighborMin = e.join(labels, e("dst") === labels("node"))
         .select(e("src").as("node"), col("component"))
-      val next = labels.unionByName(neighborMin)
+      val propagated = labels.unionByName(neighborMin)
         .groupBy("node").agg(min(col("component")).as("component"))
+      // pointer jump: label(n) ← label(label(n)). Every label value is a
+      // node id in the same component (init = self; propagation and jumps
+      // only move along component-internal references), and that node has
+      // its own row, so the lookup is a self-join on label = node. Labels
+      // are monotone non-increasing, hence label(label(n)) ≤ label(n) when
+      // present; left join + coalesce keeps rows whose label's row was
+      // produced this same round (always present in `propagated`, but stay
+      // defensive — a miss degrades to plain propagation, never corrupts).
+      val lookup = propagated
+        .select(col("node").as("lnode"), col("component").as("lcomp"))
+      val next = propagated
+        .join(lookup, col("component") === col("lnode"), "left")
+        .select(col("node"), coalesce(col("lcomp"), col("component"))
+          .as("component"))
         .localCheckpoint(true)
       converged = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))

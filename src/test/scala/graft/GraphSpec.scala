@@ -31,6 +31,17 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 13)
   }
 
+  test("adversarial depth-1000 chain converges in O(log diameter) rounds") {
+    // pointer jumping halves label-chain depth per round: a diameter-1000
+    // path must resolve well inside 16 rounds (plain propagation would need
+    // 1000 and trip the cap — the cap IS the round-budget assertion here)
+    val edges = (0L until 1000L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, maxIters = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1001)
+    assert(got.values.toSet == Set(0L))
+  }
+
   test("property: components match a reference union-find on random graphs") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // small node universe forces dense/merging components; fixed seed for
