@@ -740,6 +740,119 @@ object Advanced {
         .select(col("n_rows"), lit(5).as("n_checked"),
           lit(lowerOk).as("never_undercounts_ok"),
           lit(upperOk).as("eps_bound_ok"))
+    },
+
+    // Scale-safe global row numbering: a contiguous 1-based index in total
+    // o_orderkey order WITHOUT the single-task global window. The naive
+    // `row_number() OVER (ORDER BY k)` plans Exchange SinglePartition —
+    // ONE task sorts the whole table, the definitional scale-killer (the
+    // same trap as collect-based zipWithIndex). Instead: range-repartition
+    // on the key (range partitions are ordered by construction, so
+    // spark_partition_id IS the block order), per-partition ranks in a
+    // pid-partitioned window (fully parallel; the checkpoint hides the
+    // range partitioning from the planner, so this costs one extra — but
+    // parallel — hash exchange on pid), plus running-sum block
+    // offsets over the ≤32-row per-pid counts (that tiny window is the
+    // only SinglePartition in the plan) broadcast back. For a unique key
+    // the result is independent of where sampling placed the range
+    // boundaries: offset + local rank = global rank for ANY range-disjoint
+    // partitioning, so the output is deterministic and the oracle
+    // recomputes it with a plain ORDER BY window. The checksum multiplies
+    // each index by a per-row key fingerprint, pinning the full
+    // index-to-row alignment, not just contiguity.
+    Q("q130_global_index",
+      """WITH r AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         row_number() OVER (ORDER BY o_orderkey) AS idx
+        |  FROM orders)
+        |SELECT count(*) AS n_rows,
+        |       CAST(min(idx) AS BIGINT) AS min_idx,
+        |       CAST(max(idx) AS BIGINT) AS max_idx,
+        |       CAST(sum(idx * (o_custkey % 97)) AS BIGINT) AS align_checksum
+        |FROM r""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val parted = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .repartitionByRange(32, col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true) // offsets + rank consumers share one shuffle
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .select(col("pid"), col("off"))
+      val wLocal = Window.partitionBy(col("pid")).orderBy(col("o_orderkey"))
+      parted.join(broadcast(offsets), "pid")
+        .withColumn("idx", col("off") + row_number().over(wLocal))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("idx")).cast("long").as("min_idx"),
+          max(col("idx")).cast("long").as("max_idx"),
+          sum(col("idx") * (col("o_custkey") % 97)).cast("long")
+            .as("align_checksum"))
+    },
+
+    // Pre-join skew diagnostics — the planning pass a 100 TB run does
+    // BEFORE picking a salting width (q62) or trusting AQE's skew split:
+    // per-key row counts on both sides of the q114 attribution join
+    // (view-events × purchase-events on user_id), the EXACT join output
+    // cardinality Σ cnt_v·cnt_p (what the join will materialize — the
+    // number that decides whether the plan is viable at all), the hottest
+    // key, and how many keys exceed 1.5× the mean per-key output (the
+    // salting candidates). Scale shape: both sides partial-aggregate
+    // map-side, so the only shuffled payload is one row per distinct key;
+    // the hottest key is a struct-min argmax in the SAME single-row
+    // aggregate (no order-by limit pass); the hot-key threshold joins
+    // back as a broadcast of one total row. The event rows themselves
+    // never shuffle. All arithmetic is integer (1.5×mean as 2·est·n_keys
+    // > 3·sum_est) — a FULL hash oracle.
+    Q("q131_join_skew_stats",
+      """WITH v AS (
+        |  SELECT user_id, count(*) AS cnt_v FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, count(*) AS cnt_p FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |per AS (
+        |  SELECT v.user_id, cnt_v * cnt_p AS est
+        |  FROM v JOIN p USING (user_id)),
+        |t AS (SELECT count(*) AS n_keys, sum(est) AS sum_est,
+        |             max(est) AS max_est FROM per)
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys,
+        |       CAST(sum_est AS BIGINT) AS est_join_rows,
+        |       CAST(max_est AS BIGINT) AS max_key_est,
+        |       (SELECT min(user_id) FROM per, t WHERE est = max_est)
+        |         AS hot_user,
+        |       CAST((SELECT count(*) FROM per, t
+        |             WHERE 2 * est * n_keys > 3 * sum_est) AS BIGINT)
+        |         AS n_hot_keys
+        |FROM t""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def side(t: String, as: String) = ev
+        .filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(count(lit(1)).as(as))
+      // one row per key that appears on BOTH sides; reused by the totals
+      // aggregate and the hot-key threshold scan
+      val per = side("view", "cnt_v").join(side("purchase", "cnt_p"), "user_id")
+        .select(col("user_id"), (col("cnt_v") * col("cnt_p")).as("est"))
+        .localCheckpoint(true)
+      val totals = per.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("est")).cast("long").as("est_join_rows"),
+        max(col("est")).cast("long").as("max_key_est"),
+        // argmax with deterministic tie-break (max est, then min user):
+        // the q70 struct-min fold — stays inside this single aggregate
+        min(struct((-col("est")).as("neg"), col("user_id").as("u")))
+          .as("best"))
+      val hot = per.crossJoin(broadcast(
+          totals.select(col("n_keys"), col("est_join_rows"))))
+        .filter(lit(2) * col("est") * col("n_keys") >
+          lit(3) * col("est_join_rows"))
+        .agg(count(lit(1)).as("n_hot_keys"))
+      totals
+        .select(col("n_keys"), col("est_join_rows"), col("max_key_est"),
+          col("best.u").as("hot_user"))
+        .crossJoin(hot)
     }
   )
 }

@@ -1184,6 +1184,101 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).cast("long").as("total_tokens"))
         .orderBy(col("source"), col("band"))
+    },
+
+    // Prefix-filtered set-similarity self-join (AllPairs/PPJoin, Bayardo
+    // WWW'07) over the 3-gram SHINGLE sets at τ = 0.5 — the same ground
+    // truth as q27, but each doc contributes only its ⌊n/2⌋+1
+    // globally-RAREST shingles as join keys instead of all of them.
+    // Prefix lemma: J(A,B) ≥ τ ⇒ |A∩B| ≥ τ·|A∪B| ≥ ⌈τ·|A|⌉, so if A and B
+    // shared nothing within their (n − ⌈τn⌉ + 1)-prefixes under ONE global
+    // order, every shared shingle would sit among A's last ⌈τ·|A|⌉ − 1
+    // positions — contradiction. Candidates ⊇ all true pairs; the exact
+    // verify (array_intersect on the stored sets, candidates only) makes
+    // the output EXACTLY the τ-pairs — n_pairs must equal q27's row count,
+    // a cross-family consistency check the driver sees on both rows.
+    // Scale shape: the global order is ascending document frequency, so
+    // the join keys are by construction the corpus's rarest shingles —
+    // boilerplate (high-df) shingles sink to the suffix and never carry
+    // the join, the emergent form of q51's manual stop-fingerprint cap,
+    // and the candidate key distribution is anti-skewed. Shingle sets
+    // shuffle only for candidate pairs, never for the corpus at large.
+    // All thresholds are integer arithmetic (⌊n/2⌋+1 = n − (n+1) DIV 2 + 1;
+    // 2·inter ≥ union ⟺ J ≥ 0.5 exactly) so the candidate count, pair
+    // set, and sums are bit-identical across engines — a FULL hash oracle.
+    Q("q129_prefix_setsim",
+      s"""WITH $jaccardCtes,
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |rk AS (
+        |  SELECT sh.doc_id, cnt.n_sh, sh.shingle,
+        |         row_number() OVER (PARTITION BY sh.doc_id
+        |                            ORDER BY df, shingle) AS rn
+        |  FROM sh JOIN dfreq USING (shingle)
+        |  JOIN cnt ON sh.doc_id = cnt.doc_id),
+        |pfx AS (SELECT doc_id, shingle FROM rk
+        |        WHERE rn <= n_sh - (n_sh + 1)//2 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pfx a JOIN pfx b ON a.shingle = b.shingle
+        |                       AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT c.doc_a, c.doc_b, p.inter,
+        |         ca.n_sh AS n_a, cb.n_sh AS n_b
+        |  FROM cand c
+        |  JOIN p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+        |  JOIN cnt ca ON c.doc_a = ca.doc_id
+        |  JOIN cnt cb ON c.doc_b = cb.doc_id),
+        |q AS (SELECT * FROM v WHERE inter * 2 >= n_a + n_b - inter)
+        |SELECT (SELECT count(*) FROM cnt) AS n_docs,
+        |       (SELECT count(*) FROM cand) AS n_candidates,
+        |       (SELECT count(*) FROM q) AS n_pairs,
+        |       (SELECT CAST(coalesce(sum(doc_a*131071 + doc_b), 0) AS BIGINT)
+        |        FROM q) AS pair_checksum,
+        |       (SELECT CAST(coalesce(sum(inter), 0) AS BIGINT) FROM q)
+        |         AS sum_inter,
+        |       (SELECT CAST(coalesce(sum(n_a + n_b - inter), 0) AS BIGINT)
+        |        FROM q) AS sum_union""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // one shingle pass serves all consumers (df counts, prefix ranking,
+      // verify arrays) — the q112/q70/q51 materialize-once pattern
+      val sh = shingles(Tables.documents(s, d), "text", 3)
+        .localCheckpoint(true)
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(collect_set(col("shingle")).as("ss"))
+        .select(col("doc_id"), col("ss"), size(col("ss")).as("n_sh"))
+        .localCheckpoint(true)
+      val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      // canonical global order: ascending (document frequency, shingle) —
+      // rarest first, deterministic tie-break shared with the oracle
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("shingle"))
+      val prefix = sh.join(dfreq, "shingle")
+        .join(sets.select(col("doc_id"), col("n_sh")), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= expr("n_sh - (n_sh + 1) DIV 2 + 1"))
+        .select(col("shingle"), col("doc_id"))
+      // candidates are counted AND verified — materialize the distinct once
+      val cand = prefix.toDF("shingle", "doc_a")
+        .join(prefix.toDF("shingle", "doc_b"), "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .localCheckpoint(true)
+      val v = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
+          col("n_sh").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
+          col("n_sh").as("nb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      sets.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(v.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("doc_a") * 131071 + col("doc_b")), lit(0))
+            .cast("long").as("pair_checksum"),
+          coalesce(sum(col("inter")), lit(0)).cast("long").as("sum_inter"),
+          coalesce(sum(col("na") + col("nb") - col("inter")), lit(0))
+            .cast("long").as("sum_union")))
     }
   )
 

@@ -114,13 +114,34 @@ class PlanQualitySpec extends SparkSpec {
     // crossJoins (broadcast BNLJ by construction) and their semantics are
     // pinned by RowsOnlySpec/SimilaritySpec/EventsSpec.
     val heavyEager = Set("q40_rf_regression", "q41_kmeans_embeddings",
-      "q76_stream_sessions", "q106_stream_dedup")
+      "q76_stream_sessions", "q106_stream_dedup",
+      "q127_tws_sessions", "q128_walmart_dag")
     val offenders = SparkEntry.registry
       .filterNot(q => heavyEager(q.name)).flatMap { q =>
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct")) Some(q.name) else None
       }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("q130: global indexing never single-partitions the table") {
+    val p = planOf("q130_global_index")
+    // the table-wide rank window must be partitioned (by pid) — the naive
+    // row_number() OVER (ORDER BY k) would put the whole table through one
+    // Exchange SinglePartition + one sorting task
+    assert(p.contains("hashpartitioning(pid"),
+      s"table-wide window not partitioned by pid:\n$p")
+    // a SinglePartition exchange may only carry pre-aggregated rows (its
+    // child must be an aggregate: the ≤32-row per-pid counts, the map-side
+    // partials of the final one-row merge) — the naive funnel's exchange
+    // would carry the raw table into a Sort+Window
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
+          s"SinglePartition exchange feeding a non-aggregate (table funnel):\n$p")
+      }
   }
 
   test("q83: latest-by-key compacts as a partial aggregate, not a window sort") {

@@ -278,4 +278,27 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(viaFold == viaWindow)
   }
+
+  test("q129 prefix-filtered join: exact vs brute force, and really prunes") {
+    // the prefix lemma promises candidates ⊇ τ-pairs; the verify stage
+    // promises the OUTPUT equals the brute-force shingle-join pair set
+    // (same τ = 0.5, same raw-ratio semantics as q27). Both directions
+    // checked against exactJaccardPairs on the real corpus, plus the
+    // pruning property that makes the operator worth having: candidates
+    // must be a small fraction of the n·(n−1)/2 pair space.
+    val row = SparkEntry.queries("q129_prefix_setsim")(spark, sf0001).head()
+    val exact = TextOps.exactJaccardPairs(spark, sf0001, minJac = 0.5)
+      .localCheckpoint(true)
+    assert(row.getAs[Long]("n_pairs") == exact.count())
+    val ck = exact.agg(coalesce(
+        sum(col("doc_a") * 131071 + col("doc_b")), lit(0)).cast("long"))
+      .head().getLong(0)
+    assert(row.getAs[Long]("pair_checksum") == ck,
+      "prefix-filtered pair set differs from the brute-force pair set")
+    val nDocs = row.getAs[Long]("n_docs")
+    val allPairs = nDocs * (nDocs - 1) / 2
+    assert(row.getAs[Long]("n_candidates") * 10 < allPairs,
+      s"prefix filter pruned nothing: ${row.getAs[Long]("n_candidates")} " +
+        s"candidates of $allPairs possible pairs")
+  }
 }
