@@ -18,7 +18,8 @@ object SparkEntry {
     ops.Ml.queries ++
     ops.Multimodal.queries ++
     ops.Sources.queries ++
-    ops.Composition.queries
+    ops.Composition.queries ++
+    ops.Retrieval.queries
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")
