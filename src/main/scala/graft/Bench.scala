@@ -82,9 +82,9 @@ object Bench {
       spark.catalog.clearCache()
       // failed query → negated time: visibly broken in the JSON instead of
       // masquerading as a (suspiciously fast) success. Floor the magnitude
-      // so a sub-5ms analysis failure can't round to "-0.00" at the
-      // 2-decimal output precision and read back as a ~0s success.
-      if (ok) secs else -math.max(secs, 0.01)
+      // so a fast analysis failure can't round to "-0.0" at the 1-decimal
+      // output precision and read back as a ~0s success.
+      if (ok) secs else -math.max(secs, 0.1)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timeOne(name, fn, recordError = true))
@@ -111,7 +111,9 @@ object Bench {
     // Locale.ROOT: the f interpolator uses the JVM default locale, which in
     // comma-decimal locales would print "1,234" and corrupt the JSON.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def cs(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // 1 decimal on the machine line (the compactness contract below);
+    // full 3-decimal per-query fidelity goes to stderr
+    def cs(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     // headline total = successful queries only; failures stay visible as
     // negated per-query entries + n_errors (a broken bench must never look
     // faster than a working one)
@@ -132,9 +134,10 @@ object Bench {
     // of that tail. The old line spelled out 110 full query names at 9
     // decimals (~4 KB) — its head fell off the tail and the driver recorded
     // parsed:null two rounds running (BENCH_r03/r04). Short keys (the
-    // unique qNN prefix), 2-decimal seconds and an errors map only when
-    // non-empty keep the line ~1.5 KB even at 110 queries, leaving headroom
-    // under the 2000-char window after sbt's trailing "[success]" banner.
+    // unique qNN prefix), 1-decimal seconds (since 137 queries; stderr
+    // keeps 3 decimals) and an errors map only when non-empty keep the
+    // line ~1.6 KB, leaving headroom under the 2000-char window after
+    // sbt's trailing "[success]" banner.
     // Sorted Seq order is preserved (toMap would hash-scramble it).
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + cs(v)

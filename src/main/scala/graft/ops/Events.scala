@@ -650,6 +650,65 @@ object Events {
           (col("n_missing_closed") === 0 && col("n_phantom") === 0 &&
             col("n_emitted") > col("n_closed") &&
             col("max_value_diff") <= 0.011).as("tws_ok"))
+    },
+
+    // Population stability index between the first and second half of the
+    // event stream — the standard data-drift gate a production pipeline
+    // runs before retraining or admitting a new batch. Fixed-width value
+    // bins (20 × 25.0, top bin open) with Laplace smoothing (+0.5 per
+    // bin, +10 per total) so empty bins contribute finitely; the dense
+    // 0..19 spine is generated, not observed, so both engines always emit
+    // all 20 rows. Scale shape: ONE scan with a conditional (CASE) partial
+    // aggregate per bin — 20 groups regardless of row count — then spine
+    // join, window sums, and PSI arithmetic all on the 20-row frame.
+    // Cross-engine float safety: bin counts and totals are integers; p/q
+    // are single divisions of identical operands; only the 20-term PSI sum
+    // is order-sensitive and it is emitted rounded.
+    Q("q134_psi_drift",
+      """WITH b AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS bin),
+        |c AS (
+        |  SELECT CAST(least(floor(value / 25), 19) AS INT) AS bin,
+        |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT b.bin, coalesce(c.n_ref, 0) AS n_ref,
+        |         coalesce(c.n_cur, 0) AS n_cur
+        |  FROM b LEFT JOIN c USING (bin)),
+        |t AS (
+        |  SELECT bin, n_ref, n_cur,
+        |         (n_ref + 0.5) / (sum(n_ref) OVER () + 10.0) AS p,
+        |         (n_cur + 0.5) / (sum(n_cur) OVER () + 10.0) AS q
+        |  FROM j)
+        |SELECT bin, n_ref, n_cur,
+        |       round((p - q) * ln(p / q), 6) AS contrib,
+        |       round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi
+        |FROM t ORDER BY bin""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val c = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(least(floor(col("value") / 25), lit(19)).cast("int").as("bin"))
+        .agg(
+          sum(when(col("ts") < split, 1).otherwise(0)).as("n_ref"),
+          sum(when(col("ts") >= split, 1).otherwise(0)).as("n_cur"))
+      val spine = s.range(0, 20).select(col("id").cast("int").as("bin"))
+      val j = spine.join(c, Seq("bin"), "left")
+        .select(col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      // the spine is 20 rows — the unpartitioned windows below never see
+      // more than that, so the SinglePartition exchange moves 20 rows
+      val w = Window.partitionBy()
+      val p = (col("n_ref") + 0.5) / (sum(col("n_ref")).over(w) + 10.0)
+      val q = (col("n_cur") + 0.5) / (sum(col("n_cur")).over(w) + 10.0)
+      val contrib = (p - q) * log(p / q)
+      j.withColumn("contrib_raw", contrib)
+        .withColumn("psi", round(sum(col("contrib_raw")).over(w), 6))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("contrib_raw"), 6).as("contrib"), col("psi"))
+        .orderBy("bin")
     }
   )
 }

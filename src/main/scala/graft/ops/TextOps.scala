@@ -1279,6 +1279,82 @@ object TextOps {
           coalesce(sum(col("inter")), lit(0)).cast("long").as("sum_inter"),
           coalesce(sum(col("na") + col("nb") - col("inter")), lit(0))
             .cast("long").as("sum_union")))
+    },
+
+    // Unigram cross-entropy scoring — the perplexity-style quality filter
+    // (CCNet/Gopher lineage, simplified to the corpus's own unigram LM):
+    // each document's mean −ln p(token) under the global token
+    // distribution. High scores = improbable token mixes (noise, boiler-
+    // plate soup); the downstream curation gate thresholds on it. Scale
+    // shape: ONE tokenize+explode pass (localCheckpoint) feeds the
+    // vocabulary aggregate, the corpus total, and the scoring join; the
+    // vocabulary table broadcasts (it grows sub-linearly in corpus size)
+    // so the per-token join is map-side — the q70 posting topology.
+    // The per-doc avg over doubles is order-sensitive; output rounded,
+    // keyed and ordered by doc_id (no rank derived from it).
+    Q("q135_unigram_xent",
+      """WITH t AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |v AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |tot AS (SELECT count(*) AS tot FROM t)
+        |SELECT doc_id, count(*) AS n_toks,
+        |       round(avg(-ln(c / CAST(tot AS DOUBLE))), 6) AS xent
+        |FROM t JOIN v USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .localCheckpoint(true)
+      val v = t.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = t.agg(count(lit(1)).as("tot"))
+      t.join(broadcast(v), "tok").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(-log(col("c") / col("tot").cast("double"))), 6).as("xent"))
+        .orderBy("doc_id")
+    },
+
+    // Quality-weighted deterministic sampling — keep each doc with
+    // probability proportional to its quality weight (here n_chars /
+    // max(n_chars), the simplest monotone proxy), the mixing device of
+    // quality-upsampled pretraining recipes. RNG-free like q103/q108: the
+    // keep decision compares the doc's 4-hex md5 prefix (a uniform 16-bit
+    // draw) against a per-doc hex threshold printf'd from
+    // floor(w · 65536) — both sides integer/string arithmetic, so the
+    // sample is bit-reproducible in any engine and stable under
+    // re-partitioning. Scale shape: one broadcast scalar (the max), one
+    // map-side filter, one partial-aggregated group-by — no shuffle of
+    // document text ever.
+    Q("q136_weighted_sample",
+      """WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
+        |w AS (SELECT doc_id, source, n_chars,
+        |             least(CAST(floor(n_chars * 65536.0 / mx) AS BIGINT),
+        |                   65535) AS thr
+        |      FROM documents CROSS JOIN mx),
+        |k AS (SELECT * FROM w
+        |      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |            < printf('%04x', thr))
+        |SELECT source, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max(col("n_chars")).as("mx"))
+      docs.crossJoin(broadcast(mx))
+        .withColumn("thr",
+          least(floor(col("n_chars") * lit(65536.0) / col("mx")).cast("long"),
+            lit(65535L)))
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+          < format_string("%04x", col("thr")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy("source")
     }
   )
 

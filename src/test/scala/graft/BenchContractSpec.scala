@@ -21,11 +21,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchContractSpec extends AnyFunSuite {
 
   test("compact bench line fits the driver's 2000-char stdout tail with headroom") {
-    // per-entry rendering "qNNN":N.NN, — prefix + quotes + colon + typical
-    // 4 value chars + comma (measured: ~12 chars/entry at 127 queries →
-    // a 1522-char actual line; double-digit seconds or negated failure
-    // markers add a char each, absorbed by the margin below)
-    val entries = SparkEntry.registry.map(_.name.takeWhile(_ != '_')).map(_.length + 9).sum
+    // per-entry rendering "qNNN":N.N, — prefix + quotes(2) + colon +
+    // typical 3 value chars at the 1-decimal machine precision + comma,
+    // plus one spare char for double-digit seconds / negated failure
+    // markers → prefix + 8
+    val entries = SparkEntry.registry.map(_.name.takeWhile(_ != '_')).map(_.length + 8).sum
     val header = 120 // {"metric":"total","value":NNN.NNN,...,"queries":{
     val sbtBanner = 110 // trailing "[success] Total time: ..." line
     val line = header + entries
