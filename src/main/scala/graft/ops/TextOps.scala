@@ -1249,35 +1249,44 @@ object TextOps {
         .localCheckpoint(true)
       val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       // canonical global order: ascending (document frequency, shingle) —
-      // rarest first, deterministic tie-break shared with the oracle
+      // rarest first, deterministic tie-break shared with the oracle.
+      // n_sh comes from a count window over the SAME doc partitioning the
+      // rank needs (sh is distinct per doc), so the prefix never joins
+      // back against `sets` — one exchange serves both window functions.
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("shingle"))
       val prefix = sh.join(dfreq, "shingle")
-        .join(sets.select(col("doc_id"), col("n_sh")), "doc_id")
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= expr("n_sh - (n_sh + 1) DIV 2 + 1"))
         .select(col("shingle"), col("doc_id"))
-      // candidates are counted AND verified — materialize the distinct once
       val cand = prefix.toDF("shingle", "doc_a")
         .join(prefix.toDF("shingle", "doc_b"), "shingle")
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-        .localCheckpoint(true)
+      // every candidate survives the verify joins (inner, both endpoints
+      // exist in `sets`), so n_candidates is counted in the SAME pass as
+      // the verified-pair sums — the τ-filter becomes a conditional inside
+      // one aggregate instead of a second job over a checkpointed `cand`
       val v = cand
         .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
           col("n_sh").as("na")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
           col("n_sh").as("nb")), "doc_b")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+        .withColumn("ok",
+          col("inter") * 2 >= col("na") + col("nb") - col("inter"))
       sets.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(v.agg(
-          count(lit(1)).as("n_pairs"),
-          coalesce(sum(col("doc_a") * 131071 + col("doc_b")), lit(0))
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("ok"), 1).otherwise(0)).cast("long").as("n_pairs"),
+          coalesce(sum(when(col("ok"),
+            col("doc_a") * 131071 + col("doc_b"))), lit(0))
             .cast("long").as("pair_checksum"),
-          coalesce(sum(col("inter")), lit(0)).cast("long").as("sum_inter"),
-          coalesce(sum(col("na") + col("nb") - col("inter")), lit(0))
+          coalesce(sum(when(col("ok"), col("inter"))), lit(0))
+            .cast("long").as("sum_inter"),
+          coalesce(sum(when(col("ok"),
+            col("na") + col("nb") - col("inter"))), lit(0))
             .cast("long").as("sum_union")))
     },
 
@@ -1355,6 +1364,75 @@ object TextOps {
           sum(col("n_chars")).as("kept_chars"),
           sum(col("doc_id")).as("id_checksum"))
         .orderBy("source")
+    },
+
+    // Train/test split-leakage audit — the contamination gate the dedup
+    // literature measures (near-duplicate documents straddling the split
+    // leak eval content into training): every exact near-dup pair (the
+    // q27 shingle-join ground truth at j ≥ 0.5) classified by whether its
+    // endpoints land in the same q68-style deterministic hash split.
+    // Because the split is a pure function of doc_id (md5 first nibble
+    // < 'd' ⇒ train, the 13/16 ≈ 81% convention), both endpoints' splits
+    // are computed MAP-SIDE on the tiny pair stream — no join against the
+    // corpus at all; the expensive part is the established shingle-key
+    // join, reused verbatim. A literal 3-category spine fixes the output
+    // shape at every SF (a leak-free corpus still emits its zeros row).
+    // min/max jaccard instead of avg: order-insensitive over the exact
+    // small-integer ratios, so no summation-order hazard.
+    Q("q137_split_leakage",
+      s"""WITH $jaccardCtes,
+        |pr AS (
+        |  SELECT doc_a, doc_b,
+        |         inter / (ca.n_sh + cb.n_sh - inter) AS jac
+        |  FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |cat AS (
+        |  SELECT least(sa, sb) || '-' || greatest(sa, sb) AS split_pair,
+        |         doc_a, doc_b, jac
+        |  FROM (SELECT doc_a, doc_b, jac,
+        |          CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 1) < 'd'
+        |               THEN 'train' ELSE 'test' END AS sa,
+        |          CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 1) < 'd'
+        |               THEN 'train' ELSE 'test' END AS sb
+        |        FROM pr)),
+        |agg AS (
+        |  SELECT split_pair, count(*) AS n_pairs,
+        |         CAST(sum(doc_a + doc_b) AS BIGINT) AS id_checksum,
+        |         round(min(jac), 4) AS min_jac,
+        |         round(max(jac), 4) AS max_jac
+        |  FROM cat GROUP BY 1),
+        |spine(split_pair) AS (VALUES ('test-test'), ('test-train'), ('train-train'))
+        |SELECT spine.split_pair, coalesce(n_pairs, 0) AS n_pairs,
+        |       coalesce(id_checksum, 0) AS id_checksum,
+        |       coalesce(min_jac, 0.0) AS min_jac,
+        |       coalesce(max_jac, 0.0) AS max_jac
+        |FROM spine LEFT JOIN agg USING (split_pair)
+        |ORDER BY split_pair""".stripMargin) { (s, d) =>
+      import s.implicits._
+      def split(c: Column): Column =
+        when(substring(md5(c.cast("string").cast("binary")), 1, 1) < "d", "train")
+          .otherwise("test")
+      val pairs = exactJaccardPairs(s, d, minJac = 0.5)
+        .withColumn("sa", split(col("doc_a")))
+        .withColumn("sb", split(col("doc_b")))
+        .withColumn("split_pair",
+          concat(least(col("sa"), col("sb")), lit("-"),
+            greatest(col("sa"), col("sb"))))
+        .groupBy("split_pair")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("doc_a") + col("doc_b")).cast("long").as("id_checksum"),
+          round(min(col("jac_raw")), 4).as("min_jac"),
+          round(max(col("jac_raw")), 4).as("max_jac"))
+      Seq("test-test", "test-train", "train-train").toDF("split_pair")
+        .join(pairs, Seq("split_pair"), "left")
+        .select(col("split_pair"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("id_checksum"), lit(0L)).as("id_checksum"),
+          coalesce(col("min_jac"), lit(0.0)).as("min_jac"),
+          coalesce(col("max_jac"), lit(0.0)).as("max_jac"))
+        .orderBy("split_pair")
     }
   )
 
