@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * Design notes for scale:
   *  - Explicit, deterministic handling of parquet physical types beats
-  *    schema inference (SURVEY.md §1) — in particular `events.ts` is stored
-  *    as INT64 TIMESTAMP(NANOS,false), which Spark's parquet reader rejects
-  *    outright; we read it as a long (ns) and rebuild a µs TIMESTAMP_NTZ,
-  *    floor-truncated exactly like DuckDB's ns→µs cast so the oracle agrees.
+  *    schema inference (SURVEY.md §1) — in particular `events.ts` has been
+  *    generated both as INT64 TIMESTAMP(NANOS,false) (which Spark's parquet
+  *    reader rejects outright) and as plain TIMESTAMP(MICROS). The loader
+  *    branches on the type it actually reads: a long column is rebuilt as a
+  *    µs TIMESTAMP_NTZ, floor-truncated exactly like DuckDB's ns→µs cast so
+  *    the oracle agrees; a native timestamp column is only normalized to
+  *    TIMESTAMP_NTZ so every downstream query sees one stable type.
   *  - All loads are plain `spark.read.parquet` scans: column pruning and
   *    predicate pushdown reach the scan untouched (no eager work here).
   */
@@ -27,11 +30,18 @@ object Tables {
     name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/events.parquet")
-          // integer `div` keeps full precision (double division would lose
-          // low bits at 2^60 magnitudes); floor semantics match DuckDB.
-          .withColumn("ts",
-            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // ns-as-long corpus: integer `div` keeps full precision (double
+            // division would lose low bits at 2^60 magnitudes); floor
+            // semantics match DuckDB's ns→µs cast.
+            raw.withColumn("ts",
+              timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+          case _ =>
+            // µs-timestamp corpus: already sub-µs-free; only pin the type.
+            raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        }
       case other =>
         spark.read.parquet(s"$dir/$other.parquet")
     }

@@ -16,8 +16,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object EventStreams {
 
-  /** The events stream, replayed from the batch parquet. ts arrives as
-    * INT64 nanos (see Tables.events); normalized to µs TIMESTAMP_NTZ. */
+  /** The events stream, replayed from the batch parquet. ts has arrived as
+    * INT64 nanos in some corpus generations and plain TIMESTAMP(MICROS) in
+    * others (see Tables.load); both normalize to µs here. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -27,10 +28,15 @@ object EventStreams {
     // each aggregate casts window bounds back to NTZ for batch parity.
     // The file-stream source wants a directory: stream the table dir with a
     // glob picking just the events file.
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-day aggregate with a 1-hour watermark (≡ batch q23). */
