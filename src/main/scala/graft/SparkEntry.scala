@@ -19,7 +19,8 @@ object SparkEntry {
     ops.Multimodal.queries ++
     ops.Sources.queries ++
     ops.Composition.queries ++
-    ops.Retrieval.queries
+    ops.Retrieval.queries ++
+    ops.Profiling.queries
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")

@@ -1,0 +1,327 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Corpus / feature profiling operators — the statistical companions to the
+  * curation pipeline (SURVEY.md §2 extension surface): association between
+  * categorical columns (mutual information, χ², Cramér's V), collocation
+  * mining (PMI over adjacent token bigrams), Markov stationary analysis of
+  * the event-type transition graph (the PageRank recurrence on a behavioral
+  * graph), and an interpolated bigram language-model score (the KenLM-style
+  * perplexity filter of CCNet lineage, trained on the corpus's own bigram
+  * table). Reference analogue: the EDA stage's correlation/describe work
+  * (/root/reference/Scripts/eda.py) generalized to categorical and text
+  * columns.
+  *
+  * Scale shapes (100 TB): every operator here reduces the corpus with ONE
+  * partial-aggregated scan (cell counts, bigram counts, edge counts) and
+  * then works on the reduced frame — margins re-aggregate the cell table
+  * rather than re-scanning the corpus; token/bigram vocabularies broadcast
+  * (they grow sub-linearly in corpus size); the power iteration joins a
+  * broadcast rank vector (|nodes| rows) against the edge table, never the
+  * reverse. Cross-engine float discipline: every ln/division is written
+  * with the same operand grouping on both engines, sums that cross engines
+  * are rounded at emission, and every top-k selection orders by integer
+  * counts with a string tie-break — floats are data, never selectors.
+  */
+object Profiling {
+
+  /** Whitespace tokens, lowercased — the q135/q30 convention. */
+  private def toks(c: Column): Column = split(trim(lower(c)), "[ \\t\\n\\f\\r]+")
+
+  /** Adjacent-token bigrams "a b" from a token array (empty-safe). */
+  private def bigrams(a: Column): Column =
+    zip_with(slice(a, lit(1), greatest(size(a) - 1, lit(0))),
+      slice(a, lit(2), greatest(size(a) - 1, lit(0))),
+      (x, y) => concat_ws(" ", x, y))
+
+  /** DuckDB side of the same tokenize (shared with q135's oracle). */
+  private val duckToks = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  val queries: Seq[Q] = Seq(
+
+    // Mutual information between two categorical columns (lang × source) —
+    // the feature-association profile a curation pipeline computes before
+    // stratifying or rebalancing: MI in nats, χ² over the full category
+    // spine (zero-observed cells contribute their expectation), and
+    // Cramér's V as the normalized effect size. ONE corpus scan produces
+    // the |langs|×|sources| cell table; margins and totals re-aggregate
+    // that tiny frame (no second scan), and the spine is the cross join of
+    // the two margin frames — all post-scan work is on ≤k² rows no matter
+    // the corpus size. MI/χ² sums are order-sensitive doubles over ~100
+    // terms: emitted rounded, far above double noise.
+    Q("q138_mutual_info",
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS n_xy
+        |  FROM documents GROUP BY 1, 2),
+        |mx AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1),
+        |my AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM c),
+        |spine AS (
+        |  SELECT mx.lang, my.source, mx.n_x, my.n_y, n,
+        |         coalesce(c.n_xy, 0) AS n_xy,
+        |         (CAST(mx.n_x AS DOUBLE) * my.n_y) / n AS e
+        |  FROM mx CROSS JOIN my CROSS JOIN tot
+        |  LEFT JOIN c USING (lang, source))
+        |SELECT max(n) AS n_docs,
+        |       count(DISTINCT lang) AS n_langs,
+        |       count(DISTINCT source) AS n_sources,
+        |       round(sum(CASE WHEN n_xy > 0 THEN
+        |           (CAST(n_xy AS DOUBLE) / n) *
+        |           ln((CAST(n_xy AS DOUBLE) / n) /
+        |              ((CAST(n_x AS DOUBLE) / n) * (CAST(n_y AS DOUBLE) / n)))
+        |         ELSE 0 END), 6) AS mi_nats,
+        |       round(sum((n_xy - e) * (n_xy - e) / e), 4) AS chi2,
+        |       round(sqrt(sum((n_xy - e) * (n_xy - e) / e) /
+        |         (max(n) * (least(count(DISTINCT lang),
+        |                          count(DISTINCT source)) - 1))), 6)
+        |         AS cramers_v
+        |FROM spine""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_xy"))
+        .localCheckpoint(true)
+      val mx = c.groupBy("lang").agg(sum(col("n_xy")).cast("long").as("n_x"))
+      val my = c.groupBy("source").agg(sum(col("n_xy")).cast("long").as("n_y"))
+      val tot = c.agg(sum(col("n_xy")).cast("long").as("n"))
+      val spine = mx.crossJoin(my).crossJoin(broadcast(tot))
+        .join(c, Seq("lang", "source"), "left")
+        .withColumn("n_xy", coalesce(col("n_xy"), lit(0L)))
+        .withColumn("e", col("n_x").cast("double") * col("n_y") / col("n"))
+      val pxy = col("n_xy").cast("double") / col("n")
+      val px = col("n_x").cast("double") / col("n")
+      val py = col("n_y").cast("double") / col("n")
+      spine.agg(
+        max(col("n")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        round(sum(when(col("n_xy") > 0, pxy * log(pxy / (px * py)))
+          .otherwise(0.0)), 6).as("mi_nats"),
+        round(sum((col("n_xy") - col("e")) * (col("n_xy") - col("e")) / col("e")), 4)
+          .as("chi2"),
+        round(sqrt(
+          sum((col("n_xy") - col("e")) * (col("n_xy") - col("e")) / col("e")) /
+            (max(col("n")) * (least(countDistinct(col("lang")),
+              countDistinct(col("source"))) - 1))), 6).as("cramers_v"))
+    },
+
+    // PMI collocations — adjacent-token bigrams scored by pointwise mutual
+    // information against the unigram model, the classic collocation-
+    // extraction pass (phrase mining, tokenizer-merge candidates). Bigrams
+    // are built MAP-SIDE by zipping each token array with its own tail (no
+    // window, no per-token shuffle with positions); selection is top-100
+    // by COUNT with a string tie-break (integers select, the float PMI is
+    // payload), so no rank boundary ever rests on a double. The PMI
+    // expression is written with identical operand grouping on both
+    // engines: ln((c_ab/Tb) / ((c_a/Tu) * (c_b/Tu))).
+    Q("q139_pmi_collocations",
+      s"""WITH t AS (
+        |  SELECT doc_id, $duckToks AS a FROM documents),
+        |u AS (
+        |  SELECT unnest(a) AS tok FROM t),
+        |uc AS (SELECT tok, count(*) AS c FROM u WHERE tok <> '' GROUP BY 1),
+        |ut AS (SELECT CAST(sum(c) AS BIGINT) AS tu FROM uc),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(a)),
+        |                               i -> a[i] || ' ' || a[i + 1])) AS bg
+        |  FROM t WHERE len(a) > 1),
+        |bc AS (SELECT bg, count(*) AS c_ab FROM b GROUP BY 1),
+        |bt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS tb FROM bc),
+        |k AS (
+        |  SELECT bg, c_ab FROM bc ORDER BY c_ab DESC, bg LIMIT 100)
+        |SELECT bg, c_ab,
+        |       round(ln((CAST(c_ab AS DOUBLE) / tb) /
+        |                ((CAST(ca.c AS DOUBLE) / tu) *
+        |                 (CAST(cb.c AS DOUBLE) / tu))), 6) AS pmi
+        |FROM k CROSS JOIN ut CROSS JOIN bt
+        |JOIN uc ca ON ca.tok = string_split(k.bg, ' ')[1]
+        |JOIN uc cb ON cb.tok = string_split(k.bg, ' ')[2]
+        |ORDER BY c_ab DESC, bg""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("a"))
+        .localCheckpoint(true)
+      val uc = t.select(explode(col("a")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val ut = uc.agg(sum(col("c")).cast("long").as("tu"))
+      val bc = t.filter(size(col("a")) > 1)
+        .select(explode(bigrams(col("a"))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint(true)
+      val bt = bc.agg(sum(col("c_ab")).cast("long").as("tb"))
+      val k = bc.orderBy(col("c_ab").desc, col("bg")).limit(100)
+      k.crossJoin(broadcast(ut)).crossJoin(broadcast(bt))
+        .join(broadcast(uc.select(col("tok").as("tok_a"), col("c").as("ca"))),
+          split(col("bg"), " ").getItem(0) === col("tok_a"))
+        .join(broadcast(uc.select(col("tok").as("tok_b"), col("c").as("cb"))),
+          split(col("bg"), " ").getItem(1) === col("tok_b"))
+        .select(col("bg"), col("c_ab"),
+          round(log((col("c_ab").cast("double") / col("tb")) /
+            ((col("ca").cast("double") / col("tu")) *
+              (col("cb").cast("double") / col("tu")))), 6).as("pmi"))
+        .orderBy(col("c_ab").desc, col("bg"))
+    },
+
+    // Markov stationary distribution of the event-type transition graph —
+    // the PageRank recurrence (damping 0.85, uniform teleport, dangling
+    // mass redistributed) run 12 power iterations over the q94 transition
+    // matrix. The iteration shape is the scale-correct one: the edge table
+    // (one row per observed transition pair, partial-aggregated from the
+    // corpus in ONE scan) stays put; the rank vector (|nodes| rows) is the
+    // small side of every join. On 5 nodes this is trivially tiny, but the
+    // same loop body is what runs when nodes are URLs/users at 1e9 scale —
+    // with ranks broadcast and edges hash-partitioned by src. The oracle
+    // unrolls the identical 12 iterations as chained CTEs; per-node sums
+    // have ≤|nodes| terms and the final emission is rounded at 6.
+    Q("q140_markov_stationary", Profiling.markovOracle(12)) { (s, d) =>
+      Profiling.stationary(s, d, 12)
+    },
+
+    // Interpolated bigram language-model scoring — the KenLM-style
+    // perplexity quality filter (CCNet lineage) with the corpus's own
+    // bigram table as the model: each document's mean −ln(0.7·p(b|a) +
+    // 0.3·p_uni(b)) over its adjacent-token bigrams. Jelinek-Mercer
+    // interpolation with the unigram model means every in-vocabulary
+    // bigram has positive mass (no smoothing cliffs), and training on the
+    // scored corpus itself makes the query self-contained (swap the counts
+    // tables for a held-out model in production). ONE tokenize pass feeds
+    // unigram counts, bigram counts, and the scoring explode; both count
+    // tables broadcast (sub-linear vocab growth), so scoring is map-side —
+    // the q135 topology with a two-term mixture.
+    Q("q141_bigram_lm",
+      s"""WITH t AS (
+        |  SELECT doc_id, $duckToks AS a FROM documents),
+        |u AS (SELECT unnest(a) AS tok FROM t),
+        |uc AS (SELECT tok, count(*) AS c FROM u WHERE tok <> '' GROUP BY 1),
+        |ut AS (SELECT CAST(sum(c) AS BIGINT) AS tu FROM uc),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(a)), i -> a[i])) AS w1,
+        |         unnest(list_transform(range(1, len(a)), i -> a[i + 1])) AS w2
+        |  FROM t WHERE len(a) > 1),
+        |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln(0.7 * (CAST(bc.c_ab AS DOUBLE) / ca.c) +
+        |                     0.3 * (CAST(cb.c AS DOUBLE) / tu))), 6) AS lm_xent
+        |FROM bg
+        |JOIN bc USING (w1, w2)
+        |JOIN uc ca ON ca.tok = bg.w1
+        |JOIN uc cb ON cb.tok = bg.w2
+        |CROSS JOIN ut
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("a"))
+        .localCheckpoint(true)
+      val uc = t.select(explode(col("a")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val ut = uc.agg(sum(col("c")).cast("long").as("tu"))
+      val bg = t.filter(size(col("a")) > 1)
+        .select(col("doc_id"),
+          posexplode(slice(col("a"), lit(1), size(col("a")) - 1))
+            .as(Seq("i", "w1")),
+          col("a"))
+        .withColumn("w2", element_at(col("a"), col("i") + 2))
+        .select(col("doc_id"), col("w1"), col("w2"))
+        .localCheckpoint(true)
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      bg.join(broadcast(bc), Seq("w1", "w2"))
+        .join(broadcast(uc.select(col("tok").as("w1"), col("c").as("ca"))), "w1")
+        .join(broadcast(uc.select(col("tok").as("w2"), col("c").as("cb"))), "w2")
+        .crossJoin(broadcast(ut))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log(lit(0.7) * (col("c_ab").cast("double") / col("ca")) +
+            lit(0.3) * (col("cb").cast("double") / col("tu")))), 6)
+            .as("lm_xent"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** The q140 power iteration, parameterized on depth (the spec compares
+    * depth 12 vs 13 to pin convergence). */
+  private[graft] def stationary(s: SparkSession, d: String,
+      iters: Int): DataFrame = {
+    val pairs = Events.transitionMatrix(Tables.events(s, d))
+    // P(next|cur): per-src normalized counts; tiny frame from here on.
+    val edges = pairs
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .select(col("event_type").as("src"), col("next_type").as("dst"),
+        (col("n").cast("double") / col("tot")).as("p"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val nN = nodes.count()
+    var rank = nodes.withColumn("r", lit(1.0 / nN))
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(edges, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") * col("p")).as("inflow"))
+      // dangling nodes (no outgoing edges) leak their mass; collect it
+      // and hand it back uniformly — the standard PageRank repair.
+      val dangling = rank.join(edges.select(col("src")).distinct(),
+          col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(0.15 / nN) + lit(0.85) *
+            (coalesce(col("inflow"), lit(0.0)) + col("dm") / nN)).as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("node").as("event_type"), round(col("r"), 6).as("rank"))
+      .orderBy("event_type")
+  }
+
+  /** Unrolled power-iteration oracle: r0 = uniform; r{k+1}(dst) =
+    * 0.15/N + 0.85·(Σ_src r{k}(src)·P(dst|src) + dangling{k}/N). The CTE
+    * chain mirrors the Spark loop exactly — same damping, same dangling
+    * repair, same iteration count. */
+  private[graft] def markovOracle(iters: Int): String = {
+    // Each r{k} is referenced twice by r{k+1} (dangling scan + inflow
+    // join); DuckDB inlines CTEs by default, which would expand the chain
+    // 2^iters-fold (and re-open the parquet per inlined `ed`) — every CTE
+    // is pinned AS MATERIALIZED so the oracle evaluates each step once.
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT event_type AS src,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |m AS MATERIALIZED (
+        |  SELECT src, dst, count(*) AS n FROM e
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |ed AS MATERIALIZED (
+        |  SELECT src, dst,
+        |         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+        |  FROM m),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed
+        |          UNION SELECT DISTINCT dst FROM ed),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT coalesce(sum(r), 0.0) AS dm FROM r${k - 1}
+         |  WHERE node NOT IN (SELECT DISTINCT src FROM ed)),
+         |r$k AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |         0.15 / n + 0.85 * (coalesce(inflow, 0.0) + dm / n) AS r
+         |  FROM nodes CROSS JOIN nn CROSS JOIN d$k
+         |  LEFT JOIN (SELECT ed.dst AS node, sum(r * p) AS inflow
+         |             FROM r${k - 1} JOIN ed ON r${k - 1}.node = ed.src
+         |             GROUP BY 1) i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node AS event_type, round(r, 6) AS rank
+       |FROM r$iters ORDER BY event_type""".stripMargin
+  }
+}

