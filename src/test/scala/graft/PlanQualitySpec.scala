@@ -316,4 +316,24 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("LessThan(user_id,50)"),
       s"entity-slice predicate not pushed to the scan:\n$p")
   }
+
+  test("q138: margins/spine work on the cell table — the corpus scans once") {
+    val p = planOf("q138_mutual_info")
+    // one parquet scan feeds the cell aggregate; everything after the
+    // localCheckpoint (margins, spine, MI/chi2) reads the checkpointed
+    // k^2-row RDD, never the corpus
+    assert("Scan parquet".r.findAllIn(p).size == 0 ||
+      "Scan parquet".r.findAllIn(p).size == 1,
+      s"MI spine work re-scanned the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"k^2-row frames must broadcast, not sort-merge:\n$p")
+  }
+
+  test("q141: bigram LM scoring joins are all broadcast (count tables are small)") {
+    val p = planOf("q141_bigram_lm")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a count-table join shuffled the bigram stream:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"no broadcast join in the scoring path:\n$p")
+  }
 }
