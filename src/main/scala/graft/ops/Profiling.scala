@@ -240,8 +240,120 @@ object Profiling {
             lit(0.3) * (col("cb").cast("double") / col("tu")))), 6)
             .as("lm_xent"))
         .orderBy("doc_id")
+    },
+
+    // BPE tokenizer-merge training — the first 6 merge rules learned from
+    // the corpus, the distributed half of tokenizer training (count pairs
+    // over the vocabulary, merge the argmax, repeat). See bpeMerges for
+    // the space-wrapped symbol encoding that makes greedy left-to-right
+    // merge application a plain SQL replace on BOTH engines, and for why
+    // the loop runs on the vocabulary table (sub-linear in corpus size),
+    // never the corpus. Integer pair counts + lexicographic tie-breaks:
+    // the whole training trace is exact, no float anywhere.
+    Q("q142_bpe_merges", Profiling.bpeOracle(6)) { (s, d) =>
+      Profiling.bpeMerges(s, d, 6)
     }
   )
+
+  /** The q142 BPE trainer, parameterized on merge count (spec-visible).
+    *
+    * Symbol-sequence encoding: each word's symbols are kept as ONE string
+    * with every symbol wrapped in single spaces (`' a  b  c '`). Applying
+    * merge (a,b) is then a plain `replace(s, ' a  b ', ' ab ')` — SQL
+    * replace is greedy left-to-right non-overlapping, which is exactly
+    * BPE's application order, and the double-space wrapping means a
+    * consumed occurrence never eats the NEXT candidate's leading
+    * separator (the classic single-separator encoding misses every second
+    * adjacent match). Works identically in Spark and DuckDB, so the
+    * oracle replays the byte-identical algorithm. Symbols never contain
+    * spaces (tokens are whitespace-split), so the encoding is unambiguous
+    * and the pair string `"a b"` compares exactly like the (a, b) tuple
+    * (the separator 0x20 sorts below every symbol byte).
+    *
+    * Scale shape: ONE corpus scan reduces to (token, freq) — every merge
+    * iteration runs on the VOCABULARY table (sub-linear in corpus size;
+    * this is why BPE trainers scale), with a partial-aggregated pair
+    * count and a map-side replace. Only the 6 argmax rows (one scalar
+    * merge decision per iteration) ever cross the driver — the same
+    * scalar-bound exception as q140's node count. Deterministic
+    * tie-break: max count, then lexicographically smallest pair. */
+  private[graft] def bpeMerges(s: SparkSession, d: String,
+      merges: Int): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(" "),
+          array_join(filter(split(col("tok"), ""), x => x =!= ""), "  "),
+          lit(" ")).as("s"))
+      .coalesce(1).localCheckpoint(true)
+    var vocab = words
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to merges) {
+      val best = vocab
+        .select(col("freq"), split(trim(col("s")), "  ").as("a"))
+        .filter(size(col("a")) > 1)
+        .select(col("freq"), explode(bigrams(col("a"))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).cast("long").as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .head()
+      val Array(a, b) = best.getAs[String]("pair").split(" ", 2)
+      out += ((k, a, b, best.getAs[Long]("c")))
+      vocab = vocab
+        .withColumn("s", replace(col("s"),
+          lit(s" $a  $b "), lit(s" $a$b ")))
+        .localCheckpoint(true)
+    }
+    val sq = s
+    import sq.implicits._
+    out.result().toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The byte-identical unrolled oracle for [[bpeMerges]]. */
+  private[graft] def bpeOracle(merges: Int): String = {
+    val head =
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT tok, count(*) AS freq FROM (
+         |    SELECT unnest($duckToks) AS tok FROM documents)
+         |  WHERE tok <> '' GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT freq,
+         |         ' ' || array_to_string(string_split_regex(tok, ''), '  ')
+         |             || ' ' AS s
+         |  FROM w)""".stripMargin
+    val steps = (1 to merges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT x || ' ' || y AS pair, CAST(sum(freq) AS BIGINT) AS c
+         |  FROM (
+         |    SELECT freq,
+         |           unnest(list_transform(range(1, len(a)), i -> a[i])) AS x,
+         |           unnest(list_transform(range(1, len(a)), i -> a[i + 1])) AS y
+         |    FROM (SELECT freq, string_split(trim(s, ' '), '  ') AS a
+         |          FROM v${k - 1})
+         |    WHERE len(a) > 1)
+         |  GROUP BY 1),
+         |b$k AS MATERIALIZED (
+         |  SELECT pair, c FROM p$k ORDER BY c DESC, pair LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT freq,
+         |         replace(s,
+         |           ' ' || string_split(pair, ' ')[1] || '  '
+         |               || string_split(pair, ' ')[2] || ' ',
+         |           ' ' || string_split(pair, ' ')[1]
+         |               || string_split(pair, ' ')[2] || ' ') AS s
+         |  FROM v${k - 1} CROSS JOIN b$k)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to merges).map { k =>
+      s"""SELECT $k AS merge_rank, string_split(pair, ' ')[1] AS lhs,
+         |       string_split(pair, ' ')[2] AS rhs, c AS pair_count FROM b$k"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    // plain concatenation — a final stripMargin would re-strip interpolated
+    // lines whose first non-blank chars are the `||` concat operator
+    head + ",\n" + steps + "\n" + rows + "\nORDER BY merge_rank"
+  }
 
   /** The q140 power iteration, parameterized on depth (the spec compares
     * depth 12 vs 13 to pin convergence). */
@@ -254,10 +366,13 @@ object Profiling {
         org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
       .select(col("event_type").as("src"), col("next_type").as("dst"),
         (col("n").cast("double") / col("tot")).as("p"))
-      .localCheckpoint(true)
+      // |event_types|² rows: one partition keeps every iteration's jobs at
+      // 1-2 tasks instead of shuffle.partitions-many empty ones (the edge
+      // table would be hash-partitioned by src at real graph scale)
+      .coalesce(1).localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().coalesce(1).localCheckpoint(true)
     val nN = nodes.count()
     var rank = nodes.withColumn("r", lit(1.0 / nN))
     for (_ <- 1 to iters) {

@@ -80,6 +80,38 @@ class ProfilingSpec extends SparkSpec {
     assert(diff <= 2e-4, s"iteration 13 moved ranks by $diff")
   }
 
+  test("bpe: space-wrapped replace implements greedy left-to-right merging") {
+    // the encoding lemma q142 rests on: in ' a  a  a ', merging (a,a)
+    // must pair the FIRST two symbols and leave the third — and the
+    // double-space wrapping must keep the survivor's separators intact
+    val out = spark.sql(
+      "SELECT replace(' a  a  a ', ' a  a ', ' aa ') AS s").head().getString(0)
+    assert(out == " aa  a ", s"got '$out'")
+    // non-chaining pairs merge everywhere in one pass
+    val out2 = spark.sql(
+      "SELECT replace(' x  y  x  y ', ' x  y ', ' xy ') AS s")
+      .head().getString(0)
+    assert(out2 == " xy  xy ", s"got '$out2'")
+  }
+
+  test("bpe: merge trace is deterministic with non-increasing pair counts") {
+    val rows = ops.Profiling.bpeMerges(spark, sf0001, 6).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Int]("merge_rank")).toSeq == (1 to 6))
+    val counts = rows.map(_.getAs[Long]("pair_count")).toSeq
+    // each step merges the CURRENT argmax; merging can only shrink
+    // existing pair counts, and pairs born of a merge inherit at most its
+    // count — so the trace is non-increasing
+    assert(counts == counts.sorted.reverse, s"counts not monotone: $counts")
+    assert(counts.forall(_ >= 1))
+    rows.foreach { r =>
+      assert(r.getAs[String]("lhs").nonEmpty && r.getAs[String]("rhs").nonEmpty)
+    }
+    // determinism: an identical second run yields the identical trace
+    val again = ops.Profiling.bpeMerges(spark, sf0001, 6).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("bigram lm: every doc with >=2 tokens scored, xent positive") {
     val rows = run("q141_bigram_lm").collect()
     assert(rows.nonEmpty)
