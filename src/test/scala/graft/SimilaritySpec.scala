@@ -61,4 +61,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Boolean]("rerank_ok"))
     assert(run() == r, "truncation harness must be deterministic run-to-run")
   }
+
+  test("q143 product quantization: codes complete, measured quality bands") {
+    val m = ops.Similarity.pqMetrics(spark, sf0001).head()
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(m.getAs[Long]("n_vectors") == n)
+    assert(m.getAs[Long]("n_codes") == n * 4, "every vector carries m=4 codes")
+    assert(m.getAs[Int]("min_code") >= 0 && m.getAs[Int]("max_code") < 16)
+    // random embeddings are PQ's stress case: reconstruction keeps only a
+    // modest share of the energy (measured mean_rel ~0.72 at sf0.001) and
+    // ADC recall@10 is ~0.22 vs a 0.02 chance floor — assert the measured
+    // bands with margin on both sides (a too-GOOD mean_rel on this corpus
+    // would mean the error math broke)
+    val meanRel = m.getAs[Double]("mean_rel")
+    assert(meanRel > 0.3 && meanRel < 0.85, s"mean_rel=$meanRel")
+    assert(m.getAs[Double]("worst_rel") <= 1.1)
+    val hit = m.getAs[Long]("n_hit").toDouble / m.getAs[Long]("n_exact")
+    assert(hit >= 0.10, s"ADC recall $hit below band")
+    // the driver-checked property row must agree
+    val q = SparkEntry.queries("q143_product_quantization")(spark, sf0001)
+      .collect().head
+    assert(q.getAs[Boolean]("codes_ok") && q.getAs[Boolean]("recon_ok") &&
+      q.getAs[Boolean]("recall_ok"))
+  }
 }
