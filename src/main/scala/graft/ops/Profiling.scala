@@ -252,8 +252,104 @@ object Profiling {
     // the whole training trace is exact, no float anywhere.
     Q("q142_bpe_merges", Profiling.bpeOracle(6)) { (s, d) =>
       Profiling.bpeMerges(s, d, 6)
+    },
+
+    // Triangle count + global clustering coefficient of the near-dup graph
+    // (the q27 exact τ-pairs as edges) — the structural audit that tells a
+    // dedup pipeline whether its pair stream is chains (transitive noise)
+    // or cliques (true duplicate groups): cliques are triangle-dense,
+    // chains triangle-free. Enumeration is the degree-ordered wedge
+    // algorithm (compact-forward): every edge is oriented from its
+    // lower-(degree, id) endpoint, wedges form only at each triangle's
+    // LOWEST-degree vertex, and each triangle is found exactly once — the
+    // orientation bounds join fan-out by arboricity, which is what keeps
+    // triangle counting viable on power-law graphs at 1e9 edges. The
+    // oracle recomputes every count orientation-free from the a<b<c
+    // three-way join; all outputs are integers (plus one guarded rounded
+    // ratio), so the hash match is exact.
+    Q("q144_triangle_count",
+      s"""WITH ${TextOps.jaccardCtes},
+        |e AS MATERIALIZED (
+        |  SELECT doc_a AS a, doc_b AS b
+        |  FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter * 2 >= ca.n_sh + cb.n_sh - inter),
+        |deg AS MATERIALIZED (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT CAST(coalesce(sum(d * (d - 1) / 2), 0) AS BIGINT)
+        |        FROM deg) AS n_wedges,
+        |       (SELECT count(*) FROM tri) AS n_triangles,
+        |       (SELECT CAST(coalesce(sum(a * 1000003 + b * 1009 + c), 0)
+        |               AS BIGINT) FROM tri) AS tri_checksum,
+        |       (SELECT CASE WHEN coalesce(sum(d * (d - 1) / 2), 0) = 0
+        |               THEN 0.0
+        |               ELSE round(3.0 * (SELECT count(*) FROM tri) /
+        |                          sum(d * (d - 1) / 2), 6) END
+        |        FROM deg) AS global_cc""".stripMargin) { (s, d) =>
+      triangleStats(TextOps.exactJaccardPairs(s, d, 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
     }
   )
+
+  /** Degree-ordered triangle/wedge statistics over an undirected edge list
+    * (a < b, no duplicates). See q144 for the algorithm; spec-visible so
+    * known graphs (cliques, chains) pin the enumeration. */
+  private[graft] def triangleStats(edgeList: DataFrame): DataFrame = {
+    val edges = edgeList.localCheckpoint(true)
+    val deg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // orient every edge from its lower-(degree, id) endpoint: wedges
+    // form only at low-degree vertices, bounding fan-out by arboricity
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val aLow = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aLow, col("a")).otherwise(col("b")).as("u"),
+        when(aLow, col("b")).otherwise(col("a")).as("w"),
+        when(aLow, col("db")).otherwise(col("da")).as("dw"))
+      .localCheckpoint(true)
+    // wedge at u between its out-neighbors x < y in (degree, id) order;
+    // the connecting edge, if present, is stored oriented (x, y)
+    val e1 = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+    val e2 = oriented.select(col("u"), col("w").as("y"), col("dw").as("dy"))
+    val wedges = e1.join(e2, "u")
+      .filter((col("dx") < col("dy")) ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges.join(
+        oriented.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+      .localCheckpoint(true)
+    // canonical (ascending-id) triangle labels for the checksum
+    val na = least(col("u"), col("x"), col("y"))
+    val nc = greatest(col("u"), col("x"), col("y"))
+    val nb = col("u") + col("x") + col("y") - na - nc
+    deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tris.agg(
+        count(lit(1)).as("n_triangles"),
+        coalesce(sum(na * 1000003 + nb * 1009 + nc), lit(0))
+          .cast("long").as("tri_checksum")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("tri_checksum"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("global_cc"))
+  }
 
   /** The q142 BPE trainer, parameterized on merge count (spec-visible).
     *

@@ -112,6 +112,27 @@ class ProfilingSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("triangles: K4 has 4, a chain has 0, counts match closed forms") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles, wedges = 4·C(3,2) = 12,
+    // cc = 3·4/12 = 1.0 — and every degree ties, exercising the id
+    // tie-break in the orientation
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val rk = ops.Profiling.triangleStats(k4).head()
+    assert(rk.getAs[Long]("n_nodes") == 4 && rk.getAs[Long]("n_edges") == 6)
+    assert(rk.getAs[Long]("n_triangles") == 4, s"K4 triangles: $rk")
+    assert(rk.getAs[Long]("n_wedges") == 12)
+    assert(rk.getAs[Double]("global_cc") == 1.0)
+    // a 5-chain: zero triangles, wedges only at the 3 interior nodes
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val rc = ops.Profiling.triangleStats(chain).head()
+    assert(rc.getAs[Long]("n_triangles") == 0)
+    assert(rc.getAs[Long]("tri_checksum") == 0)
+    assert(rc.getAs[Long]("n_wedges") == 3)
+    assert(rc.getAs[Double]("global_cc") == 0.0)
+  }
+
   test("bigram lm: every doc with >=2 tokens scored, xent positive") {
     val rows = run("q141_bigram_lm").collect()
     assert(rows.nonEmpty)
