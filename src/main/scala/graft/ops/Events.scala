@@ -104,6 +104,23 @@ object Events {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** transformWithState requires a RocksDB-backed state store; scope the
+    * session-wide provider override to one streaming run and restore the
+    * previous provider even on failure (q127, q145). */
+  private def withRocksDbStateStore[A](
+      s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    try {
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      body
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // JSON-in-string property extraction (events.props, SURVEY.md §2.7).
@@ -614,19 +631,11 @@ object Events {
         |SELECT count(*) AS n_sessions, CAST(1 AS BOOLEAN) AS tws_ok
         |FROM (SELECT DISTINCT user_id, sid FROM s)""".stripMargin) { (s, d) =>
       import graft.streaming.{EventStreams, StatefulSessions, TwsSessions}
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = s.conf.getOption(providerKey)
-      val emitted =
-        try {
-          s.conf.set(providerKey, "org.apache.spark.sql.execution.streaming" +
-            ".state.RocksDBStateStoreProvider")
-          EventStreams.runToMemory(s,
-            TwsSessions.run(s, EventStreams.readEvents(s, d)).toDF(),
-            "q127_tws", outputMode = "append", shufflePartitions = Some(8))
-        } finally prevProvider match {
-          case Some(v) => s.conf.set(providerKey, v)
-          case None => s.conf.unset(providerKey)
-        }
+      val emitted = withRocksDbStateStore(s) {
+        EventStreams.runToMemory(s,
+          TwsSessions.run(s, EventStreams.readEvents(s, d)).toDF(),
+          "q127_tws", outputMode = "append", shufflePartitions = Some(8))
+      }
       val stream = emitted
         .select(col("user_id"), col("session_start"), col("n_events"),
           col("total_value").as("stream_value"))
@@ -650,6 +659,38 @@ object Events {
           (col("n_missing_closed") === 0 && col("n_phantom") === 0 &&
             col("n_emitted") > col("n_closed") &&
             col("max_value_diff") <= 0.011).as("tws_ok"))
+    },
+
+    // CEP-lite strict-contiguity pattern matching on the REAL streaming
+    // path (transformWithState + ListState; q127 covers ValueState): per
+    // user, every view → click → purchase run of three CONSECUTIVE events
+    // in (ts, event_id) order. Emission is event-driven — each match
+    // surfaces in its completing event's micro-batch, no timers, nothing
+    // held back by the watermark — so the bounded in-order replay emits
+    // EXACTLY the batch window-lag answer and the oracle hash-compares the
+    // FULL match list, row for row (the strongest oracle form a streaming
+    // query here has; the session queries can only expose parity booleans
+    // because their append emission is watermark-shaped). State per key is
+    // the last pattern_len−1 = 2 events — constant, Flink-CEP-NFA-like.
+    Q("q145_stream_pattern",
+      """SELECT user_id, event_id, ts
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         lag(event_type, 2) OVER w AS p2,
+        |         lag(event_type, 1) OVER w AS p1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE p2 = 'view' AND p1 = 'click' AND event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      import graft.streaming.{EventStreams, TwsPatterns}
+      withRocksDbStateStore(s) {
+        EventStreams.runToMemory(s,
+          TwsPatterns.run(s, EventStreams.readEvents(s, d)).toDF(),
+          "q145_pat", outputMode = "append", shufflePartitions = Some(8))
+      }
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"))
+        .orderBy("user_id", "event_id")
     },
 
     // Population stability index between the first and second half of the
