@@ -693,6 +693,49 @@ object Events {
         .orderBy("user_id", "event_id")
     },
 
+    // Per-purchase attribution on the REAL streaming path — MapState, the
+    // last of the arbitrary-state-v2 primitives (q127 ValueState, q145
+    // ListState): a per-user event-type histogram accumulates between
+    // purchases; each purchase emits the views/clicks it attributes and
+    // resets the map, so state stays ≤ |event_types| entries per key no
+    // matter the stream length. Event-driven emission again ⇒ the bounded
+    // replay equals the batch windowed answer and the oracle hash-compares
+    // the FULL attribution list. Batch form: the prior-purchase running
+    // count partitions each user's timeline into inter-purchase groups;
+    // group-level conditional counts then join back to the purchase rows —
+    // one user_id exchange serves the window and the group aggregate.
+    Q("q146_stream_attribution",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+        |                            THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS grp
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, grp,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_views,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_clicks
+        |  FROM g GROUP BY 1, 2)
+        |SELECT g.user_id, g.event_id, g.ts, a.n_views, a.n_clicks
+        |FROM g JOIN a USING (user_id, grp)
+        |WHERE g.event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      import graft.streaming.{EventStreams, TwsAttribution}
+      withRocksDbStateStore(s) {
+        EventStreams.runToMemory(s,
+          TwsAttribution.run(s, EventStreams.readEvents(s, d)).toDF(),
+          "q146_attr", outputMode = "append", shufflePartitions = Some(8))
+      }
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("n_views"), col("n_clicks"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Population stability index between the first and second half of the
     // event stream — the standard data-drift gate a production pipeline
     // runs before retraining or admitting a new batch. Fixed-width value
