@@ -139,13 +139,17 @@ object Bench {
     // line ~1.6 KB, leaving headroom under the 2000-char window after
     // sbt's trailing "[success]" banner.
     // Sorted Seq order is preserved (toMap would hash-scramble it).
+    // Keys are the BARE query numbers since round 7 (the "q" prefix cost
+    // ~150 chars at 147 queries and the line was ~6 chars from the
+    // BenchContractSpec ceiling); stderr keeps full names.
+    def key(name: String): String = name.takeWhile(_ != '_').stripPrefix("q")
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + cs(v)
+      "\"" + key(k) + "\":" + cs(v)
     }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":\"" + esc(v.take(60)) + "\""
+        "\"" + key(k) + "\":\"" + esc(v.take(60)) + "\""
       }.mkString(""","errors":{""", ",", "}")
     // sf as a bare number ONLY when it is one (a digit/dot scan would let
     // "01" or "0.1.2" through and corrupt the whole line) — else the quoted

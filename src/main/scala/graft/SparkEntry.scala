@@ -20,7 +20,8 @@ object SparkEntry {
     ops.Sources.queries ++
     ops.Composition.queries ++
     ops.Retrieval.queries ++
-    ops.Profiling.queries
+    ops.Profiling.queries ++
+    ops.Retail.queries
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")

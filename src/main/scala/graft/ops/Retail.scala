@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Retail-domain analytics over the TPC-H star — the analytics family the
+  * reference's Walmart-sales context implies but its 4 scripts stop short
+  * of (/root/reference/Scripts/eda.py computes per-store aggregates only):
+  * market-basket association mining, RFM customer segmentation, and
+  * seasonal indexing. All three are exact integer/cents arithmetic end to
+  * end — the monetary sums are per-row-rounded cents accumulated as
+  * BIGINT, so quartile boundaries and rankings are bit-deterministic
+  * across engines (a double-sum ranking could flip an ntile assignment at
+  * one ulp near a boundary).
+  *
+  * Scale shapes: the basket pair explode is bounded by basket size (≤ 7
+  * items per TPC-H order ⇒ ≤ 21 pairs) and partial-aggregates before its
+  * one shuffle; RFM's three unpartitioned ntile windows see only the
+  * per-customer aggregate (one pre-aggregated row per customer crosses
+  * the SinglePartition exchange); the seasonal index is a 12-group
+  * conditional aggregate of one scan.
+  */
+object Retail {
+
+  val queries: Seq[Q] = Seq(
+
+    // Market-basket association rules: the top-20 part pairs by basket
+    // co-occurrence, with support and lift. Selection is by INTEGER
+    // co-occurrence count (pair id tie-break) — the float lift is payload,
+    // never a selector (the q139 discipline). Lift is written with the
+    // same operand grouping on both engines:
+    // (n_ab·N) / (n_a·n_b), doubles only at the final division.
+    Q("q147_market_basket",
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
+        |ic AS (SELECT pk, count(*) AS n_item FROM b GROUP BY 1),
+        |pc AS (
+        |  SELECT a.pk AS part_a, c.pk AS part_b, count(*) AS n_ab
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        |  GROUP BY 1, 2),
+        |k AS (
+        |  SELECT part_a, part_b, n_ab FROM pc
+        |  ORDER BY n_ab DESC, part_a, part_b LIMIT 20)
+        |SELECT part_a, part_b, n_ab,
+        |       ia.n_item AS n_a, ib.n_item AS n_b,
+        |       round((CAST(n_ab AS DOUBLE) * n_baskets) /
+        |             (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+        |FROM k
+        |JOIN ic ia ON k.part_a = ia.pk
+        |JOIN ic ib ON k.part_b = ib.pk
+        |CROSS JOIN n
+        |ORDER BY n_ab DESC, part_a, part_b""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint(true)
+      val n = b.agg(countDistinct(col("ok")).as("n_baskets"))
+      val ic = b.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+        .localCheckpoint(true)
+      val pc = b.toDF("ok", "part_a")
+        .join(b.toDF("ok", "part_b"), "ok")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val k = pc.orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+        .limit(20)
+      k.join(broadcast(ic.select(col("pk").as("part_a"), col("n_item").as("n_a"))),
+          "part_a")
+        .join(broadcast(ic.select(col("pk").as("part_b"), col("n_item").as("n_b"))),
+          "part_b")
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+          round((col("n_ab").cast("double") * col("n_baskets")) /
+            (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+        .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+    },
+
+    // RFM segmentation: per-customer recency (latest order), frequency
+    // (order count) and monetary (exact cents) quartiled into 4×4×4
+    // segments. Every ntile ranks on integers with a custkey tie-break —
+    // bit-deterministic; ntile semantics (equal buckets, remainder to the
+    // leading buckets) agree between engines given the identical total
+    // order. The three windows see ONE pre-aggregated row per customer.
+    Q("q148_rfm_segments",
+      """WITH c AS (
+        |  SELECT o_custkey AS ck, max(o_orderdate) AS r_ts,
+        |         count(*) AS f,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |q AS (
+        |  SELECT ck, r_ts, f, m_cents,
+        |         ntile(4) OVER (ORDER BY r_ts DESC, ck) AS rq,
+        |         ntile(4) OVER (ORDER BY f DESC, ck) AS fq,
+        |         ntile(4) OVER (ORDER BY m_cents DESC, ck) AS mq
+        |  FROM c)
+        |SELECT 'R' || rq || 'F' || fq || 'M' || mq AS segment,
+        |       count(*) AS n_customers,
+        |       CAST(sum(m_cents) AS BIGINT) AS segment_cents
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(max(col("o_orderdate")).as("r_ts"),
+          count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("m_cents"))
+      val q = c
+        .withColumn("rq", ntile(4).over(
+          Window.orderBy(col("r_ts").desc, col("ck"))))
+        .withColumn("fq", ntile(4).over(
+          Window.orderBy(col("f").desc, col("ck"))))
+        .withColumn("mq", ntile(4).over(
+          Window.orderBy(col("m_cents").desc, col("ck"))))
+      q.groupBy(concat(lit("R"), col("rq"), lit("F"), col("fq"),
+          lit("M"), col("mq")).as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("m_cents")).cast("long").as("segment_cents"))
+        .orderBy("segment")
+    },
+
+    // Month-of-year seasonal index — the classic seasonality profile a
+    // sales forecaster derives before modeling (the reference's Walmart
+    // context; its weekly features q15 are the per-row half of this):
+    // each calendar month's revenue share against a uniform-month
+    // baseline, index = 12·rev_m / rev_total. Cents-exact sums; ONE scan,
+    // 12-group partial aggregate, then arithmetic on the 12-row frame.
+    Q("q149_seasonal_index",
+      """WITH m AS (
+        |  SELECT CAST(month(o_orderdate) AS INT) AS month,
+        |         count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM m)
+        |SELECT month, n_orders, rev_cents,
+        |       round(12.0 * rev_cents / total, 6) AS seasonal_index
+        |FROM m CROSS JOIN t ORDER BY month""".stripMargin) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(month(col("o_orderdate")).cast("int").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").as("rev_cents"))
+        .localCheckpoint(true)
+      val t = m.agg(sum(col("rev_cents")).cast("long").as("total"))
+      m.crossJoin(broadcast(t))
+        .select(col("month"), col("n_orders"), col("rev_cents"),
+          round(lit(12.0) * col("rev_cents") / col("total"), 6)
+            .as("seasonal_index"))
+        .orderBy("month")
+    }
+  )
+}

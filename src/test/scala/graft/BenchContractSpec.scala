@@ -21,11 +21,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchContractSpec extends AnyFunSuite {
 
   test("compact bench line fits the driver's 2000-char stdout tail with headroom") {
-    // per-entry rendering "qNNN":N.N, — prefix + quotes(2) + colon +
-    // typical 3 value chars at the 1-decimal machine precision + comma,
-    // plus one spare char for double-digit seconds / negated failure
-    // markers → prefix + 8
-    val entries = SparkEntry.registry.map(_.name.takeWhile(_ != '_')).map(_.length + 8).sum
+    // per-entry rendering "NNN":N.N, — bare-number key (the "q" prefix was
+    // dropped in round 7 when the line came within ~6 chars of this
+    // ceiling) + quotes(2) + colon + typical 3 value chars at the
+    // 1-decimal machine precision + comma, plus one spare char for
+    // double-digit seconds / negated failure markers → key + 8
+    val entries = SparkEntry.registry
+      .map(_.name.takeWhile(_ != '_').stripPrefix("q")).map(_.length + 8).sum
     val header = 120 // {"metric":"total","value":NNN.NNN,...,"queries":{
     val sbtBanner = 110 // trailing "[success] Total time: ..." line
     val line = header + entries

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.Retail
+import org.apache.spark.sql.functions._
+
+class RetailSpec extends SparkSpec {
+
+  private def run(name: String) =
+    Retail.queries.find(_.name == name).get.fn(spark, sf0001)
+
+  test("market basket: co-occurrence bounded by item supports, lift recomputes") {
+    val rows = run("q147_market_basket").collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getAs[Long]("n_ab")).toSeq
+    assert(counts == counts.sorted.reverse, "ordered by co-occurrence desc")
+    val nBaskets = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey")).distinct().count()
+    rows.foreach { r =>
+      val (ab, a, b) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(ab <= math.min(a, b), "a pair can't outnumber either item")
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      val lift = r.getAs[Double]("lift")
+      assert(math.abs(lift - (ab.toDouble * nBaskets) / (a.toDouble * b)) < 1e-6)
+    }
+  }
+
+  test("rfm: segments partition every customer, quartile labels in range") {
+    val rows = run("q148_rfm_segments").collect()
+    val nCustomers = Tables.orders(spark, sf0001)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCustomers,
+      "segments must partition the customer base")
+    rows.foreach { r =>
+      assert(r.getAs[String]("segment").matches("R[1-4]F[1-4]M[1-4]"))
+      assert(r.getAs[Long]("n_customers") >= 1)
+    }
+    // total monetary conserved across segments (exact cents)
+    val totalCents = Tables.orders(spark, sf0001)
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_.getAs[Long]("segment_cents")).sum == totalCents)
+  }
+
+  test("seasonal index: 12 months, shares sum to 12 within rounding") {
+    val rows = run("q149_seasonal_index").collect()
+    assert(rows.map(_.getAs[Int]("month")).toSeq == (1 to 12))
+    val idx = rows.map(_.getAs[Double]("seasonal_index"))
+    assert(math.abs(idx.sum - 12.0) < 1e-4)
+    assert(idx.forall(i => i > 0 && i < 12))
+  }
+}
