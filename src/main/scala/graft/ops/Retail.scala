@@ -149,6 +149,80 @@ object Retail {
           round(lit(12.0) * col("rev_cents") / col("total"), 6)
             .as("seasonal_index"))
         .orderBy("month")
+    },
+
+    // Seasonal-naive forecast backtest — the evaluation loop the
+    // reference's sales-prediction pipeline needs around its model
+    // (Scripts/model.py fits but never backtests): forecast each month's
+    // revenue as the SAME month's revenue one year earlier, then score the
+    // forecast over every month with a prior-year counterpart. Error sums
+    // are exact BIGINT cents (MAE/bias derive from them); only MAPE —
+    // a mean of per-month exact-ratio doubles — is rounded. Scale shape:
+    // ONE scan → (year, month) partial aggregate; the forecast join and
+    // scoring run on the ≤ years×12-row frame.
+    Q("q150_seasonal_backtest",
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |         CAST(month(o_orderdate) AS INT) AS mo,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.y, a.mo, a.rev AS actual, f.rev AS forecast
+        |  FROM m a JOIN m f ON f.y = a.y - 1 AND f.mo = a.mo)
+        |SELECT count(*) AS n_evaluated,
+        |       CAST(sum(abs(actual - forecast)) AS BIGINT)
+        |         AS sum_abs_err_cents,
+        |       CAST(sum(actual - forecast) AS BIGINT) AS sum_err_cents,
+        |       round(avg(abs(actual - forecast) / CAST(actual AS DOUBLE)), 6)
+        |         AS mape
+        |FROM j""".stripMargin) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+          month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .cast("long").as("rev"))
+        .localCheckpoint(true)
+      m.select(col("y"), col("mo"), col("rev").as("actual"))
+        .join(broadcast(m.select((col("y") + 1).as("y"), col("mo"),
+          col("rev").as("forecast"))), Seq("y", "mo"))
+        .agg(count(lit(1)).as("n_evaluated"),
+          sum(abs(col("actual") - col("forecast"))).cast("long")
+            .as("sum_abs_err_cents"),
+          sum(col("actual") - col("forecast")).cast("long")
+            .as("sum_err_cents"),
+          round(avg(abs(col("actual") - col("forecast")) /
+            col("actual").cast("double")), 6).as("mape"))
+    },
+
+    // Discount elasticity by brand — does a deeper discount move more
+    // units? Per-brand Pearson correlation between discount and quantity
+    // plus the mean quantity on either side of the 5% discount line. The
+    // brand dimension broadcasts (q04's star-join shape); one fact scan
+    // partial-aggregates all four statistics per brand — corr's moment
+    // sums and the conditional means share the exchange.
+    Q("q151_discount_elasticity",
+      """SELECT p_brand,
+        |       count(*) AS n_lines,
+        |       round(corr(l_discount, l_quantity), 6) AS disc_qty_corr,
+        |       round(avg(CASE WHEN l_discount >= 0.05 THEN l_quantity END), 6)
+        |         AS avg_qty_hi_disc,
+        |       round(avg(CASE WHEN l_discount < 0.05 THEN l_quantity END), 6)
+        |         AS avg_qty_lo_disc
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(corr(col("l_discount"), col("l_quantity")), 6)
+            .as("disc_qty_corr"),
+          round(avg(when(col("l_discount") >= 0.05, col("l_quantity"))), 6)
+            .as("avg_qty_hi_disc"),
+          round(avg(when(col("l_discount") < 0.05, col("l_quantity"))), 6)
+            .as("avg_qty_lo_disc"))
+        .orderBy("p_brand")
     }
   )
 }

@@ -42,6 +42,32 @@ class RetailSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("segment_cents")).sum == totalCents)
   }
 
+  test("backtest: evaluated months have prior-year pairs, MAE >= |bias|") {
+    val r = run("q150_seasonal_backtest").collect().head
+    val n = r.getAs[Long]("n_evaluated")
+    // 7 calendar years at every SF → at least 5 full year-over-year years
+    assert(n >= 60, s"expected >= 60 evaluated months, got $n")
+    val sumAbs = r.getAs[Long]("sum_abs_err_cents")
+    val sumErr = r.getAs[Long]("sum_err_cents")
+    assert(sumAbs >= math.abs(sumErr),
+      "total absolute error bounds the signed bias")
+    val mape = r.getAs[Double]("mape")
+    assert(mape > 0 && mape < 1, s"seasonal-naive MAPE out of range: $mape")
+  }
+
+  test("elasticity: every brand scored, correlations in [-1, 1]") {
+    val rows = run("q151_discount_elasticity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("disc_qty_corr")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Long]("n_lines") > 0)
+    }
+    val totalLines = rows.map(_.getAs[Long]("n_lines")).sum
+    assert(totalLines == Tables.lineitem(spark, sf0001).count(),
+      "brand groups must partition the fact table")
+  }
+
   test("seasonal index: 12 months, shares sum to 12 within rounding") {
     val rows = run("q149_seasonal_index").collect()
     assert(rows.map(_.getAs[Int]("month")).toSeq == (1 to 12))
