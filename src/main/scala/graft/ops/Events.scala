@@ -686,7 +686,8 @@ object Events {
       withRocksDbStateStore(s) {
         EventStreams.runToMemory(s,
           TwsPatterns.run(s, EventStreams.readEvents(s, d)).toDF(),
-          "q145_pat", outputMode = "append", shufflePartitions = Some(8))
+          "q145_pat", outputMode = "append", shufflePartitions = Some(8),
+          requireSingleBatch = true)
       }
         .select(col("user_id"), col("event_id"),
           col("ts").cast("timestamp_ntz").as("ts"))
@@ -728,7 +729,8 @@ object Events {
       withRocksDbStateStore(s) {
         EventStreams.runToMemory(s,
           TwsAttribution.run(s, EventStreams.readEvents(s, d)).toDF(),
-          "q146_attr", outputMode = "append", shufflePartitions = Some(8))
+          "q146_attr", outputMode = "append", shufflePartitions = Some(8),
+          requireSingleBatch = true)
       }
         .select(col("user_id"), col("event_id"),
           col("ts").cast("timestamp_ntz").as("ts"),

@@ -337,8 +337,12 @@ object Profiling {
     val na = least(col("u"), col("x"), col("y"))
     val nc = greatest(col("u"), col("x"), col("y"))
     val nb = col("u") + col("x") + col("y") - na - nc
+    // coalesce: on an EMPTY edge list the wedge sum is NULL while the q144
+    // oracle's coalesce(sum(...), 0) yields 0 — and a NULL n_wedges would
+    // also null global_cc through the `otherwise` branch below
     deg.agg(count(lit(1)).as("n_nodes"),
-        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+        coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0))
+          .cast("long").as("n_wedges"))
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tris.agg(
         count(lit(1)).as("n_triangles"),

@@ -17,12 +17,60 @@ import graft.{Q, Tables}
   *
   * Scale shapes: the basket pair explode is bounded by basket size (≤ 7
   * items per TPC-H order ⇒ ≤ 21 pairs) and partial-aggregates before its
-  * one shuffle; RFM's three unpartitioned ntile windows see only the
-  * per-customer aggregate (one pre-aggregated row per customer crosses
-  * the SinglePartition exchange); the seasonal index is a 12-group
+  * one shuffle; RFM quartiles rank through [[distributedNtile]] (range
+  * partitions + per-partition ranks — no per-customer row ever crosses a
+  * SinglePartition exchange); the seasonal index is a 12-group
   * conditional aggregate of one scan.
   */
 object Retail {
+
+  /** `ntile(buckets) OVER (ORDER BY order…)` without the single-task global
+    * sort. The naive global window funnels EVERY row through one Exchange
+    * SinglePartition — the definitional scale-killer on a per-customer
+    * frame (10⁸–10⁹ rows at 100 TB). Instead, the q130 topology: range-
+    * repartition on the sort key (range partitions are ordered by
+    * construction, so `spark_partition_id` IS the block order), rank
+    * per-partition in a fully parallel pid-partitioned window, then add
+    * per-block offsets — a running sum over the ≤`parts`-row per-pid
+    * counts, the only SinglePartition work in the plan — broadcast back.
+    * The bucket is then pure map-side arithmetic on (rank, n): with
+    * q = n div k and rem = n mod k, ntile gives the first rem buckets
+    * q+1 rows and the rest q, i.e.
+    * `bucket(r) = (r-1) div (q+1) + 1`             for r ≤ rem·(q+1)
+    * `bucket(r) = rem + (r-1-rem·(q+1)) div q + 1` otherwise
+    * (RetailSpec pins equality against Spark's own ntile, remainder and
+    * n<k cases included). REQUIRES a total order (tie-broken sort key):
+    * with distinct keys the rank — hence the bucket — is independent of
+    * where range sampling placed the partition boundaries. */
+  private[graft] def distributedNtile(df: org.apache.spark.sql.DataFrame,
+      buckets: Int, out: String, order: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.DataFrame = {
+    val parts = math.max(2, df.sparkSession.sparkContext.defaultParallelism)
+    val parted = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true) // offsets + rank consumers share one shuffle
+    val wOff = Window.orderBy(col("_pid"))
+    val offsets = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .select(col("_pid"),
+        coalesce(sum(col("_cnt")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"),
+        sum(col("_cnt")).over(wOff.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("_n"))
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    parted.join(broadcast(offsets), "_pid")
+      .withColumn("_r", col("_off") + row_number().over(wLocal))
+      .withColumn("_q", expr(s"_n div $buckets"))
+      .withColumn("_rem", col("_n") % buckets)
+      // integer arithmetic throughout — no float division can misround a
+      // boundary rank; when _q = 0 (n < buckets) the first branch covers
+      // every row, so the `div _q` branch never evaluates
+      .withColumn(out,
+        when(col("_r") <= col("_rem") * (col("_q") + 1),
+          expr("(_r - 1) div (_q + 1) + 1"))
+        .otherwise(expr("_rem + (_r - 1 - _rem * (_q + 1)) div _q + 1"))
+        .cast("int"))
+      .drop("_pid", "_off", "_n", "_r", "_q", "_rem")
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -79,10 +127,14 @@ object Retail {
 
     // RFM segmentation: per-customer recency (latest order), frequency
     // (order count) and monetary (exact cents) quartiled into 4×4×4
-    // segments. Every ntile ranks on integers with a custkey tie-break —
+    // segments. Every quartile ranks on integers with a custkey tie-break —
     // bit-deterministic; ntile semantics (equal buckets, remainder to the
     // leading buckets) agree between engines given the identical total
-    // order. The three windows see ONE pre-aggregated row per customer.
+    // order. Each quartile is a [[distributedNtile]] pass — one parallel
+    // range exchange + pid-local ranks per dimension; the raw per-customer
+    // frame NEVER crosses a SinglePartition exchange (the naive global
+    // ntile window would funnel all 10⁸–10⁹ customers through one sorting
+    // task, three times — PlanQualitySpec pins the shape).
     Q("q148_rfm_segments",
       """WITH c AS (
         |  SELECT o_custkey AS ck, max(o_orderdate) AS r_ts,
@@ -106,13 +158,13 @@ object Retail {
           count(lit(1)).as("f"),
           sum(round(col("o_totalprice") * 100, 0).cast("long"))
             .cast("long").as("m_cents"))
-      val q = c
-        .withColumn("rq", ntile(4).over(
-          Window.orderBy(col("r_ts").desc, col("ck"))))
-        .withColumn("fq", ntile(4).over(
-          Window.orderBy(col("f").desc, col("ck"))))
-        .withColumn("mq", ntile(4).over(
-          Window.orderBy(col("m_cents").desc, col("ck"))))
+      val q = Seq[(String, Seq[org.apache.spark.sql.Column])](
+        ("rq", Seq(col("r_ts").desc, col("ck"))),
+        ("fq", Seq(col("f").desc, col("ck"))),
+        ("mq", Seq(col("m_cents").desc, col("ck"))))
+        .foldLeft(c) { case (df, (name, ord)) =>
+          distributedNtile(df, 4, name, ord: _*)
+        }
       q.groupBy(concat(lit("R"), col("rq"), lit("F"), col("fq"),
           lit("M"), col("mq")).as("segment"))
         .agg(count(lit(1)).as("n_customers"),

@@ -102,10 +102,20 @@ object EventStreams {
     * so setting it around `start()` pins the width for the query's whole
     * life; the session value is restored immediately after. At production
     * scale the same lever applies in reverse — size state partitions to
-    * the key cardinality, not the session default. */
+    * the key cardinality, not the session default.
+    *
+    * `requireSingleBatch`: assert post-run that all input rows arrived in
+    * ONE micro-batch. The full-list hash oracles of q145/q146 rely on the
+    * per-key (ts, event_id) sort being global — the stateful processors
+    * sort within a batch only, so in-order delivery across batches is
+    * exactly the single-batch property. Today it holds by construction
+    * (one parquet file, no maxFilesPerTrigger), but a multi-file or
+    * rate-limited replay would break the oracle SILENTLY; this turns that
+    * into a loud failure at the source. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
       outputMode: String = "complete",
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      requireSingleBatch: Boolean = false): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
@@ -118,8 +128,16 @@ object EventStreams {
         .format("memory")
         .queryName(name)
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        if (requireSingleBatch) {
+          val feeding = q.recentProgress.count(_.numInputRows > 0)
+          require(feeding <= 1,
+            s"$name: input replay spanned $feeding micro-batches; the " +
+              "full-list oracle's cross-batch ordering invariant needs 1 " +
+              "(see q145/q146)")
+        }
+      } finally q.stop()
     } finally spark.conf.set(key, prev)
     spark.table(name)
   }

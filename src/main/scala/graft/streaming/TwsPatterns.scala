@@ -55,6 +55,10 @@ object TwsPatterns {
 
     override def handleInputRows(user: Long, rows: Iterator[PEvent],
         timers: TimerValues): Iterator[Match] = {
+      // ORDERING INVARIANT: this sort is per-BATCH only, so the full-list
+      // oracle parity additionally needs all input in one micro-batch
+      // (runToMemory(requireSingleBatch = true) enforces it at the caller);
+      // a multi-batch replay would interleave per-batch sorted runs.
       val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
       val prev = tail.get().toSeq
       val (matches, next) = step(prev, sorted)

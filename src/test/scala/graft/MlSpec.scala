@@ -77,4 +77,25 @@ class MlSpec extends SparkSpec {
     assert(Eda.exactQuantiles(df, "v", Seq(0.5)) == Seq(2.5))
     assert(Eda.exactQuantiles(df, "v", Seq(0.0, 1.0)) == Seq(1.0, 4.0))
   }
+
+  test("exactQuantiles memo sees through an in-place input regeneration") {
+    // the canonicalized-plan key alone cannot distinguish two generations
+    // of the same path (the driver HAS regenerated /root/testdata
+    // mid-history); the file-status signature must force a recompute
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    try {
+      (1 to 100).map(_.toDouble).toDF("v")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val before = Eda.exactQuantiles(spark.read.parquet(dir), "v", Seq(0.5))
+      assert(before == Seq(50.5))
+      (1 to 200).map(_.toDouble).toDF("v")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val after = Eda.exactQuantiles(spark.read.parquet(dir), "v", Seq(0.5))
+      assert(after == Seq(100.5),
+        s"stale quantile served after input regeneration: $after")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

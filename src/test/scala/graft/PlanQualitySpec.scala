@@ -144,6 +144,40 @@ class PlanQualitySpec extends SparkSpec {
       }
   }
 
+  test("q148: RFM quartiles never single-partition the customer frame") {
+    val p = planOf("q148_rfm_segments")
+    // the per-customer rank window must be partitioned (by block id) — the
+    // naive ntile() OVER (ORDER BY k) would funnel every customer row
+    // through one Exchange SinglePartition + one sorting task, three times
+    assert(p.contains("hashpartitioning(_pid"),
+      s"customer-frame rank window not partitioned by pid:\n$p")
+    // a SinglePartition exchange may only carry pre-aggregated rows (its
+    // child must be an aggregate: the per-pid block counts, the final
+    // one-row segment merge) — never the raw per-customer frame
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
+          s"SinglePartition exchange feeding a non-aggregate (customer funnel):\n$p")
+      }
+    // same contract on the helper itself over a non-checkpointed input
+    // (q148's chained checkpoints hide the first two stages from its final
+    // executed plan; this sees one full stage end to end)
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1000).toDF("id")
+      .withColumn("v", col("id") * 37 % 97)
+    val hp = ops.Retail.distributedNtile(df, 4, "b", col("v"), col("id"))
+      .queryExecution.executedPlan.toString
+    val hLines = hp.linesIterator.toVector
+    hLines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(i + 1 < hLines.size && hLines(i + 1).contains("HashAggregate"),
+          s"distributedNtile single-partitions non-aggregated rows:\n$hp")
+      }
+  }
+
   test("q83: latest-by-key compacts as a partial aggregate, not a window sort") {
     val p = planOf("q83_latest_by_key")
     // max_by must run map-side (partial) so the shuffle carries one row per

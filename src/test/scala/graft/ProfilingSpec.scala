@@ -151,4 +151,19 @@ class ProfilingSpec extends SparkSpec {
       run("q141_bigram_lm").select(col("doc_id"), col("n_bigrams")), "doc_id")
     assert(joined.filter(col("n_bigrams") =!= col("nt") - 1).count() == 0)
   }
+
+  test("triangleStats: empty edge list yields all-zero stats, not NULLs") {
+    // matches the q144 oracle's coalesce(sum(...), 0): an SF where the
+    // near-dup pair set is empty must hash the same zero row, and a NULL
+    // n_wedges would also null global_cc through the `otherwise` branch
+    import spark.implicits._
+    val r = Profiling.triangleStats(
+      Seq.empty[(Long, Long)].toDF("a", "b")).collect().head
+    assert(r.getAs[Long]("n_nodes") == 0L)
+    assert(r.getAs[Long]("n_edges") == 0L)
+    assert(r.getAs[Long]("n_wedges") == 0L)
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Long]("tri_checksum") == 0L)
+    assert(r.getAs[Double]("global_cc") == 0.0)
+  }
 }

@@ -68,6 +68,23 @@ class RetailSpec extends SparkSpec {
       "brand groups must partition the fact table")
   }
 
+  test("distributedNtile matches Spark's own ntile: remainder, exact, n<k") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // n=10 (remainder 2), n=8 (exact), n=3 (< buckets), n=1 (degenerate);
+    // v collides on purpose — the id tie-break makes the order total
+    for (n <- Seq(10, 8, 3, 1)) {
+      val df = (1 to n).map(i => (i.toLong, (i * 37 % 5).toLong)).toDF("id", "v")
+      def pairs(d: org.apache.spark.sql.DataFrame) = d.orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Int]("b"))).toSeq
+      val expected = pairs(df.withColumn("b",
+        ntile(4).over(Window.orderBy(col("v").desc, col("id")))))
+      val got = pairs(Retail.distributedNtile(df, 4, "b",
+        col("v").desc, col("id")))
+      assert(got == expected, s"n=$n: $got != $expected")
+    }
+  }
+
   test("seasonal index: 12 months, shares sum to 12 within rounding") {
     val rows = run("q149_seasonal_index").collect()
     assert(rows.map(_.getAs[Int]("month")).toSeq == (1 to 12))
