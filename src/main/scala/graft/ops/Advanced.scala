@@ -692,9 +692,14 @@ object Advanced {
       val base = digest(li).localCheckpoint(true)
       val scrambled = digest(li.repartition(7, col("l_partkey"))
         .sortWithinPartitions(col("l_extendedprice")))
-      // perturb exactly ONE row — (orderkey, linenumber) is the table's
-      // primary key, so the min pair (one tiny scalar job, the q48-style
-      // index-build pattern) identifies a unique row at any SF
+      // perturb the rows of the MIN (orderkey, linenumber) pair (one tiny
+      // scalar job, the q48-style index-build pattern). NOTE: this corpus
+      // does NOT keep that pair unique (~2% of keys duplicate at every SF),
+      // but the xor digest still flips as long as the perturbed rows are
+      // not byte-identical duplicates of each other (identical rows would
+      // change identically and their hash flips cancel pairwise) — verified
+      //: the corpus has zero full-row duplicates at sf0.001/0.01/0.1, and
+      // the min pair is singleton at all three
       val target = li.agg(min(struct(col("l_orderkey"), col("l_linenumber")))
         .as("t")).head().getStruct(0)
       val mutated = digest(li.withColumn("l_quantity",

@@ -68,6 +68,187 @@ object Ml {
       } finally li.unpersist(blocking = false)
     },
 
+    // Model persistence parity (S5, model.py:139 saves the CV winner): fit →
+    // save → load → re-score must be IDENTICAL. Tree models predict by
+    // walking literal threshold comparisons, so a faithful round-trip gives
+    // bit-equal predictions — the contract compares the FULL scored table
+    // as an order-independent bit_xor fingerprint over (features,
+    // prediction) rows (the q122 table-checksum primitive; NOT a key join:
+    // this corpus carries duplicate (l_orderkey, l_linenumber) pairs, so a
+    // pk join fans out and pairs distinct rows). Equal row counts + equal
+    // digests ⟺ the two models score the same multiset — any single
+    // differing prediction flips the xor. Reloaded metadata (tree count,
+    // feature-vector width) must match the fit configuration. n_total is
+    // the one value DuckDB recomputes; the persistence properties are
+    // in-engine booleans (q49 property pattern). The fit runs on a 20%
+    // sample — persistence parity is about serialization, not fit
+    // quality — but the parity check scores every row.
+    Q("q152_model_persistence",
+      """SELECT count(*) AS n_total, 4 AS n_trees, 5 AS n_features,
+        |       CAST(1 AS BOOLEAN) AS reload_parity_ok,
+        |       CAST(1 AS BOOLEAN) AS metadata_ok
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val feats = Seq("l_quantity", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus")
+      val li = Tables.lineitem(s, d)
+        .select((Seq("l_orderkey", "l_linenumber", "l_extendedprice") ++ feats)
+          .map(col): _*)
+        .cache()
+      try {
+        val fitDf = li.sample(withReplacement = false, 0.2, 42L)
+        // fitTransformers (not Pipeline.fit): the tree fit must read a
+        // CACHED featurized frame, not re-run the StringIndexer lookups per
+        // aggregation pass (Model.scala's measured 17s→7s trap); a Pipeline
+        // of already-fitted transformers then wraps them for ML persistence
+        // (Transformer stages pass through fit() unfitted)
+        val rf4 = new org.apache.spark.ml.regression.RandomForestRegressor()
+          .setNumTrees(4).setMaxDepth(3).setMaxBins(8).setSeed(42L)
+        val transformers = graft.pipeline.Model.fitTransformers(
+          fitDf, "l_extendedprice", feats, rf4)
+        val model = new org.apache.spark.ml.Pipeline()
+          .setStages(transformers.toArray).fit(fitDf)
+        val dir = java.nio.file.Files.createTempDirectory("graft_q152")
+        try {
+          model.write.overwrite().save(dir.toString)
+          val reloaded = org.apache.spark.ml.PipelineModel.load(dir.toString)
+          def digest(m: org.apache.spark.ml.PipelineModel) = m.transform(li)
+            .select(xxhash64(struct(
+              (Seq("l_orderkey", "l_linenumber") ++ feats :+ "prediction")
+                .map(col): _*)).as("h"))
+            .agg(expr("bit_xor(h)").as("digest"), count(lit(1)).as("n"))
+            .head()
+          val (d1, d2) = (digest(model), digest(reloaded))
+          val parityOk = d1.getLong(1) > 0 && d1.getLong(1) == d2.getLong(1) &&
+            d1.getLong(0) == d2.getLong(0)
+          val rf = reloaded.stages.last
+            .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
+          val metaOk = rf.getNumTrees == 4 && rf.numFeatures == 5
+          li.agg(count(lit(1)).as("n_total"))
+            .select(col("n_total"), lit(4).as("n_trees"),
+              lit(5).as("n_features"),
+              lit(parityOk).as("reload_parity_ok"),
+              lit(metaOk).as("metadata_ok"))
+            .localCheckpoint() // eager: materialize before the caches drop
+        } finally {
+          import scala.reflect.io.Directory
+          new Directory(dir.toFile).deleteRecursively()
+        }
+      } finally li.unpersist(blocking = false)
+    },
+
+    // Rolling-origin (time-cutoff) model backtest — the evaluation the
+    // reference's forecasting pipeline is missing: model.py:69 randomSplits
+    // a TIME SERIES, so every training fold contains rows from the future
+    // of its own test rows (leakage). Here each window trains strictly on
+    // dates < cutoff (a 2-year lookback) and scores strictly on
+    // [cutoff, cutoff+1y) — the model never sees a row at-or-after its
+    // cutoff. Split cardinalities and the mean-predictor baseline error are
+    // EXACT (cents BIGINT; the train-mean is floor-division of two exact
+    // integers, bit-equal in both engines) — a FULL hash oracle; only the
+    // RF-vs-baseline comparison is an in-engine boolean (RF predictions are
+    // not SQL-expressible). Scale shape: one cached scan; per window a
+    // date-sliced fit (MLlib distributed) + two tiny aggregates; nothing
+    // but scalars crosses the driver.
+    Q("q153_rolling_origin",
+      """WITH c(w, lo, cutoff, hi) AS (VALUES
+        |  (1, DATE '1994-01-01', DATE '1996-01-01', DATE '1997-01-01'),
+        |  (2, DATE '1995-01-01', DATE '1997-01-01', DATE '1998-01-01'),
+        |  (3, DATE '1996-01-01', DATE '1998-01-01', DATE '1999-01-01')),
+        |o AS (SELECT o_orderdate AS dt,
+        |             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |      FROM orders),
+        |tr AS (SELECT w, cutoff, count(*) AS n_train,
+        |              CAST(sum(cents) AS BIGINT) AS s
+        |       FROM c JOIN o ON dt >= lo AND dt < cutoff GROUP BY 1, 2),
+        |te AS (SELECT c.w, count(*) AS n_test,
+        |              CAST(sum(abs(o.cents - tr.s // tr.n_train)) AS BIGINT)
+        |                AS base_abs_err_cents
+        |       FROM c JOIN tr ON c.w = tr.w
+        |       JOIN o ON o.dt >= c.cutoff AND o.dt < c.hi
+        |       GROUP BY 1)
+        |SELECT tr.w AS w, tr.cutoff AS cutoff, tr.n_train, te.n_test,
+        |       te.base_abs_err_cents, CAST(1 AS BOOLEAN) AS rf_ok
+        |FROM tr JOIN te ON tr.w = te.w ORDER BY w""".stripMargin) { (s, d) =>
+      val windows = Seq(
+        (1, "1994-01-01", "1996-01-01", "1997-01-01"),
+        (2, "1995-01-01", "1997-01-01", "1998-01-01"),
+        (3, "1996-01-01", "1998-01-01", "1999-01-01"))
+      val feats = Seq("o_month", "o_orderpriority", "o_orderstatus")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderdate"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          month(col("o_orderdate")).cast("double").as("o_month"),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .withColumn("label", col("cents").cast("double"))
+        .cache()
+      try {
+        val rows = windows.map { case (w, lo, cut, hi) =>
+          val train = o.filter(col("o_orderdate") >= to_date(lit(lo)) &&
+            col("o_orderdate") < to_date(lit(cut)))
+          val test = o.filter(col("o_orderdate") >= to_date(lit(cut)) &&
+            col("o_orderdate") < to_date(lit(hi)))
+          val t = train.agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("s")).head()
+          val (nTrain, sumTrain) = (t.getLong(0), t.getLong(1))
+          val base = sumTrain / nTrain // floor div of positives ≡ DuckDB //
+          val e = test.agg(count(lit(1)).as("n"),
+            sum(abs(col("cents") - lit(base))).cast("long").as("err")).head()
+          val (nTest, baseErr) = (e.getLong(0), e.getLong(1))
+          val rf = new org.apache.spark.ml.regression.RandomForestRegressor()
+            .setNumTrees(3).setMaxDepth(3).setMaxBins(8).setSeed(42L)
+          val (_, scored, _, _) = graft.pipeline.Model.fitScore(
+            train, test, "label", feats, rf)
+          val rfErr = try scored.agg(sum(abs(col("label") - col("prediction"))))
+            .head().getDouble(0)
+          finally scored.unpersist(blocking = false)
+          // an honest leak-free model on weak features ≈ the mean predictor;
+          // the gate is "not materially worse than baseline", not "beats it"
+          val rfOk = !rfErr.isNaN && rfErr > 0 && rfErr <= 1.25 * baseErr
+          (w, java.sql.Date.valueOf(cut), nTrain, nTest, baseErr, rfOk)
+        }
+        val sq = s
+        import sq.implicits._
+        rows.toDF("w", "cutoff", "n_train", "n_test",
+          "base_abs_err_cents", "rf_ok").orderBy("w")
+      } finally o.unpersist(blocking = false)
+    },
+
+    // GBTRegressor under the IDENTICAL featurization and 80/20 holdout as
+    // q40's RF — the model a forecasting user reaches for second. Boosting
+    // is sequential (each tree fits the previous ensemble's residuals), so
+    // iterations stay small; every tree fit is still MLlib-distributed.
+    // Same calibration-property oracle as q40: on a near-signal-free label
+    // the honest contract is "no worse than the mean predictor beyond
+    // noise" — r2 in (−0.05, 1], rmse positive, finite, ≤ ~1.05× label sd.
+    Q("q154_gbt_regression",
+      """SELECT count(*) AS n_total,
+        |       CAST(1 AS BOOLEAN) AS holdout_frac_ok,
+        |       CAST(1 AS BOOLEAN) AS fit_ok
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val feats = Seq("l_quantity", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus")
+      val li = Tables.lineitem(s, d)
+        .select((feats :+ "l_extendedprice").map(col): _*)
+        .cache()
+      try {
+        val Array(train, valid) = li.randomSplit(Array(0.8, 0.2), 42L)
+        val gbt = new org.apache.spark.ml.regression.GBTRegressor()
+          .setMaxIter(4).setMaxDepth(3).setStepSize(0.1)
+          .setMaxBins(8).setSubsamplingRate(0.5).setSeed(42L)
+        val (_, scored, r2, rmse) = graft.pipeline.Model.fitScore(
+          train, valid, "l_extendedprice", feats, gbt)
+        val n = try scored.count() finally scored.unpersist(blocking = false)
+        li.agg(count(lit(1)).as("n_total"),
+            stddev(col("l_extendedprice")).as("label_sd"))
+          .select(
+            col("n_total"),
+            lit(n).between(col("n_total") * 0.15, col("n_total") * 0.25)
+              .as("holdout_frac_ok"),
+            (lit(r2 > -0.05 && r2 <= 1 && rmse > 0 && !rmse.isNaN) &&
+              lit(rmse) <= col("label_sd") * 1.05).as("fit_ok"))
+      } finally li.unpersist(blocking = false)
+    },
+
     // KMeans over the embeddings table (seeded). array_to_vector is a
     // codegen'd expression (no Dataset encoder round-trip); caching keeps
     // the k-means|| init + 20 Lloyd iterations off the parquet scan.

@@ -18,11 +18,13 @@ import org.apache.spark.sql.types.StringType
   * pipelines strictly sequentially). */
 object Model {
 
-  /** StringIndexer(handleInvalid=keep) per string column + VectorAssembler +
-    * seeded RandomForestRegressor (model.py:24-42), feature list dedup'd. */
-  def pipeline(df: DataFrame, labelCol: String, featureCols: Seq[String],
-      numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L,
-      maxBins: Int = 32, subsamplingRate: Double = 1.0): Pipeline = {
+  /** The feature half of the reference pipeline (model.py:24-42): ONE
+    * multi-column StringIndexer(handleInvalid=keep) over the string
+    * features + a VectorAssembler, feature list dedup'd. Shared by the RF
+    * pipeline, the GBT comparison (q154) and the rolling-origin backtest
+    * (q153) so every estimator trains on the identical featurization. */
+  private def featureStages(df: DataFrame, labelCol: String,
+      featureCols: Seq[String]): Array[org.apache.spark.ml.PipelineStage] = {
     val distinctFeatures = featureCols.distinct.filter(_ != labelCol)
     val catCols = df.schema.fields
       .collect { case f if f.dataType == StringType => f.name }
@@ -40,11 +42,19 @@ object Model {
     val assembled = distinctFeatures.map(c => if (catCols.contains(c)) s"${c}_idx" else c)
     val assembler = new VectorAssembler()
       .setInputCols(assembled.toArray).setOutputCol("features")
+    (indexers :+ assembler).toArray[org.apache.spark.ml.PipelineStage]
+  }
+
+  /** StringIndexer(handleInvalid=keep) per string column + VectorAssembler +
+    * seeded RandomForestRegressor (model.py:24-42), feature list dedup'd. */
+  def pipeline(df: DataFrame, labelCol: String, featureCols: Seq[String],
+      numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L,
+      maxBins: Int = 32, subsamplingRate: Double = 1.0): Pipeline = {
     val rf = new RandomForestRegressor()
       .setLabelCol(labelCol).setFeaturesCol("features")
       .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
       .setMaxBins(maxBins).setSubsamplingRate(subsamplingRate)
-    new Pipeline().setStages((indexers :+ assembler :+ rf).toArray[org.apache.spark.ml.PipelineStage])
+    new Pipeline().setStages(featureStages(df, labelCol, featureCols) :+ rf)
   }
 
   /** 80/20 split + fit + score + r2/rmse (model.py:69-113), no grid.
@@ -59,13 +69,34 @@ object Model {
       numTrees: Int = 20, maxDepth: Int = 5, seed: Long = 42L,
       maxBins: Int = 32, subsamplingRate: Double = 1.0)
       : (Seq[Transformer], DataFrame, Double, Double) = {
-    import org.apache.spark.sql.functions._
+    val rf = new RandomForestRegressor()
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+      .setMaxBins(maxBins).setSubsamplingRate(subsamplingRate)
     val Array(train, valid) = df.randomSplit(Array(0.8, 0.2), seed)
-    val pipe = pipeline(df, labelCol, featureCols, numTrees, maxDepth, seed,
-      maxBins, subsamplingRate)
-    val stages = pipe.getStages
-    val featPipe = new Pipeline().setStages(stages.init)
-    val rf = stages.last.asInstanceOf[RandomForestRegressor]
+    fitScore(train, valid, labelCol, featureCols, rf)
+  }
+
+  /** The fit/score/metrics core behind [[fitPredict]], parameterized on the
+    * estimator and an EXPLICIT train/holdout pair — q154 swaps in a
+    * GBTRegressor under the same featurization + holdout, and q153's
+    * rolling-origin backtest passes date-cutoff splits instead of the
+    * reference's leaky randomSplit-on-a-time-series (model.py:69: a random
+    * split trains on rows from the future of its own test rows). */
+  /** The fit half of [[fitScore]]: featurize (cached, right-sized — see
+    * below) + fit `regressor`, returning the fitted transformer chain.
+    * q152 uses this alone (persist → reload needs the model, not a
+    * holdout score). */
+  def fitTransformers(train: DataFrame, labelCol: String,
+      featureCols: Seq[String],
+      regressor: org.apache.spark.ml.Predictor[org.apache.spark.ml.linalg.Vector, _, _])
+      : Seq[Transformer] = {
+    import org.apache.spark.sql.functions._
+    // setters mutate and return `this`; calling them statement-wise keeps
+    // the existential learner type out of the picture
+    regressor.setLabelCol(labelCol)
+    regressor.setFeaturesCol("features")
+    val featPipe = new Pipeline()
+      .setStages(featureStages(train, labelCol, featureCols))
     val featModel = featPipe.fit(train)
     // Right-size the fit input's partitioning: tree training makes
     // ~depth×nodeGroups aggregation passes, each paying per-task launch
@@ -75,11 +106,23 @@ object Model {
     // repartition) merges upstream into the same tasks — no shuffle, and the
     // cheap featurize map runs fine at the reduced width (measured faster:
     // task-launch overhead dominates it at this row size).
-    val fitParts = math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4)
+    val fitParts =
+      math.max(2, train.sparkSession.sparkContext.defaultParallelism / 4)
     val trainFeat = featModel.transform(train)
       .select(col(labelCol), col("features")).coalesce(fitParts).cache()
-    val rfModel = try rf.fit(trainFeat) finally trainFeat.unpersist(blocking = false)
-    val transformers: Seq[Transformer] = featModel.stages.toSeq :+ rfModel
+    val regModel =
+      try regressor.fit(trainFeat).asInstanceOf[Transformer]
+      finally trainFeat.unpersist(blocking = false)
+    featModel.stages.toSeq :+ regModel
+  }
+
+  def fitScore(
+      train: DataFrame, valid: DataFrame, labelCol: String,
+      featureCols: Seq[String],
+      regressor: org.apache.spark.ml.Predictor[org.apache.spark.ml.linalg.Vector, _, _])
+      : (Seq[Transformer], DataFrame, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    val transformers = fitTransformers(train, labelCol, featureCols, regressor)
     // cached: the metrics pass below populates it and the caller's read
     // hits it (without the cache the whole featurize+score lineage runs
     // twice). CONTRACT: the caller owns the returned frame and should

@@ -38,6 +38,49 @@ class RowsOnlySpec extends SparkSpec {
     assert(run() == r, "PCA query must be reproducible run-to-run")
   }
 
+  test("q152: persistence round-trip parity + metadata hold at sf0.001") {
+    val r = SparkEntry.queries("q152_model_persistence")(spark, sf0001)
+      .collect().head
+    assert(r.getAs[Long]("n_total") == Tables.lineitem(spark, sf0001).count())
+    assert(r.getAs[Int]("n_trees") == 4)
+    assert(r.getAs[Int]("n_features") == 5)
+    assert(r.getAs[Boolean]("reload_parity_ok"))
+    assert(r.getAs[Boolean]("metadata_ok"))
+  }
+
+  test("q153: rolling-origin windows are leak-free and exactly recomputable") {
+    val rows = SparkEntry.queries("q153_rolling_origin")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Int]("w")).toSeq == Seq(1, 2, 3))
+    val o = Tables.orders(spark, sf0001).select(
+      col("o_orderdate").as("dt"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .cache()
+    try rows.foreach { r =>
+      val cut = r.getAs[java.sql.Date]("cutoff").toString
+      val lo = (cut.take(4).toInt - 2) + cut.drop(4)
+      val hi = (cut.take(4).toInt + 1) + cut.drop(4)
+      // split cardinalities recompute exactly from the date predicates —
+      // and train strictly precedes test (the leak-free property the
+      // reference's randomSplit on a time series lacks)
+      val nTrain = o.filter(col("dt") >= lit(lo) && col("dt") < lit(cut)).count()
+      val nTest = o.filter(col("dt") >= lit(cut) && col("dt") < lit(hi)).count()
+      assert(r.getAs[Long]("n_train") == nTrain, s"window $cut train")
+      assert(r.getAs[Long]("n_test") == nTest, s"window $cut test")
+      assert(nTrain > 0 && nTest > 0)
+      assert(r.getAs[Long]("base_abs_err_cents") > 0)
+      assert(r.getAs[Boolean]("rf_ok"))
+    } finally o.unpersist(blocking = false)
+  }
+
+  test("q154: GBT calibration booleans hold on the same holdout as q40") {
+    val r = SparkEntry.queries("q154_gbt_regression")(spark, sf0001)
+      .collect().head
+    assert(r.getAs[Long]("n_total") == Tables.lineitem(spark, sf0001).count())
+    assert(r.getAs[Boolean]("holdout_frac_ok"))
+    assert(r.getAs[Boolean]("fit_ok"))
+  }
+
   test("q117: observed-write metrics equal a direct aggregate of the source") {
     val r = SparkEntry.queries("q117_observed_write")(spark, sf0001).collect().head
     val direct = Tables.orders(spark, sf0001).agg(
