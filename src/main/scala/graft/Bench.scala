@@ -92,7 +92,10 @@ object Bench {
     // Throttle-resilience convention (documented in BenchContractSpec and
     // README): the shared VM stalls whole stretches of a run 2-10× (r3/r6
     // both recorded untouched queries inflating; isolated re-measures showed
-    // no code change), so a single-pass tail entry conflates code cost with
+    // no code change; r8 re-measured r7's three >1.5× upticks in isolation —
+    // q87 3.0-4.0s, q108 2.3s, q109 1.5s cold-RunOne against r7 tails of
+    // 2.9/2.0/2.3 on untouched files: same environmental pattern, no code
+    // regression), so a single-pass tail entry conflates code cost with
     // VM weather. Queries whose first pass exceeds the threshold get ONE
     // re-run and report the MIN of their successful passes — min is the
     // right estimator for an additive-noise floor, and the second pass also
