@@ -298,6 +298,40 @@ object Profiling {
         |        FROM deg) AS global_cc""".stripMargin) { (s, d) =>
       triangleStats(TextOps.exactJaccardPairs(s, d, 0.5)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    },
+
+    // BPE ENCODE — the other half of the q142 trainer and what a training-
+    // data pipeline actually runs at 100 TB: apply the learned merge rules
+    // to every document and count the resulting symbols (the pre-training
+    // token budget). The 6 rules are driver-side index metadata (the q48
+    // cells pattern — training is sub-linear on the vocabulary table);
+    // encoding is then ONE map-side corpus scan — each token is space-
+    // wrapped and the rules applied as 6 sequential greedy replaces (the
+    // q142 encoding lemma, byte-identical in both engines), so nothing but
+    // per-source partials ever shuffles. n_symbols = n_tokens·chars −
+    // merge hits, all integers — a FULL hash oracle.
+    Q("q155_bpe_encode", bpeEncodeOracle(6)) { (s, d) =>
+      val rules = bpeMerges(s, d, 6).collect()
+        .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("lhs"),
+          r.getAs[String]("rhs")))
+        .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+      def encoded(t: Column) = concat(lit(" "),
+        array_join(filter(split(t, ""), c => c =!= ""), "  "), lit(" "))
+      def symbols(t: Column) = size(split(trim(
+        rules.foldLeft(encoded(t)) { case (acc, (a, b)) =>
+          replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
+        }), "  "))
+      Tables.documents(s, d)
+        .select(col("source"),
+          filter(toks(col("text")), t => t =!= "").as("tk"))
+        .select(col("source"), size(col("tk")).as("nt"),
+          aggregate(transform(col("tk"), symbols _), lit(0L),
+            (acc, x) => acc + x).as("ns"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("n_tokens"),
+          sum(col("ns")).cast("long").as("n_symbols"))
+        .orderBy("source")
     }
   )
 
@@ -412,7 +446,9 @@ object Profiling {
   }
 
   /** The byte-identical unrolled oracle for [[bpeMerges]]. */
-  private[graft] def bpeOracle(merges: Int): String = {
+  /** The q142 training CTE chain (w/v0 + per-merge pK/bK/vK), shared with
+    * the q155 encode oracle so both replay the byte-identical trainer. */
+  private[graft] def bpeCtes(merges: Int): String = {
     val head =
       s"""WITH w AS MATERIALIZED (
          |  SELECT tok, count(*) AS freq FROM (
@@ -445,14 +481,53 @@ object Profiling {
          |               || string_split(pair, ' ')[2] || ' ') AS s
          |  FROM v${k - 1} CROSS JOIN b$k)""".stripMargin
     }.mkString(",\n")
+    // plain concatenation — a final stripMargin would re-strip interpolated
+    // lines whose first non-blank chars are the `||` concat operator
+    head + ",\n" + steps
+  }
+
+  private[graft] def bpeOracle(merges: Int): String = {
     val rows = (1 to merges).map { k =>
       s"""SELECT $k AS merge_rank, string_split(pair, ' ')[1] AS lhs,
          |       string_split(pair, ' ')[2] AS rhs, c AS pair_count FROM b$k"""
         .stripMargin
     }.mkString("\nUNION ALL\n")
-    // plain concatenation — a final stripMargin would re-strip interpolated
-    // lines whose first non-blank chars are the `||` concat operator
-    head + ",\n" + steps + "\n" + rows + "\nORDER BY merge_rank"
+    bpeCtes(merges) + "\n" + rows + "\nORDER BY merge_rank"
+  }
+
+  /** q155 oracle: replay the q142 trainer, then APPLY its merge rules to
+    * every document token and count the resulting symbols. The six (lhs,
+    * rhs) rules ride a one-row cross join; the apply is the same six
+    * sequential space-wrapped replaces both engines run byte-identically.
+    * coalesce: list_sum of an empty token list is NULL in DuckDB where
+    * Spark's aggregate fold returns its 0 seed. */
+  private[graft] def bpeEncodeOracle(merges: Int): String = {
+    val ruleCols = (1 to merges).map { k =>
+      s"""    (SELECT string_split(pair, ' ')[1] FROM b$k) AS l$k,
+         |    (SELECT string_split(pair, ' ')[2] FROM b$k) AS r$k"""
+        .stripMargin
+    }.mkString(",\n")
+    val sym = {
+      val enc = "' ' || array_to_string(list_filter(string_split_regex(t, ''), " +
+        "c -> c <> ''), '  ') || ' '"
+      val applied = (1 to merges).foldLeft(enc) { (acc, k) =>
+        s"replace($acc,\n        ' ' || l$k || '  ' || r$k || ' ', " +
+          s"' ' || l$k || r$k || ' ')"
+      }
+      s"len(string_split(trim($applied, ' '), '  '))"
+    }
+    bpeCtes(merges) + ",\n" +
+      s"""m AS MATERIALIZED (
+         |  SELECT
+         |$ruleCols),
+         |dd AS (
+         |  SELECT source, list_filter($duckToks, t -> t <> '') AS tk, m.*
+         |  FROM documents CROSS JOIN m)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+         |       CAST(sum(coalesce(list_sum(list_transform(tk, t -> $sym)), 0))
+         |            AS BIGINT) AS n_symbols
+         |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** The q140 power iteration, parameterized on depth (the spec compares

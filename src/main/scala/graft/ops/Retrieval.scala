@@ -203,6 +203,106 @@ object Retrieval {
         .select(col("doc_id"), col("r_lex"), col("r_dense"),
           round(col("rrf_raw"), 6).as("rrf"), col("rank"))
         .orderBy("rank")
+    },
+
+    // Retrieval EVALUATION — MRR, Recall@10, NDCG@10 of the dense
+    // retriever under label relevance (neighbor relevant ⟺ same class
+    // label as the query): the eval harness a retrieval index ships with,
+    // and the quality gate q35/q48/q143 express only as booleans. Five
+    // probe queries (vec_id < 5) against the leave-queries-out corpus;
+    // ranks come from the q33 kernel (raw-cosine order, id tie-break —
+    // bit-comparable across engines). MRR is one exact division;
+    // Recall@10 divides two exact integers; DCG/IDCG are ≤10-term
+    // ln-ratio sums emitted only as ONE rounded quotient (the q134
+    // rounded-sum precedent). Scale shape: the corpus crossJoins only the
+    // broadcast 5-row query slice (q33's topology), label lookups join
+    // the 50-row top-k lists, and every metric frame after that is
+    // queries-sized.
+    Q("q157_retrieval_eval",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+        |      FROM embeddings WHERE vec_id >= 5),
+        |sims AS (
+        |  SELECT q.query_id, q.ql, c.neighbor_id, c.nl,
+        |         list_sum(list_transform(range(1, len(cv) + 1),
+        |             i -> CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+        |                i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |                i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))))
+        |           AS sim_raw
+        |  FROM c CROSS JOIN q),
+        |top AS (
+        |  SELECT query_id, ql, neighbor_id, nl, rank FROM (
+        |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY sim_raw DESC, neighbor_id) AS INT) AS rank
+        |    FROM sims) WHERE rank <= 10),
+        |nrel AS (
+        |  SELECT q.query_id, count(*) AS n_rel
+        |  FROM q JOIN c ON c.nl = q.ql GROUP BY 1),
+        |m AS (
+        |  SELECT query_id,
+        |         CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_rel_top10,
+        |         min(CASE WHEN nl = ql THEN rank END) AS first_rel,
+        |         sum(CASE WHEN nl = ql THEN ln(2) / ln(rank + 1)
+        |                  ELSE 0 END) AS dcg
+        |  FROM top GROUP BY 1),
+        |ideal AS (
+        |  SELECT query_id, sum(ln(2) / ln(r + 1)) AS idcg
+        |  FROM (SELECT query_id,
+        |               unnest(range(1, least(10, n_rel) + 1)) AS r
+        |        FROM nrel)
+        |  GROUP BY 1)
+        |SELECT m.query_id, q.ql AS query_label,
+        |       CAST(n.n_rel AS BIGINT) AS n_rel_corpus, m.n_rel_top10,
+        |       round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+        |       round(CAST(m.n_rel_top10 AS DOUBLE) / n.n_rel, 6)
+        |         AS recall_at_10,
+        |       round(CASE WHEN coalesce(idcg, 0) > 0 THEN m.dcg / idcg
+        |                  ELSE 0.0 END, 6) AS ndcg_at_10
+        |FROM m JOIN q ON m.query_id = q.query_id
+        |JOIN nrel n ON n.query_id = m.query_id
+        |LEFT JOIN ideal ON ideal.query_id = m.query_id
+        |ORDER BY m.query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val ql = labels.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("ql"))
+      val top = graft.ops.Similarity.knn(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10)
+      val withLabels = labels
+        .select(col("vec_id").as("neighbor_id"), col("label").as("nl"))
+        .join(broadcast(top.join(broadcast(ql), "query_id")), "neighbor_id")
+      val rel = col("nl") === col("ql")
+      val m = withLabels.groupBy("query_id").agg(
+        sum(when(rel, 1).otherwise(0)).cast("long").as("n_rel_top10"),
+        min(when(rel, col("rank"))).as("first_rel"),
+        sum(when(rel, log(lit(2.0)) / log(col("rank") + 1))
+          .otherwise(0.0)).as("dcg"))
+      val nrel = ql.join(
+          broadcast(emb.filter(col("vec_id") >= 5)
+            .groupBy(col("label").as("nl")).agg(count(lit(1)).as("n_rel"))),
+          col("ql") === col("nl"))
+        .select(col("query_id"), col("n_rel"))
+      val ideal = nrel
+        .withColumn("r", explode(when(col("n_rel") >= 1,
+          sequence(lit(1), least(lit(10), col("n_rel").cast("int"))))
+          .otherwise(array().cast("array<int>"))))
+        .groupBy("query_id")
+        .agg(sum(log(lit(2.0)) / log(col("r") + 1)).as("idcg"))
+      m.join(broadcast(ql), "query_id")
+        .join(broadcast(nrel), "query_id")
+        .join(broadcast(ideal), Seq("query_id"), "left")
+        .select(col("query_id"), col("ql").as("query_label"),
+          col("n_rel").cast("long").as("n_rel_corpus"), col("n_rel_top10"),
+          round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+          round(col("n_rel_top10").cast("double") / col("n_rel"), 6)
+            .as("recall_at_10"),
+          round(when(coalesce(col("idcg"), lit(0.0)) > 0,
+            col("dcg") / col("idcg")).otherwise(0.0), 6).as("ndcg_at_10"))
+        .orderBy("query_id")
     }
   )
 }

@@ -549,8 +549,104 @@ object Similarity {
             col("n_codes") === col("n_vectors") * 4).as("codes_ok"),
           (col("mean_rel") < 0.85 && col("worst_rel") <= 1.1).as("recon_ok"),
           (col("n_hit") >= col("n_exact") * 0.10).as("recall_ok"))
+    },
+
+    // IVF-PQ composed two-stage search — q48's coarse quantizer × q143's
+    // product codes, the FAISS IndexIVFPQ shape (by_residual=false): probe
+    // the 2 nearest of 8 cells, then ADC-score ONLY the probed cells'
+    // inverted lists via the broadcast distance table. The two stages
+    // multiply at 100 TB: the scan touches probes/cells of the corpus and
+    // reads 64×-compressed codes for it. Property oracle (q49 pattern):
+    // n_vectors is exact; completeness (full top-10 per query), pruning
+    // (candidate rows strictly under half of brute force; expectation is
+    // probes/cells = 25%) and recall-vs-exact are in-engine booleans.
+    // Random embeddings are the stress case (documented at q143): measured
+    // IVF∘ADC recall@10 is 0.16–0.24 across sf0.001–0.1 (candidate ratios
+    // 0.25–0.38) vs the ~0.005–0.02 chance floor (10/|corpus|) — the 0.10
+    // gate sits 5–20× above chance while safely under every measured
+    // point.
+    Q("q158_ivf_pq",
+      """SELECT count(*) AS n_vectors, 5 AS n_queries,
+        |       CAST(1 AS BOOLEAN) AS complete_ok,
+        |       CAST(1 AS BOOLEAN) AS pruning_ok,
+        |       CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      ivfPqMetrics(s, d)
+        .select(col("n_vectors"), lit(5).as("n_queries"),
+          (col("n_results") === 50 && col("n_answered") === 5)
+            .as("complete_ok"),
+          (col("n_candidates") * 2 < col("n_vectors") * 5).as("pruning_ok"),
+          (col("n_hit") >= col("n_exact") * 0.10).as("recall_ok"))
     }
   )
+
+  /** q158's raw metric row (spec-visible): IVF-probed ADC search — the
+    * composed two-stage index (FAISS IndexIVFPQ, by_residual=false): the
+    * coarse quantizer prunes the corpus to the probed cells' inverted
+    * lists, and only THOSE vectors' PQ codes enter the ADC table lookup.
+    * At 100 TB the two stages multiply: IVF reads probes/cells of the
+    * corpus, PQ makes what it reads 64× smaller — the scan is
+    * (probes/cells)·(1/64) of brute force, and every piece is the already-
+    * proven machinery (q48's cells, q143's codes). */
+  private[graft] def ivfPqMetrics(s: SparkSession, d: String): DataFrame = {
+    val nCells = 8
+    val probes = 2
+    val nQ = 5
+    val topK = 10
+    val emb = Tables.embeddings(s, d)
+    val cdf = ivfIndex(s, d, nCells)
+    val assigned = rankCells(cdf,
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      "neighbor_id", "cv", 1)
+      .select("cell", "neighbor_id")
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probed = rankCells(cdf, queries, "query_id", "qv", probes)
+      .select("query_id", "cell")
+    val (codes, codebook, m, _, subDim) = pqEncode(s, d)
+    val dtable = queries
+      .select(col("query_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("qv"), i * subDim + 1, lit(subDim))))
+        .as(Seq("sub", "qsub")))
+      .join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        ArrayMath.squaredL2(col("qsub"), col("cvec")).as("d2"))
+    // the IVF stage: only vectors in a probed cell reach the ADC lookup
+    val cand = probed.join(assigned, Seq("cell"))
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true)
+    val adc = cand
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("sub"),
+        col("code")), "neighbor_id")
+      .join(broadcast(dtable), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d2")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(asc("adc_dist"), asc("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .localCheckpoint(true)
+    val exact = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      .crossJoin(broadcast(queries))
+      .withColumn("d2", ArrayMath.squaredL2(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(asc("d2"), asc("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true)
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(adc.agg(count(lit(1)).as("n_results"),
+        countDistinct(col("query_id")).as("n_answered")))
+      .crossJoin(adc.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact"))))
+  }
 
   /** q143's raw metric row (spec-visible): reconstruction error stats,
     * code-range stats, and ADC-vs-exact hit counts. */
@@ -758,8 +854,10 @@ object Similarity {
   /** IVF: k-means centroids as the coarse quantizer; every corpus vector is
     * assigned to its nearest cell, queries probe the `probes` nearest cells,
     * exact cosine runs only inside probed cells. */
-  def ivfAnn(s: SparkSession, d: String, k: Int, probes: Int, topK: Int,
-      qBound: Long = 5): DataFrame = {
+  /** The IVF coarse index: k-means cell centroids collected once (driver-
+    * side metadata, k·dim doubles) and rebroadcast as a tiny dimension
+    * table. Shared by q48's IVF-flat and q158's IVF-PQ. */
+  private def ivfIndex(s: SparkSession, d: String, k: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(s, d)
@@ -768,23 +866,32 @@ object Similarity {
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").fit(vecs)
     vecs.unpersist(blocking = false)
-    // Centroids collected once (driver-side index metadata, k·dim doubles)
-    // and rebroadcast as a tiny dimension table — the IVF index itself.
     val spark = s
     import spark.implicits._
-    val cdf = model.clusterCenters.zipWithIndex
+    model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
       .toDF("cell", "cvec")
-    // nearest cell = argmin ||x||² − 2x·c + ||c||²; ||x||² constant per x.
-    def rankCells(df: DataFrame, idCol: String, embCol: String, n: Int) = {
-      val w = Window.partitionBy(col(idCol)).orderBy(asc("dist2"), asc("cell"))
-      df.crossJoin(broadcast(cdf))
-        .withColumn("dist2",
-          dot(col("cvec"), col("cvec")) - lit(2.0) * dot(col(embCol), col("cvec")))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= n)
-        .drop("cvec", "dist2", "cell_rank")
-    }
+  }
+
+  /** Keep each row's `n` nearest cells of the broadcast `cdf` index.
+    * Nearest cell = argmin ||x||² − 2x·c + ||c||²; ||x||² constant per x. */
+  private def rankCells(cdf: DataFrame, df: DataFrame, idCol: String,
+      embCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(asc("dist2"), asc("cell"))
+    df.crossJoin(broadcast(cdf))
+      .withColumn("dist2",
+        dot(col("cvec"), col("cvec")) - lit(2.0) * dot(col(embCol), col("cvec")))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= n)
+      .drop("cvec", "dist2", "cell_rank")
+  }
+
+  def ivfAnn(s: SparkSession, d: String, k: Int, probes: Int, topK: Int,
+      qBound: Long = 5): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cdf = ivfIndex(s, d, k)
+    def rankCells(df: DataFrame, idCol: String, embCol: String, n: Int) =
+      Similarity.rankCells(cdf, df, idCol, embCol, n)
     val assigned = rankCells(
       emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
       "neighbor_id", "cv", 1)

@@ -1433,6 +1433,27 @@ object TextOps {
           coalesce(col("min_jac"), lit(0.0)).as("min_jac"),
           coalesce(col("max_jac"), lit(0.0)).as("max_jac"))
         .orderBy("split_pair")
+    },
+
+    // Exact-k deterministic uniform sample — the missing member of the
+    // sampling family: q21 (Bernoulli) and q103/q108/q136 (per-row hash
+    // thresholds) all draw a FRACTION, so the returned count varies with
+    // corpus size; an eval-set builder needs EXACTLY k rows, reproducibly.
+    // Order every doc by md5(doc_id) — a uniform, seedable permutation
+    // independent of partition layout — and keep the k smallest (doc_id
+    // breaks the impossible hash tie). Scale shape: TakeOrderedAndProject —
+    // per-partition k-heaps, only 32·k rows reach the driver merge, the
+    // corpus never shuffles (the same reservoir-sampling economics, but
+    // deterministic and retry-stable). Plan pinned in PlanQualitySpec.
+    Q("q156_exact_k_sample",
+      """SELECT doc_id, source, h FROM (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |ORDER BY h, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("doc_id")).limit(100)
     }
   )
 

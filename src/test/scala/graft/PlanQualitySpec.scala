@@ -178,6 +178,14 @@ class PlanQualitySpec extends SparkSpec {
       }
   }
 
+  test("q156: exact-k sampling plans as TakeOrdered — no corpus shuffle") {
+    val p = planOf("q156_exact_k_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact-k sample lost its per-partition-heap top-k:\n$p")
+    assert(!p.contains("Exchange"),
+      s"a deterministic top-k-by-hash must not shuffle the corpus:\n$p")
+  }
+
   test("q83: latest-by-key compacts as a partial aggregate, not a window sort") {
     val p = planOf("q83_latest_by_key")
     // max_by must run map-side (partial) so the shuffle carries one row per

