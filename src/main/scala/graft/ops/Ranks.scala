@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared rank→statistic arithmetic for the scale-safe ranking topology
+  * (q130 global index, q148 RFM quartiles, q53 segment windows): once a
+  * global 1-based rank exists, every SQL ranking-window function is pure
+  * map-side arithmetic on (rank, n) — no further shuffle, no window. */
+object Ranks {
+
+  /** Exact integer division a div b for nonnegative operands (b > 0):
+    * (a − a mod b) is exactly divisible by b, so the double division is
+    * exact for quotients below 2^53 — no float-misrounding hazard at any
+    * realistic row count. Lazy inside when/otherwise branches, so callers
+    * may guard the b = 0 case structurally (see [[ntileExpr]]). */
+  private def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** `ntile(buckets)` of 1-based rank `r` among `n` rows — the SQL-standard
+    * split (first n mod buckets buckets get one extra row): with
+    * q = n div buckets and rem = n mod buckets,
+    * bucket(r) = (r−1) div (q+1) + 1            for r ≤ rem·(q+1)
+    * bucket(r) = rem + (r−1−rem·(q+1)) div q + 1 otherwise.
+    * When q = 0 (n < buckets) the first branch covers every row, so the
+    * div-by-q branch never evaluates. RetailSpec pins equality against
+    * Spark's own ntile, remainder and n<buckets cases included. */
+  def ntileExpr(r: Column, n: Column, buckets: Int): Column = {
+    val q = intDiv(n, lit(buckets))
+    val rem = pmod(n, lit(buckets))
+    when(r <= rem * (q + 1), intDiv(r - 1, q + 1) + 1)
+      .otherwise(rem + intDiv(r - 1 - rem * (q + 1), q) + 1)
+      .cast("int")
+  }
+
+  /** `percent_rank()` of rank r among n rows under a TOTAL order (no
+    * peers): (r−1)/(n−1), 0.0 for the single-row partition. */
+  def percentRankExpr(r: Column, n: Column): Column =
+    when(n > 1, (r - 1).cast("double") / (n - 1)).otherwise(lit(0.0))
+
+  /** `cume_dist()` of rank r among n rows under a TOTAL order: r/n. */
+  def cumeDistExpr(r: Column, n: Column): Column =
+    r.cast("double") / n
+}

@@ -59,17 +59,8 @@ object Retail {
     val wLocal = Window.partitionBy(col("_pid")).orderBy(order: _*)
     parted.join(broadcast(offsets), "_pid")
       .withColumn("_r", col("_off") + row_number().over(wLocal))
-      .withColumn("_q", expr(s"_n div $buckets"))
-      .withColumn("_rem", col("_n") % buckets)
-      // integer arithmetic throughout — no float division can misround a
-      // boundary rank; when _q = 0 (n < buckets) the first branch covers
-      // every row, so the `div _q` branch never evaluates
-      .withColumn(out,
-        when(col("_r") <= col("_rem") * (col("_q") + 1),
-          expr("(_r - 1) div (_q + 1) + 1"))
-        .otherwise(expr("_rem + (_r - 1 - _rem * (_q + 1)) div _q + 1"))
-        .cast("int"))
-      .drop("_pid", "_off", "_n", "_r", "_q", "_rem")
+      .withColumn(out, Ranks.ntileExpr(col("_r"), col("_n"), buckets))
+      .drop("_pid", "_off", "_n", "_r")
   }
 
   val queries: Seq[Q] = Seq(

@@ -178,6 +178,21 @@ class PlanQualitySpec extends SparkSpec {
       }
   }
 
+  test("q53: segment ranking windows are block-partitioned, not a 5-task funnel") {
+    val p = planOf("q53_window_stats")
+    // the customer-frame rank window must partition by (pid, segment) —
+    // a plain PARTITION BY c_mktsegment window would sort each of the 5
+    // segments in ONE task at any customer count
+    assert(p.contains("hashpartitioning(_pid"),
+      s"rank window not partitioned by block id:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.linesIterator.toVector.zipWithIndex
+        .filter(_._1.contains("Exchange SinglePartition"))
+        .forall { case (_, i) =>
+          p.linesIterator.toVector(i + 1).contains("HashAggregate") },
+      s"SinglePartition exchange feeding a non-aggregate:\n$p")
+  }
+
   test("q156: exact-k sampling plans as TakeOrdered — no corpus shuffle") {
     val p = planOf("q156_exact_k_sample")
     assert(p.contains("TakeOrderedAndProject"),
