@@ -31,13 +31,12 @@ object Retail {
     * repartition on the sort key (range partitions are ordered by
     * construction, so `spark_partition_id` IS the block order), rank
     * per-partition in a fully parallel pid-partitioned window, then add
-    * per-block offsets — a running sum over the ≤`parts`-row per-pid
-    * counts, the only SinglePartition work in the plan — broadcast back.
-    * The bucket is then pure map-side arithmetic on (rank, n): with
-    * q = n div k and rem = n mod k, ntile gives the first rem buckets
-    * q+1 rows and the rest q, i.e.
-    * `bucket(r) = (r-1) div (q+1) + 1`             for r ≤ rem·(q+1)
-    * `bucket(r) = rem + (r-1-rem·(q+1)) div q + 1` otherwise
+    * per-block offsets. The ≤`parts` per-block counts are collected and
+    * re-emitted as a LITERAL lookup (like q48's cells / q131's argmax —
+    * scalar-bound driver metadata): one tiny job against the checkpointed
+    * blocks replaces an offsets window + broadcast exchange per call,
+    * and the plan then contains NO SinglePartition exchange at all. The
+    * bucket is pure map-side arithmetic on (rank, n) via [[Ranks]]
     * (RetailSpec pins equality against Spark's own ntile, remainder and
     * n<k cases included). REQUIRES a total order (tie-broken sort key):
     * with distinct keys the rank — hence the bucket — is independent of
@@ -48,19 +47,20 @@ object Retail {
     val parts = math.max(2, df.sparkSession.sparkContext.defaultParallelism)
     val parted = df.repartitionByRange(parts, order: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true) // offsets + rank consumers share one shuffle
-    val wOff = Window.orderBy(col("_pid"))
-    val offsets = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-      .select(col("_pid"),
-        coalesce(sum(col("_cnt")).over(
-          wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"),
-        sum(col("_cnt")).over(wOff.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)).as("_n"))
+      .localCheckpoint(true) // offset job + rank consumer share one shuffle
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offs = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offExpr = element_at(
+      map(counts.flatMap { case (pid, _) =>
+        Seq(lit(pid), lit(offs(pid))) }: _*), col("_pid"))
     val wLocal = Window.partitionBy(col("_pid")).orderBy(order: _*)
-    parted.join(broadcast(offsets), "_pid")
-      .withColumn("_r", col("_off") + row_number().over(wLocal))
-      .withColumn(out, Ranks.ntileExpr(col("_r"), col("_n"), buckets))
-      .drop("_pid", "_off", "_n", "_r")
+    parted
+      .withColumn("_r", offExpr + row_number().over(wLocal))
+      .withColumn(out, Ranks.ntileExpr(col("_r"), lit(n), buckets))
+      .drop("_pid", "_r")
   }
 
   val queries: Seq[Q] = Seq(
