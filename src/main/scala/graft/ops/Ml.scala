@@ -182,17 +182,26 @@ object Ml {
         .withColumn("label", col("cents").cast("double"))
         .cache()
       try {
-        val rows = windows.map { case (w, lo, cut, hi) =>
+        val rows = windows.flatMap { case (w, lo, cut, hi) =>
           val train = o.filter(col("o_orderdate") >= to_date(lit(lo)) &&
             col("o_orderdate") < to_date(lit(cut)))
           val test = o.filter(col("o_orderdate") >= to_date(lit(cut)) &&
             col("o_orderdate") < to_date(lit(hi)))
           val t = train.agg(count(lit(1)).as("n"),
             sum(col("cents")).cast("long").as("s")).head()
+          // a window with an empty train slice has NO tr row in the oracle
+          // (inner-join semantics), so it must vanish here too — and its
+          // sum is NULL, so reading it would throw. This corpus spans
+          // 1992–1998 at every SF, but a regenerated date span must
+          // degrade to fewer rows on BOTH engines, not a crash on one.
+          if (t.getLong(0) == 0L) None
+          else {
           val (nTrain, sumTrain) = (t.getLong(0), t.getLong(1))
           val base = sumTrain / nTrain // floor div of positives ≡ DuckDB //
           val e = test.agg(count(lit(1)).as("n"),
             sum(abs(col("cents") - lit(base))).cast("long").as("err")).head()
+          if (e.getLong(0) == 0L) None // empty test slice: no te row either
+          else {
           val (nTest, baseErr) = (e.getLong(0), e.getLong(1))
           val rf = new org.apache.spark.ml.regression.RandomForestRegressor()
             .setNumTrees(3).setMaxDepth(3).setMaxBins(8).setSeed(42L)
@@ -204,7 +213,9 @@ object Ml {
           // an honest leak-free model on weak features ≈ the mean predictor;
           // the gate is "not materially worse than baseline", not "beats it"
           val rfOk = !rfErr.isNaN && rfErr > 0 && rfErr <= 1.25 * baseErr
-          (w, java.sql.Date.valueOf(cut), nTrain, nTest, baseErr, rfOk)
+          Some((w, java.sql.Date.valueOf(cut), nTrain, nTest, baseErr, rfOk))
+          }
+          }
         }
         val sq = s
         import sq.implicits._

@@ -85,6 +85,31 @@ class RetailSpec extends SparkSpec {
     }
   }
 
+  test("Ranks percent_rank/cume_dist are bit-equal to Spark's own windows") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // v collides on purpose; the id tie-break keeps the order total, which
+    // is the precondition for rank-derived peer statistics
+    val df = (1 to 37).map(i => (i.toLong, (i * 53 % 11).toLong)).toDF("id", "v")
+    val w = Window.orderBy(col("v"), col("id"))
+    val native = df.select(col("id"),
+      percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .orderBy("id").collect().toSeq
+    val derived = df.withColumn("r", row_number().over(w).cast("long"))
+      .select(col("id"),
+        graft.ops.Ranks.percentRankExpr(col("r"), lit(37L)).as("pr"),
+        graft.ops.Ranks.cumeDistExpr(col("r"), lit(37L)).as("cd"))
+      .orderBy("id").collect().toSeq
+    // bit-equality, not tolerance: the same integer divisions either way
+    assert(derived == native)
+    // single-row partition edge: percent_rank is defined 0
+    val one = Seq(1L).toDF("id")
+      .select(graft.ops.Ranks.percentRankExpr(lit(1L), lit(1L)).as("pr"),
+        graft.ops.Ranks.cumeDistExpr(lit(1L), lit(1L)).as("cd"))
+      .collect().head
+    assert(one.getDouble(0) == 0.0 && one.getDouble(1) == 1.0)
+  }
+
   test("seasonal index: 12 months, shares sum to 12 within rounding") {
     val rows = run("q149_seasonal_index").collect()
     assert(rows.map(_.getAs[Int]("month")).toSeq == (1 to 12))
