@@ -205,11 +205,14 @@ object Ml {
           val (nTest, baseErr) = (e.getLong(0), e.getLong(1))
           val rf = new org.apache.spark.ml.regression.RandomForestRegressor()
             .setNumTrees(3).setMaxDepth(3).setMaxBins(8).setSeed(42L)
-          val (_, scored, _, _) = graft.pipeline.Model.fitScore(
-            train, test, "label", feats, rf)
-          val rfErr = try scored.agg(sum(abs(col("label") - col("prediction"))))
+          // fitTransformers, not fitScore: fitScore's r2/rmse metrics pass
+          // would be discarded here — this scores the window in ONE
+          // aggregation job, uncached (single consumer)
+          val transformers = graft.pipeline.Model.fitTransformers(
+            train, "label", feats, rf)
+          val rfErr = transformers.foldLeft(test)((df2, t2) => t2.transform(df2))
+            .agg(sum(abs(col("label") - col("prediction"))))
             .head().getDouble(0)
-          finally scored.unpersist(blocking = false)
           // an honest leak-free model on weak features ≈ the mean predictor;
           // the gate is "not materially worse than baseline", not "beats it"
           val rfOk = !rfErr.isNaN && rfErr > 0 && rfErr <= 1.25 * baseErr

@@ -560,11 +560,14 @@ object Similarity {
     // n_vectors is exact; completeness (full top-10 per query), pruning
     // (candidate rows strictly under half of brute force; expectation is
     // probes/cells = 25%) and recall-vs-exact are in-engine booleans.
-    // Random embeddings are the stress case (documented at q143): measured
-    // IVF∘ADC recall@10 is 0.16–0.24 across sf0.001–0.1 (candidate ratios
-    // 0.25–0.38) vs the ~0.005–0.02 chance floor (10/|corpus|) — the 0.10
-    // gate sits 5–20× above chance while safely under every measured
-    // point.
+    // The corpus is leave-queries-out (the q157 convention) so NO hit is
+    // a free self-retrieval — with queries in the corpus a 0.10 floor
+    // would be satisfied by the 5 guaranteed self-hits alone and a broken
+    // ADC join would ship silently. Random embeddings are the stress case
+    // (documented at q143): measured non-self IVF∘ADC recall@10 is
+    // 0.06–0.16 across sf0.001–0.1 (candidate ratios 0.25–0.38) vs the
+    // 0.005–0.02 chance floor (10/|corpus|) — the 0.04 gate sits under
+    // every measured point at 1.5–4× margin and 2–8× above chance.
     Q("q158_ivf_pq",
       """SELECT count(*) AS n_vectors, 5 AS n_queries,
         |       CAST(1 AS BOOLEAN) AS complete_ok,
@@ -576,7 +579,7 @@ object Similarity {
           (col("n_results") === 50 && col("n_answered") === 5)
             .as("complete_ok"),
           (col("n_candidates") * 2 < col("n_vectors") * 5).as("pruning_ok"),
-          (col("n_hit") >= col("n_exact") * 0.10).as("recall_ok"))
+          (col("n_hit") >= col("n_exact") * 0.04).as("recall_ok"))
     }
   )
 
@@ -595,8 +598,13 @@ object Similarity {
     val topK = 10
     val emb = Tables.embeddings(s, d)
     val cdf = ivfIndex(s, d, nCells)
+    // leave-queries-out corpus (the q157 convention): with the queries IN
+    // the corpus, each exact and ADC top-10 contains the query itself, so
+    // 5 of 50 hits come free and a recall floor at 0.10 would be vacuous —
+    // a broken ADC join would still pass on self-retrievals alone
     val assigned = rankCells(cdf,
-      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      emb.filter(col("vec_id") >= nQ)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
       "neighbor_id", "cv", 1)
       .select("cell", "neighbor_id")
       .localCheckpoint(true)
@@ -628,8 +636,8 @@ object Similarity {
           .orderBy(asc("adc_dist"), asc("neighbor_id"))))
       .filter(col("rank") <= topK)
       .localCheckpoint(true)
-    val exact = emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv"))
+    val exact = emb.filter(col("vec_id") >= nQ)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .crossJoin(broadcast(queries))
       .withColumn("d2", ArrayMath.squaredL2(col("cv"), col("qv")))
       .withColumn("rank", row_number().over(

@@ -185,12 +185,13 @@ class PlanQualitySpec extends SparkSpec {
     // segments in ONE task at any customer count
     assert(p.contains("hashpartitioning(_pid"),
       s"rank window not partitioned by block id:\n$p")
-    assert(!p.contains("Exchange SinglePartition") ||
-      p.linesIterator.toVector.zipWithIndex
-        .filter(_._1.contains("Exchange SinglePartition"))
-        .forall { case (_, i) =>
-          p.linesIterator.toVector(i + 1).contains("HashAggregate") },
-      s"SinglePartition exchange feeding a non-aggregate:\n$p")
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
+          s"SinglePartition exchange feeding a non-aggregate:\n$p")
+      }
   }
 
   test("q156: exact-k sampling plans as TakeOrdered — no corpus shuffle") {

@@ -167,22 +167,30 @@ class ProfilingSpec extends SparkSpec {
       }
       merged.trim.split("  ").length
     }
-    val expected = Tables.documents(spark, sf0001)
+    assert(rules.length == 6, "trainer must yield all six merge rules")
+    val docs = Tables.documents(spark, sf0001)
       .select(col("source"), col("text")).collect()
       .map { r =>
         val toks = r.getString(1).trim.toLowerCase
           .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
         (r.getString(0), (1L, toks.length.toLong,
-          toks.map(symbols(_).toLong).sum))
+          toks.map(symbols(_).toLong).sum, toks.map(_.length.toLong).sum))
       }
-      .groupMapReduce(_._1)(_._2)((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    val expected = docs
+      .groupMapReduce(_._1)(t => (t._2._1, t._2._2, t._2._3))(
+        (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
     val got = run("q155_bpe_encode").collect()
       .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
         r.getAs[Long]("n_tokens"), r.getAs[Long]("n_symbols")))).toMap
     assert(got == expected)
-    // merges actually fired: fewer symbols than characters, at least one
-    // token shrank below its character count
-    got.values.foreach { case (_, nt, ns) => assert(ns >= nt) }
+    // the learned merges actually FIRED corpus-wide: strictly fewer
+    // symbols than raw characters (a zero-merge encode would leave every
+    // token at one symbol per character and make the replay comparison
+    // above a vacuous encode-of-nothing check)
+    val totalChars = docs.map(_._2._4).sum
+    val totalSymbols = got.values.map(_._3).sum
+    assert(totalSymbols < totalChars,
+      s"no merge fired: $totalSymbols symbols vs $totalChars chars")
   }
 
   test("triangleStats: empty edge list yields all-zero stats, not NULLs") {

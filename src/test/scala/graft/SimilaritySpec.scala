@@ -97,9 +97,10 @@ class SimilaritySpec extends SparkSpec {
     val cand = m.getAs[Long]("n_candidates")
     assert(cand * 2 < n * 5, s"candidates $cand of ${n * 5} not pruned")
     assert(cand >= 50, "probed cells must hold at least the answer lists")
-    // measured IVF∘ADC recall@10: 0.16-0.24 vs ~0.02 chance on this corpus
+    // leave-queries-out: no free self-hits; measured non-self IVF∘ADC
+    // recall@10 is 0.06-0.16 across SFs vs the 0.005-0.02 chance floor
     val hit = m.getAs[Long]("n_hit").toDouble / m.getAs[Long]("n_exact")
-    assert(hit >= 0.10, s"IVF-PQ recall $hit below band")
+    assert(hit >= 0.04, s"IVF-PQ recall $hit below band")
     val q = SparkEntry.queries("q158_ivf_pq")(spark, sf0001).collect().head
     assert(q.getAs[Boolean]("complete_ok") && q.getAs[Boolean]("pruning_ok") &&
       q.getAs[Boolean]("recall_ok"))
