@@ -44,7 +44,16 @@ object Retail {
   private[graft] def distributedNtile(df: org.apache.spark.sql.DataFrame,
       buckets: Int, out: String, order: org.apache.spark.sql.Column*)
       : org.apache.spark.sql.DataFrame = {
-    val parts = math.max(2, df.sparkSession.sparkContext.defaultParallelism)
+    // parts CAPPED at 128, not bare defaultParallelism: the offsets ride a
+    // constant-folded literal map whose element_at is a per-row O(parts)
+    // scan (and whose expression tree grows with parts — a 32k-slot
+    // cluster would build a 64k-child CreateMap). 128 ordered blocks keep
+    // the lookup at ns scale and the per-block sort at ~10⁷ rows even for
+    // 10⁹ customers; a corpus needing more width should switch the
+    // offsets back to the q53 broadcast-join form, which scales in parts
+    // but pays an extra plan stage per call.
+    val parts = math.min(128,
+      math.max(2, df.sparkSession.sparkContext.defaultParallelism))
     val parted = df.repartitionByRange(parts, order: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true) // offset job + rank consumer share one shuffle
