@@ -528,11 +528,13 @@ object Similarity {
     // assumes cluster structure — so the measured bands are modest and the
     // thresholds sit well inside them: mean relative reconstruction error
     // 0.72–0.77 across sf0.001–0.1 (threshold < 0.85; worst single vector
-    // 0.93, threshold ≤ 1.1), ADC top-10 recall vs the exact squared-L2
-    // top-10 0.16–0.24 (threshold ≥ 0.10) against a 0.005–0.02 chance
-    // floor — an 8–30× lift. On clustered production embeddings all three
-    // move up sharply; the production recall fix is IVF-PQ re-rank,
-    // q101's two-stage shape.
+    // 0.93, threshold ≤ 1.1), NON-SELF ADC top-10 recall vs the exact
+    // squared-L2 top-10 measured 0.08–0.16 leave-queries-out (threshold
+    // ≥ 0.04) against a 0.005–0.02 chance floor — a 4–16× lift. (With
+    // queries in the corpus the 5 guaranteed self-hits alone would meet a
+    // 0.10 floor — a vacuous gate.) On clustered production embeddings
+    // all three move up sharply; the production recall fix is IVF-PQ
+    // re-rank, q101's two-stage shape.
     Q("q143_product_quantization",
       """SELECT count(*) AS n_vectors,
         |       count(*) * 4 AS n_codes,
@@ -548,7 +550,7 @@ object Similarity {
           (col("min_code") >= 0 && col("max_code") < 16 &&
             col("n_codes") === col("n_vectors") * 4).as("codes_ok"),
           (col("mean_rel") < 0.85 && col("worst_rel") <= 1.1).as("recon_ok"),
-          (col("n_hit") >= col("n_exact") * 0.10).as("recall_ok"))
+          (col("n_hit") >= col("n_exact") * 0.04).as("recall_ok"))
     },
 
     // IVF-PQ composed two-stage search — q48's coarse quantizer × q143's
@@ -674,7 +676,11 @@ object Similarity {
       .select(col("vec_id"), col("n_sub"),
         (col("q_err") / col("energy")).as("rel_err"))
     // ADC: the query's m×k distance table (one row per (sub, code)) is a
-    // broadcast frame; corpus distances are a codes⋈table lookup + sum
+    // broadcast frame; corpus distances are a codes⋈table lookup + sum.
+    // Recall is measured leave-queries-out (the q157/q158 convention):
+    // with queries in the corpus, each exact and ADC top-10 contains the
+    // query itself, so 5 of 50 hits come free and a 0.10 floor would be
+    // satisfied by self-retrievals alone.
     val queries = emb.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val dtable = queries
@@ -685,8 +691,8 @@ object Similarity {
       .join(broadcast(codebook), "sub")
       .select(col("query_id"), col("sub"), col("code"),
         ArrayMath.squaredL2(col("qsub"), col("cvec")).as("d2"))
-    val adc = codes.select(col("vec_id").as("neighbor_id"),
-        col("sub"), col("code"))
+    val adc = codes.filter(col("vec_id") >= nQ)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
       .join(broadcast(dtable), Seq("sub", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d2")).as("adc_dist"))
@@ -695,7 +701,8 @@ object Similarity {
           .orderBy(asc("adc_dist"), asc("neighbor_id"))))
       .filter(col("rank") <= topK)
     // exact squared-L2 top-k baseline over the same bounded query slice
-    val exact = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val exact = emb.filter(col("vec_id") >= nQ)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .crossJoin(broadcast(queries))
       .withColumn("d2", ArrayMath.squaredL2(col("cv"), col("qv")))
       .withColumn("rank", row_number().over(

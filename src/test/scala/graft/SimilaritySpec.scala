@@ -70,14 +70,15 @@ class SimilaritySpec extends SparkSpec {
     assert(m.getAs[Int]("min_code") >= 0 && m.getAs[Int]("max_code") < 16)
     // random embeddings are PQ's stress case: reconstruction keeps only a
     // modest share of the energy (measured mean_rel ~0.72 at sf0.001) and
-    // ADC recall@10 is ~0.22 vs a 0.02 chance floor — assert the measured
-    // bands with margin on both sides (a too-GOOD mean_rel on this corpus
+    // non-self ADC recall@10 (leave-queries-out — no free self-hits) is
+    // 0.08-0.16 vs a 0.005-0.02 chance floor — assert the measured bands
+    // with margin on both sides (a too-GOOD mean_rel on this corpus
     // would mean the error math broke)
     val meanRel = m.getAs[Double]("mean_rel")
     assert(meanRel > 0.3 && meanRel < 0.85, s"mean_rel=$meanRel")
     assert(m.getAs[Double]("worst_rel") <= 1.1)
     val hit = m.getAs[Long]("n_hit").toDouble / m.getAs[Long]("n_exact")
-    assert(hit >= 0.10, s"ADC recall $hit below band")
+    assert(hit >= 0.04, s"ADC recall $hit below band")
     // the driver-checked property row must agree
     val q = SparkEntry.queries("q143_product_quantization")(spark, sf0001)
       .collect().head
