@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Machine-line per-query seconds, BOUNDED at 4 chars: 1 decimal below
+    * 10 s ("0.4"…"9.9", "-0.1"…"-9.9"), integer at |v| ≥ 10 ("12", "-12").
+    * The bound is what makes BenchContractSpec's line-length estimate a
+    * guaranteed worst case — a throttle-inflated run cannot grow entries
+    * past it and clip the driver's 2000-char stdout tail (the
+    * BENCH_r03/r04 failure mode). 0.1 s resolution above 10 s is noise
+    * anyway; stderr keeps 3 decimals. */
+  private[graft] def compactSecs(v: Double): String =
+    // branch at 9.95, not 10: "%.1f" of 9.96 already rounds to "10.0"
+    // (5 chars) — the decimal form must only ever render x.x
+    if (math.abs(v) >= 9.95) v.round.toString
+    else "%.1f".formatLocal(java.util.Locale.ROOT, v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -114,9 +128,8 @@ object Bench {
     // Locale.ROOT: the f interpolator uses the JVM default locale, which in
     // comma-decimal locales would print "1,234" and corrupt the JSON.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // 1 decimal on the machine line (the compactness contract below);
-    // full 3-decimal per-query fidelity goes to stderr
-    def cs(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    // bounded 4-char rendering on the machine line (see compactSecs)
+    def cs(v: Double): String = compactSecs(v)
     // headline total = successful queries only; failures stay visible as
     // negated per-query entries + n_errors (a broken bench must never look
     // faster than a working one)
