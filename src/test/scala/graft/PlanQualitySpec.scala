@@ -202,6 +202,19 @@ class PlanQualitySpec extends SparkSpec {
       s"a deterministic top-k-by-hash must not shuffle the corpus:\n$p")
   }
 
+  test("q159: stratified sample partial-aggregates; no per-source window sort") {
+    val p = planOf("q159_stratified_sample")
+    // the k-bounded typed Aggregator must run as a partial object-hash
+    // aggregate — per-(partition, source) state of ≤ k pairs — never a
+    // per-source row_number window (ONE task per source at any corpus
+    // size) and never a whole-group collect_list buffer
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed min-k aggregator not planned as object hash aggregate:\n$p")
+    assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("Window"),
+      s"stratified sampling fell back to a window sort:\n$p")
+  }
+
   test("q83: latest-by-key compacts as a partial aggregate, not a window sort") {
     val p = planOf("q83_latest_by_key")
     // max_by must run map-side (partial) so the shuffle carries one row per
