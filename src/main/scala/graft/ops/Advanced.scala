@@ -858,6 +858,78 @@ object Advanced {
         .select(col("n_keys"), col("est_join_rows"), col("max_key_est"),
           col("best.u").as("hot_user"))
         .crossJoin(hot)
+    },
+
+    // SCD2 dimension-history build — the warehouse operator behind every
+    // "as-was" join (q50's as-of join is its read side; this is the WRITE
+    // side q81's upsert stops short of): compress each customer's order
+    // stream into type-2 validity intervals of its slowly-changing
+    // attribute (order priority), valid_from = first date of a run,
+    // valid_to = next run's start, NULL while current. Run-compression is
+    // lag()-change detection and interval closing is lead() — BOTH windows
+    // partition by customer (fully parallel; no global sort anywhere).
+    // Emitted as a per-priority digest (interval counts, open intervals,
+    // exact closed-interval day sums, an integer boundary checksum over
+    // (customer, start-epoch-day)) so the hash pins every interval
+    // boundary without dumping |customers|·runs rows. All-integer output.
+    Q("q161_scd2_history",
+      """WITH s AS (
+        |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS dt,
+        |         o_orderkey AS ok, o_orderpriority AS pri,
+        |         lag(o_orderpriority) OVER (
+        |           PARTITION BY o_custkey
+        |           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+        |  FROM orders),
+        |c AS (
+        |  SELECT ck, ok, pri, dt AS valid_from FROM s
+        |  WHERE prev IS NULL OR pri <> prev),
+        |iv AS (
+        |  SELECT ck, pri, valid_from,
+        |         lead(valid_from) OVER (
+        |           PARTITION BY ck ORDER BY valid_from, ok) AS valid_to
+        |  FROM c)
+        |SELECT pri AS priority,
+        |       count(*) AS n_intervals,
+        |       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_current,
+        |       CAST(coalesce(sum(CASE WHEN valid_to IS NOT NULL THEN
+        |              datediff('day', valid_from, valid_to) END), 0)
+        |            AS BIGINT) AS closed_days,
+        |       CAST(sum(ck * 1000003 +
+        |              datediff('day', DATE '1970-01-01', valid_from))
+        |            AS BIGINT) AS boundary_checksum
+        |FROM iv GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val intervals = scd2Intervals(Tables.orders(s, d).select(
+        col("o_custkey").as("ck"),
+        to_date(col("o_orderdate")).as("dt"),
+        col("o_orderkey").as("ok"),
+        col("o_orderpriority").as("pri")))
+      intervals.groupBy(col("pri").as("priority"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when(col("valid_to").isNull, 1).otherwise(0))
+            .cast("long").as("n_current"),
+          coalesce(sum(when(col("valid_to").isNotNull,
+              datediff(col("valid_to"), col("valid_from")))), lit(0))
+            .cast("long").as("closed_days"),
+          sum(col("ck") * 1000003 + unix_date(col("valid_from")))
+            .cast("long").as("boundary_checksum"))
+        .orderBy("priority")
     }
   )
+
+  /** q161's interval builder, spec-visible: compress a change stream
+    * (ck, dt, ok, pri) — ok the within-day tie-break — into SCD2 validity
+    * runs (ck, ok, pri, valid_from, valid_to·nullable). Both windows
+    * partition by ck; nothing global. */
+  private[graft] def scd2Intervals(src: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wOrd = Window.partitionBy(col("ck")).orderBy(col("dt"), col("ok"))
+    val changes = src
+      .withColumn("prev", lag(col("pri"), 1).over(wOrd))
+      .filter(col("prev").isNull || col("pri") =!= col("prev"))
+      .select(col("ck"), col("ok"), col("pri"), col("dt").as("valid_from"))
+    val wNext = Window.partitionBy(col("ck"))
+      .orderBy(col("valid_from"), col("ok"))
+    changes.withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+  }
 }

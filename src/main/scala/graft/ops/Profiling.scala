@@ -332,13 +332,82 @@ object Profiling {
           sum(col("nt")).cast("long").as("n_tokens"),
           sum(col("ns")).cast("long").as("n_symbols"))
         .orderBy("source")
+    },
+
+    // Per-vertex clustering profile of the near-dup graph — q144's global
+    // transitivity localized: for the 20 most triangle-dense documents,
+    // degree, triangle count and local clustering coefficient
+    // 2·t(v) / (deg·(deg−1)). Dense-cluster members (true duplicate
+    // groups) score ~1.0; hub documents that merely bridge clusters score
+    // near 0 — the signal a curation pipeline uses to pick cluster
+    // CANONICALS vs accidental bridges. Same arboricity-bounded
+    // enumeration as q144 (each triangle found once at its lowest-degree
+    // apex), then one integer explode-and-count per vertex; selection is
+    // by integer (n_tri, v) so the rounded float cc is payload, never a
+    // selector. Oracle recomputes orientation-free from the a<b<c
+    // three-way join.
+    Q("q160_local_clustering",
+      s"""WITH ${TextOps.jaccardCtes},
+        |e AS MATERIALIZED (
+        |  SELECT doc_a AS a, doc_b AS b
+        |  FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter * 2 >= ca.n_sh + cb.n_sh - inter),
+        |deg AS (
+        |  SELECT v, count(*) AS degree FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tv AS (
+        |  SELECT v, count(*) AS n_tri FROM (
+        |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.v AS doc_id, degree,
+        |       CAST(coalesce(tv.n_tri, 0) AS BIGINT) AS n_tri,
+        |       CASE WHEN degree < 2 THEN 0.0
+        |            ELSE round((2.0 * coalesce(tv.n_tri, 0)) /
+        |                       (degree * (degree - 1)), 6) END AS local_cc
+        |FROM deg LEFT JOIN tv ON deg.v = tv.v
+        |ORDER BY n_tri DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      localClustering(TextOps.exactJaccardPairs(s, d, 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")), 20)
     }
   )
 
-  /** Degree-ordered triangle/wedge statistics over an undirected edge list
-    * (a < b, no duplicates). See q144 for the algorithm; spec-visible so
-    * known graphs (cliques, chains) pin the enumeration. */
-  private[graft] def triangleStats(edgeList: DataFrame): DataFrame = {
+  /** Per-vertex (degree, triangle count, local clustering coefficient) for
+    * the k most triangle-dense vertices — q160's engine, spec-visible so
+    * known graphs (cliques score 1.0, stars 0.0) pin the arithmetic. */
+  private[graft] def localClustering(edgeList: DataFrame, k: Int): DataFrame = {
+    val (_, deg, tris) = triangleParts(edgeList)
+    // each (u,x,y) triangle touches its three corners once: one explode,
+    // one integer count per vertex — no per-neighbor-pair recount
+    val perVertex = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0)).cast("long").as("n_tri"))
+      .withColumn("local_cc",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round((lit(2.0) * col("n_tri")) /
+            (col("degree") * (col("degree") - 1)), 6)))
+      .orderBy(col("n_tri").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Compact-forward triangle enumeration over an undirected edge list
+    * (a < b, no duplicates): returns the checkpointed (edges, degree,
+    * triangles) trio shared by q144's global statistics and q160's
+    * per-vertex clustering profile. Triangles come out as (u, x, y) with u
+    * the wedge apex — each triangle exactly once. */
+  private def triangleParts(edgeList: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val edges = edgeList.localCheckpoint(true)
     val deg = edges.select(col("a").as("v"))
       .unionByName(edges.select(col("b").as("v")))
@@ -367,6 +436,14 @@ object Profiling {
         oriented.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
       .select(col("u"), col("x"), col("y"))
       .localCheckpoint(true)
+    (edges, deg, tris)
+  }
+
+  /** Degree-ordered triangle/wedge statistics over an undirected edge list
+    * (a < b, no duplicates). See q144 for the algorithm; spec-visible so
+    * known graphs (cliques, chains) pin the enumeration. */
+  private[graft] def triangleStats(edgeList: DataFrame): DataFrame = {
+    val (edges, deg, tris) = triangleParts(edgeList)
     // canonical (ascending-id) triangle labels for the checksum
     val na = least(col("u"), col("x"), col("y"))
     val nc = greatest(col("u"), col("x"), col("y"))

@@ -275,6 +275,57 @@ object Retail {
           round(avg(when(col("l_discount") < 0.05, col("l_quantity"))), 6)
             .as("avg_qty_lo_disc"))
         .orderBy("p_brand")
+    },
+
+    // Exponentially-weighted moving average of monthly revenue — the
+    // smoother a demand planner lays over q149's seasonal profile (α = ½,
+    // truncated at 12 months). The recursion is unrolled into an EXACT
+    // integer form: weight 2^(11−lag) is an integer, so numerator,
+    // denominator AND the final half-up rounding (2·num + den) ÷ (2·den)
+    // are all BIGINT arithmetic — no float ever crosses engines (rounding
+    // the ~1e10-cent quotient at 6 decimals sits at double's ulp and
+    // flipped the last digit between engines). Scale shape: the corpus reduces
+    // to a ≤|months|-row frame in one partial-aggregated scan; the
+    // 12-wide band self-join runs on that tiny frame with the dimension
+    // side broadcast — nothing quadratic ever touches the fact table.
+    Q("q162_ewma_trend",
+      """WITH m0 AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |         CAST(month(o_orderdate) AS INT) AS mo,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT y, mo, rev, y * 12 + mo AS idx FROM m0),
+        |j AS (
+        |  SELECT i.y, i.mo, i.rev,
+        |         CAST(sum(p.rev * CAST(power(2, 11 - (i.idx - p.idx))
+        |                               AS BIGINT)) AS BIGINT) AS num,
+        |         CAST(sum(CAST(power(2, 11 - (i.idx - p.idx)) AS BIGINT))
+        |              AS BIGINT) AS den
+        |  FROM m i JOIN m p ON p.idx BETWEEN i.idx - 11 AND i.idx
+        |  GROUP BY 1, 2, 3)
+        |SELECT y, mo, rev AS rev_cents,
+        |       CAST((2 * num + den) // (2 * den) AS BIGINT) AS ewma_cents
+        |FROM j ORDER BY y, mo""".stripMargin) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+          month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .cast("long").as("rev"))
+        .withColumn("idx", col("y") * 12 + col("mo"))
+        .localCheckpoint(true)
+      val past = broadcast(m.select(col("idx").as("jdx"),
+        col("rev").as("jrev")))
+      val w = pow(lit(2.0), lit(11) - (col("idx") - col("jdx"))).cast("long")
+      m.join(past,
+          col("jdx") >= col("idx") - 11 && col("jdx") <= col("idx"))
+        .groupBy(col("y"), col("mo"), col("rev"))
+        .agg(sum(col("jrev") * w).cast("long").as("num"),
+          sum(w).cast("long").as("den"))
+        .select(col("y"), col("mo"), col("rev").as("rev_cents"),
+          expr("CAST((2 * num + den) div (2 * den) AS BIGINT)")
+            .as("ewma_cents"))
+        .orderBy("y", "mo")
     }
   )
 }

@@ -83,4 +83,35 @@ class AdvancedSpec extends SparkSpec {
     val total = out.filter(r => r.isNullAt(0) && r.isNullAt(1)).head.getLong(2)
     assert(total == Tables.lineitem(spark, sf0001).count())
   }
+
+  test("scd2: runs compress, intervals chain, last interval per key is open") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // cust 1 flips P1→P2→P1 (the return to P1 must open a NEW interval);
+    // the second P1 order on 01-05 extends a run, never splits it
+    val src = Seq(
+      (1L, d("2024-01-01"), 10L, "P1"), (1L, d("2024-01-05"), 11L, "P1"),
+      (1L, d("2024-02-01"), 12L, "P2"), (1L, d("2024-03-01"), 13L, "P1"),
+      (2L, d("2024-06-01"), 20L, "P9")).toDF("ck", "dt", "ok", "pri")
+    val iv = ops.Advanced.scd2Intervals(src)
+      .orderBy("ck", "valid_from").collect()
+    assert(iv.map(r => (r.getAs[Long]("ck"), r.getAs[String]("pri"),
+      r.getAs[Date]("valid_from").toString,
+      Option(r.getAs[Date]("valid_to")).map(_.toString))).toSeq == Seq(
+      (1L, "P1", "2024-01-01", Some("2024-02-01")),
+      (1L, "P2", "2024-02-01", Some("2024-03-01")),
+      (1L, "P1", "2024-03-01", None),
+      (2L, "P9", "2024-06-01", None)))
+    // intervals chain gaplessly per key: each valid_to is the next valid_from
+    val byCk = iv.groupBy(_.getAs[Long]("ck"))
+    byCk.values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Date]("valid_to") == b.getAs[Date]("valid_from"))
+        case _ =>
+      }
+      assert(rows.last.isNullAt(rows.last.fieldIndex("valid_to")),
+        "current interval must stay open")
+    }
+  }
 }

@@ -207,4 +207,33 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Long]("tri_checksum") == 0L)
     assert(r.getAs[Double]("global_cc") == 0.0)
   }
+
+  test("localClustering: clique corners score 1.0, star center and chain 0.0") {
+    import spark.implicits._
+    // K4: every vertex sits in 3 of the 4 triangles, deg 3 → cc = 1.0
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val rk = Profiling.localClustering(k4, 10).collect()
+    assert(rk.length == 4)
+    rk.foreach { r =>
+      assert(r.getAs[Long]("degree") == 3 && r.getAs[Long]("n_tri") == 3)
+      assert(r.getAs[Double]("local_cc") == 1.0)
+    }
+    // star K1,4 + one rim edge: center 1 gains exactly ONE triangle out of
+    // deg-4·3/2 = 6 possible wedge closures; rim pair scores 1.0
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L))
+      .toDF("a", "b")
+    val rs = Profiling.localClustering(star, 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_tri"),
+          r.getAs[Double]("local_cc"))).toMap
+    assert(rs(1L) == ((4L, 1L, 0.166667))) // round(2·1/(4·3), 6)
+    assert(rs(2L) == ((2L, 1L, 1.0)) && rs(3L) == ((2L, 1L, 1.0)))
+    assert(rs(4L) == ((1L, 0L, 0.0)) && rs(5L) == ((1L, 0L, 0.0)))
+    // k truncates by (n_tri desc, id): top-2 of the star are the two
+    // triangle vertices with smallest ids
+    val top2 = Profiling.localClustering(star, 2).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(top2 == Seq(1L, 2L))
+  }
 }

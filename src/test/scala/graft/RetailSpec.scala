@@ -117,4 +117,25 @@ class RetailSpec extends SparkSpec {
     assert(math.abs(idx.sum - 12.0) < 1e-4)
     assert(idx.forall(i => i > 0 && i < 12))
   }
+
+  test("ewma: every month matches an exact integer replay of the unrolled form") {
+    val rows = run("q162_ewma_trend").collect()
+      .map(r => ((r.getAs[Int]("y"), r.getAs[Int]("mo")),
+        r.getAs[Long]("rev_cents"), r.getAs[Long]("ewma_cents")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val series = rows.map { case ((y, mo), rev, _) => (y * 12 + mo, rev) }
+    rows.foreach { case ((y, mo), rev, ewma) =>
+      val idx = y * 12 + mo
+      val terms = series.filter(t => t._1 >= idx - 11 && t._1 <= idx)
+      val num = terms.map { case (j, x) => x * (1L << (11 - (idx - j))) }.sum
+      val den = terms.map { case (j, _) => 1L << (11 - (idx - j)) }.sum
+      assert(ewma == (2 * num + den) / (2 * den),
+        s"ewma($y-$mo) != integer half-up replay")
+      // the smoother stays inside its own window's envelope
+      val xs = terms.map(_._2)
+      assert(ewma >= xs.min && ewma <= xs.max)
+      if (terms.size == 1) assert(ewma == rev, "first month is its own ewma")
+    }
+  }
 }
