@@ -860,76 +860,119 @@ object Advanced {
         .crossJoin(hot)
     },
 
-    // SCD2 dimension-history build — the warehouse operator behind every
-    // "as-was" join (q50's as-of join is its read side; this is the WRITE
-    // side q81's upsert stops short of): compress each customer's order
-    // stream into type-2 validity intervals of its slowly-changing
-    // attribute (order priority), valid_from = first date of a run,
-    // valid_to = next run's start, NULL while current. Run-compression is
-    // lag()-change detection and interval closing is lead() — BOTH windows
-    // partition by customer (fully parallel; no global sort anywhere).
-    // Emitted as a per-priority digest (interval counts, open intervals,
-    // exact closed-interval day sums, an integer boundary checksum over
-    // (customer, start-epoch-day)) so the hash pins every interval
-    // boundary without dumping |customers|·runs rows. All-integer output.
-    Q("q161_scd2_history",
-      """WITH s AS (
-        |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS dt,
-        |         o_orderkey AS ok, o_orderpriority AS pri,
-        |         lag(o_orderpriority) OVER (
-        |           PARTITION BY o_custkey
-        |           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
-        |  FROM orders),
-        |c AS (
-        |  SELECT ck, ok, pri, dt AS valid_from FROM s
-        |  WHERE prev IS NULL OR pri <> prev),
-        |iv AS (
-        |  SELECT ck, pri, valid_from,
-        |         lead(valid_from) OVER (
-        |           PARTITION BY ck ORDER BY valid_from, ok) AS valid_to
-        |  FROM c)
-        |SELECT pri AS priority,
-        |       count(*) AS n_intervals,
-        |       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
-        |            AS BIGINT) AS n_current,
-        |       CAST(coalesce(sum(CASE WHEN valid_to IS NOT NULL THEN
-        |              datediff('day', valid_from, valid_to) END), 0)
-        |            AS BIGINT) AS closed_days,
-        |       CAST(sum(ck * 1000003 +
-        |              datediff('day', DATE '1970-01-01', valid_from))
-        |            AS BIGINT) AS boundary_checksum
-        |FROM iv GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val intervals = scd2Intervals(Tables.orders(s, d).select(
-        col("o_custkey").as("ck"),
-        to_date(col("o_orderdate")).as("dt"),
-        col("o_orderkey").as("ok"),
-        col("o_orderpriority").as("pri")))
-      intervals.groupBy(col("pri").as("priority"))
-        .agg(count(lit(1)).as("n_intervals"),
-          sum(when(col("valid_to").isNull, 1).otherwise(0))
-            .cast("long").as("n_current"),
-          coalesce(sum(when(col("valid_to").isNotNull,
-              datediff(col("valid_to"), col("valid_from")))), lit(0))
-            .cast("long").as("closed_days"),
-          sum(col("ck") * 1000003 + unix_date(col("valid_from")))
-            .cast("long").as("boundary_checksum"))
-        .orderBy("priority")
+    // Revenue concentration — the inequality profile (Lorenz statistics) a
+    // marketplace reads before segmenting: exact Gini coefficient over
+    // per-customer revenue plus top-1%/top-10% revenue shares. Gini uses
+    // the rank identity G = (2·Σrankᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) on EXACT
+    // cents — ties contribute identically under any tie order, so the
+    // row_number tie-break never moves the sum. Ranking is the q130
+    // topology (range partitions + per-partition row_number + broadcast
+    // block offsets): no per-customer row crosses a SinglePartition
+    // exchange. The rank·cents sum fits int64 through ~10⁷ customers ×
+    // ~10⁹ cents; past that, switch the accumulator to DECIMAL(38,0) —
+    // the topology is unchanged. Floats appear only in the 3 final
+    // divisions, identical operand grouping both engines.
+    Q("q161_revenue_concentration",
+      """WITH c AS (
+        |  SELECT o_custkey AS ck,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT ck, m, row_number() OVER (ORDER BY m, ck) AS rk FROM c),
+        |t AS (
+        |  SELECT count(*) AS n, CAST(sum(m) AS BIGINT) AS total,
+        |         CAST(sum(rk * m) AS BIGINT) AS s
+        |  FROM r),
+        |s1 AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS top1_cents
+        |       FROM r, t WHERE rk > n - n // 100),
+        |s10 AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS top10_cents
+        |        FROM r, t WHERE rk > n - n // 10)
+        |SELECT n AS n_customers, total AS total_cents,
+        |       top1_cents, top10_cents,
+        |       round(CAST(top1_cents AS DOUBLE) / total, 6) AS top1_share,
+        |       round(CAST(top10_cents AS DOUBLE) / total, 6) AS top10_share,
+        |       round((2.0 * s - (CAST(n AS DOUBLE) + 1) * total) /
+        |             (CAST(n AS DOUBLE) * total), 6) AS gini
+        |FROM t, s1, s10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val parted = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .cast("long").as("m"))
+        .repartitionByRange(32, col("m"), col("ck"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true) // offsets + rank consumers share one shuffle
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .select(col("pid"), col("off"))
+      val wLocal = Window.partitionBy(col("pid"))
+        .orderBy(col("m"), col("ck"))
+      val ranked = parted.join(broadcast(offsets), "pid")
+        .withColumn("rk", col("off") + row_number().over(wLocal))
+        .localCheckpoint(true)
+      val t = ranked.agg(count(lit(1)).as("n"),
+        sum(col("m")).cast("long").as("total"),
+        sum(col("rk") * col("m")).cast("long").as("s"))
+      def topShare(div: Int, out: String) = ranked
+        .crossJoin(broadcast(t.select(col("n"))))
+        .filter(col("rk") > col("n") - expr(s"n div $div"))
+        .agg(coalesce(sum(col("m")), lit(0L)).cast("long").as(out))
+      t.crossJoin(topShare(100, "top1_cents"))
+        .crossJoin(topShare(10, "top10_cents"))
+        .select(col("n").as("n_customers"), col("total").as("total_cents"),
+          col("top1_cents"), col("top10_cents"),
+          round(col("top1_cents").cast("double") / col("total"), 6)
+            .as("top1_share"),
+          round(col("top10_cents").cast("double") / col("total"), 6)
+            .as("top10_share"),
+          round((lit(2.0) * col("s") -
+              (col("n").cast("double") + 1) * col("total")) /
+            (col("n").cast("double") * col("total")), 6).as("gini"))
+    },
+
+    // Skyline (Pareto frontier) preference query: the parts no buyer can
+    // strictly improve on — cheaper-or-equal AND bigger-or-equal with one
+    // strict. Prices compare in exact cents so dominance is identical
+    // cross-engine. The all-pairs NOT EXISTS definition is quadratic; the
+    // engine instead classifies MAP-SIDE against two suffix minima over
+    // the per-size min-price table (domain-bounded, broadcast):
+    //   dominated(p, s) ⇔ minPrice(size > s) ≤ p ∨ minPrice(size ≥ s) < p
+    // — the q121 winsorize topology (tiny aggregate → broadcast → one
+    // scan), so the fact table never self-joins and never sorts globally.
+    // The oracle runs the independent quadratic definition.
+    Q("q164_skyline",
+      """WITH q AS (
+        |  SELECT p_partkey, p_size,
+        |         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS pc
+        |  FROM part)
+        |SELECT i.p_partkey, i.p_size, i.pc AS price_cents
+        |FROM q i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM q j
+        |  WHERE j.pc <= i.pc AND j.p_size >= i.p_size
+        |    AND (j.pc < i.pc OR j.p_size > i.p_size))
+        |ORDER BY i.p_size, i.pc, i.p_partkey""".stripMargin) { (s, d) =>
+      val q = Tables.part(s, d).select(
+        col("p_partkey"), col("p_size"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("pc"))
+      // per-size minima: |distinct sizes| rows (value-domain-bounded, not
+      // data-bounded) — the broadcastable reduction all else hangs off
+      val sz = q.groupBy(col("p_size").as("s")).agg(min(col("pc")).as("mn"))
+        .localCheckpoint(true)
+      val bounds = sz.toDF("s", "mn")
+        .join(broadcast(sz.toDF("s2", "mn2")), col("s2") >= col("s"))
+        .groupBy(col("s"))
+        .agg(min(when(col("s2") > col("s"), col("mn2"))).as("min_above"),
+          min(col("mn2")).as("min_at_or_above"))
+      q.join(broadcast(bounds), col("p_size") === col("s"))
+        .filter((col("min_above").isNull || col("min_above") > col("pc")) &&
+          col("min_at_or_above") >= col("pc"))
+        .select(col("p_partkey"), col("p_size"), col("pc").as("price_cents"))
+        .orderBy(col("p_size"), col("price_cents"), col("p_partkey"))
     }
   )
 
-  /** q161's interval builder, spec-visible: compress a change stream
-    * (ck, dt, ok, pri) — ok the within-day tie-break — into SCD2 validity
-    * runs (ck, ok, pri, valid_from, valid_to·nullable). Both windows
-    * partition by ck; nothing global. */
-  private[graft] def scd2Intervals(src: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val wOrd = Window.partitionBy(col("ck")).orderBy(col("dt"), col("ok"))
-    val changes = src
-      .withColumn("prev", lag(col("pri"), 1).over(wOrd))
-      .filter(col("prev").isNull || col("pri") =!= col("prev"))
-      .select(col("ck"), col("ok"), col("pri"), col("dt").as("valid_from"))
-    val wNext = Window.partitionBy(col("ck"))
-      .orderBy(col("valid_from"), col("ok"))
-    changes.withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
-  }
 }

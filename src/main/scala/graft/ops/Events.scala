@@ -795,6 +795,78 @@ object Events {
         .select(col("bin"), col("n_ref"), col("n_cur"),
           round(col("contrib_raw"), 6).as("contrib"), col("psi"))
         .orderBy("bin")
+    },
+
+    // A/B experiment readout — Welch's t-test on purchase value between
+    // two variants split by a deterministic id-parity assignment
+    // (engine-portable; the md5-threshold splits of q68/q103 are the
+    // production-grade alternative when ids are not uniform). The classic
+    // two-proportion z-test degenerates on this corpus (every user fires
+    // every event type, pooled p(1−p) = 0), so the tested metric is the
+    // continuous one a revenue experiment actually reads. ONE scan
+    // reduces to per-variant exact-cents moment sums (n, Σx, Σx²) — the
+    // t statistic's float chain then runs on those exact integers with
+    // identical operand grouping on both engines, rounded at emission.
+    Q("q163_ab_test",
+      """WITH p AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS v,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT v, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+        |         CAST(sum(cents * cents) AS BIGINT) AS s2
+        |  FROM p GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN v = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN v = 0 THEN s END) AS sum_a_cents,
+        |    max(CASE WHEN v = 0 THEN s2 END) AS s2_a,
+        |    max(CASE WHEN v = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN v = 1 THEN s END) AS sum_b_cents,
+        |    max(CASE WHEN v = 1 THEN s2 END) AS s2_b
+        |  FROM g),
+        |t AS (
+        |  SELECT n_a, sum_a_cents, n_b, sum_b_cents,
+        |    (CAST(s2_a AS DOUBLE) -
+        |     (CAST(sum_a_cents AS DOUBLE) * sum_a_cents) / n_a) / (n_a - 1)
+        |      AS var_a,
+        |    (CAST(s2_b AS DOUBLE) -
+        |     (CAST(sum_b_cents AS DOUBLE) * sum_b_cents) / n_b) / (n_b - 1)
+        |      AS var_b
+        |  FROM w)
+        |SELECT n_a, sum_a_cents, n_b, sum_b_cents,
+        |  round(CAST(sum_b_cents AS DOUBLE) / n_b -
+        |        CAST(sum_a_cents AS DOUBLE) / n_a, 6) AS mean_diff_cents,
+        |  round((CAST(sum_b_cents AS DOUBLE) / n_b -
+        |         CAST(sum_a_cents AS DOUBLE) / n_a) /
+        |        sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat
+        |FROM t""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).cast("int").as("v"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val g = p.groupBy(col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("s"),
+          sum(col("cents") * col("cents")).cast("long").as("s2"))
+      val w = g.agg(
+        max(when(col("v") === 0, col("n"))).as("n_a"),
+        max(when(col("v") === 0, col("s"))).as("sum_a_cents"),
+        max(when(col("v") === 0, col("s2"))).as("s2_a"),
+        max(when(col("v") === 1, col("n"))).as("n_b"),
+        max(when(col("v") === 1, col("s"))).as("sum_b_cents"),
+        max(when(col("v") === 1, col("s2"))).as("s2_b"))
+      def variance(s2: String, sm: String, n: String) =
+        (col(s2).cast("double") -
+          (col(sm).cast("double") * col(sm)) / col(n)) / (col(n) - 1)
+      val meanDiff = col("sum_b_cents").cast("double") / col("n_b") -
+        col("sum_a_cents").cast("double") / col("n_a")
+      w.withColumn("var_a", variance("s2_a", "sum_a_cents", "n_a"))
+        .withColumn("var_b", variance("s2_b", "sum_b_cents", "n_b"))
+        .select(col("n_a"), col("sum_a_cents"), col("n_b"), col("sum_b_cents"),
+          round(meanDiff, 6).as("mean_diff_cents"),
+          round(meanDiff /
+            sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+            .as("t_stat"))
     }
   )
 }

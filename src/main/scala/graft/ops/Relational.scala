@@ -769,6 +769,47 @@ object Relational {
           (col("n_train") + col("n_test") === col("n_total")).as("split_exact_ok"),
           col("n_train").between(col("n_total") * 0.77, col("n_total") * 0.83)
             .as("split_frac_ok"))
+    },
+
+    // Equi-width histogram (20 buckets) of extended price — the profiling
+    // primitive behind q13's describe and q64's quantile sketch, emitted
+    // as exact bucket counts. ALL bucket arithmetic is BIGINT on cents:
+    // bucket = ((pc − min)·20) div span with integer division, so no
+    // engine can disagree at a bucket edge (the float (x−min)/width form
+    // puts every on-the-line value one ulp from the wrong bucket). Two
+    // scans by construction (min/max must close before bucketing); the
+    // 1-row bounds frame rides a broadcast crossJoin, bucketing and
+    // counting are map-side partial aggregates.
+    Q("q165_histogram",
+      """WITH q AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |b AS (SELECT min(pc) AS mn, max(pc) - min(pc) + 1 AS span FROM q),
+        |h AS (
+        |  SELECT CAST(((pc - mn) * 20) // span AS INT) AS bucket,
+        |         count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents
+        |  FROM q CROSS JOIN b GROUP BY 1)
+        |SELECT bucket,
+        |       CAST(mn + (bucket * span) // 20 AS BIGINT) AS lo_cents,
+        |       CAST(mn + ((bucket + 1) * span) // 20 - 1 AS BIGINT)
+        |         AS hi_cents,
+        |       n, sum_cents
+        |FROM h CROSS JOIN b ORDER BY bucket""".stripMargin) { (s, d) =>
+      val q = Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+      val b = q.agg(min(col("pc")).as("mn"),
+        (max(col("pc")) - min(col("pc")) + 1).as("span"))
+        .localCheckpoint(true)
+      q.crossJoin(broadcast(b))
+        .groupBy(expr("CAST(((pc - mn) * 20) div span AS INT)").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("pc")).cast("long").as("sum_cents"))
+        .crossJoin(broadcast(b))
+        .select(col("bucket"),
+          expr("CAST(mn + (bucket * span) div 20 AS BIGINT)").as("lo_cents"),
+          expr("CAST(mn + ((bucket + 1) * span) div 20 - 1 AS BIGINT)")
+            .as("hi_cents"),
+          col("n"), col("sum_cents"))
+        .orderBy("bucket")
     }
   )
 }

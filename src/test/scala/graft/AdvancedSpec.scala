@@ -84,34 +84,70 @@ class AdvancedSpec extends SparkSpec {
     assert(total == Tables.lineitem(spark, sf0001).count())
   }
 
-  test("scd2: runs compress, intervals chain, last interval per key is open") {
-    import java.sql.Date
-    def d(s: String) = Date.valueOf(s)
-    // cust 1 flips P1→P2→P1 (the return to P1 must open a NEW interval);
-    // the second P1 order on 01-05 extends a run, never splits it
-    val src = Seq(
-      (1L, d("2024-01-01"), 10L, "P1"), (1L, d("2024-01-05"), 11L, "P1"),
-      (1L, d("2024-02-01"), 12L, "P2"), (1L, d("2024-03-01"), 13L, "P1"),
-      (2L, d("2024-06-01"), 20L, "P9")).toDF("ck", "dt", "ok", "pri")
-    val iv = ops.Advanced.scd2Intervals(src)
-      .orderBy("ck", "valid_from").collect()
-    assert(iv.map(r => (r.getAs[Long]("ck"), r.getAs[String]("pri"),
-      r.getAs[Date]("valid_from").toString,
-      Option(r.getAs[Date]("valid_to")).map(_.toString))).toSeq == Seq(
-      (1L, "P1", "2024-01-01", Some("2024-02-01")),
-      (1L, "P2", "2024-02-01", Some("2024-03-01")),
-      (1L, "P1", "2024-03-01", None),
-      (2L, "P9", "2024-06-01", None)))
-    // intervals chain gaplessly per key: each valid_to is the next valid_from
-    val byCk = iv.groupBy(_.getAs[Long]("ck"))
-    byCk.values.foreach { rows =>
-      rows.sliding(2).foreach {
-        case Array(a, b) =>
-          assert(a.getAs[Date]("valid_to") == b.getAs[Date]("valid_from"))
-        case _ =>
-      }
-      assert(rows.last.isNullAt(rows.last.fieldIndex("valid_to")),
-        "current interval must stay open")
+  test("gini: matches a driver-side exact replay; Lorenz shares nest") {
+    val r = SparkEntry.queries("q161_revenue_concentration")(spark, sf0001)
+      .head()
+    // independent replay: collect per-customer cents, sort, apply the
+    // rank identity with plain Scala arithmetic
+    val m = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("m"))
+      .collect().map(_.getAs[Long]("m")).sorted
+    val n = m.length
+    val total = m.sum
+    val s = m.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    assert(r.getAs[Long]("n_customers") == n)
+    assert(r.getAs[Long]("total_cents") == total)
+    val gini = (2.0 * s - (n.toDouble + 1) * total) / (n.toDouble * total)
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-6)
+    assert(gini >= 0.0 && gini < 1.0)
+    val top1 = m.takeRight(n / 100).sum
+    val top10 = m.takeRight(n / 10).sum
+    assert(r.getAs[Long]("top1_cents") == top1)
+    assert(r.getAs[Long]("top10_cents") == top10)
+    // Lorenz nesting: the top 1% can never out-earn the top 10%
+    assert(r.getAs[Double]("top1_share") <= r.getAs[Double]("top10_share"))
+  }
+
+  test("skyline: survivors are mutually non-dominated and complete vs brute force") {
+    val rows = SparkEntry.queries("q164_skyline")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Int]("p_size"),
+        r.getAs[Long]("price_cents")))
+    assert(rows.nonEmpty)
+    val all = Tables.part(spark, sf0001)
+      .select(col("p_partkey"), col("p_size"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("pc"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def dominates(j: (Long, Int, Long), i: (Long, Int, Long)) =
+      j._3 <= i._3 && j._2 >= i._2 && (j._3 < i._3 || j._2 > i._2)
+    val brute = all.filter(i => !all.exists(j => dominates(j, i)))
+      .map(t => (t._1, t._2, t._3)).toSet
+    assert(rows.toSet == brute, "bucket-prefilter skyline != brute force")
+  }
+
+  test("histogram: buckets tile the cents range, counts and sums conserve") {
+    val rows = SparkEntry.queries("q165_histogram")(spark, sf0001).collect()
+    val pc = Tables.lineitem(spark, sf0001)
+      .select(round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+      .collect().map(_.getLong(0))
+    assert(rows.map(_.getAs[Long]("n")).sum == pc.length)
+    assert(rows.map(_.getAs[Long]("sum_cents")).sum == pc.sum)
+    // buckets tile [min, max] contiguously and widths differ by at most 1
+    val sorted = rows.sortBy(_.getAs[Int]("bucket"))
+    assert(sorted.head.getAs[Long]("lo_cents") == pc.min)
+    assert(sorted.last.getAs[Long]("hi_cents") == pc.max)
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_cents") + 1 == b.getAs[Long]("lo_cents"))
+      case _ =>
+    }
+    val widths = sorted.map(r =>
+      r.getAs[Long]("hi_cents") - r.getAs[Long]("lo_cents") + 1)
+    assert(widths.max - widths.min <= 1, "equi-width within integer rounding")
+    // per-bucket recount from raw cents
+    sorted.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"))
+      assert(r.getAs[Long]("n") == pc.count(x => x >= lo && x <= hi))
     }
   }
 }

@@ -204,4 +204,28 @@ class EventsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q163 ab test: Welch t replays exactly from driver-side moment sums") {
+    val r = SparkEntry.queries("q163_ab_test")(spark, sf0001).head()
+    val cents = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("int").as("v"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .collect().map(x => (x.getInt(0), x.getLong(1)))
+    def moments(v: Int) = {
+      val xs = cents.filter(_._1 == v).map(_._2)
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (na, sa, qa) = moments(0); val (nb, sb, qb) = moments(1)
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Long]("sum_a_cents") == sa)
+    assert(r.getAs[Long]("sum_b_cents") == sb)
+    def variance(n: Long, s: Long, q: Long) =
+      (q.toDouble - (s.toDouble * s) / n) / (n - 1)
+    val diff = sb.toDouble / nb - sa.toDouble / na
+    val t = diff / math.sqrt(
+      variance(na, sa, qa) / na + variance(nb, sb, qb) / nb)
+    assert(math.abs(r.getAs[Double]("mean_diff_cents") - diff) < 1e-6)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-6)
+  }
 }
