@@ -21,7 +21,8 @@ object SparkEntry {
     ops.Composition.queries ++
     ops.Retrieval.queries ++
     ops.Profiling.queries ++
-    ops.Retail.queries
+    ops.Retail.queries ++
+    ops.Stats.queries
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")

@@ -1,0 +1,460 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison and hypothesis-test statistics — the analyses a
+  * retail data team runs AFTER the descriptive queries (q11-q14, q163):
+  * nonparametric two-sample tests (Mann-Whitney, Kolmogorov-Smirnov),
+  * digit-law fraud screening (Benford), categorical-mix entropy, CUSUM
+  * changepoint scans, rank correlation (Kendall tau-b), and grouped OLS by
+  * sufficient statistics. Reference scope: the reference's analysis notebook
+  * stops at Pearson correlation and grouped means
+  * (`Scripts/eda.py:61`, `Scripts/model.py:47`); this family is the
+  * statistical-rigor extension a forecasting/fraud team asks for next.
+  *
+  * Scale design shared by the family:
+  *  - Every test statistic is computed from per-distinct-value or per-cell
+  *    COUNTS, never from raw rows: the corpus partial-aggregates map-side,
+  *    and only the (value → count) frame — bounded by the value domain, not
+  *    the row count — ever shuffles.
+  *  - Rank-based statistics (U, KS-D) need a global cumulative count over
+  *    ordered distinct values. The naive `sum() OVER (ORDER BY v)` plans an
+  *    Exchange SinglePartition — one task sorts everything. Instead the
+  *    q130 topology: range-repartition the count frame, per-partition prefix
+  *    sums in a pid-partitioned (fully parallel) window, and a running-sum
+  *    block-offset table (≤32 rows — the only SinglePartition in the plan)
+  *    broadcast back. Exact for any range-disjoint boundary placement.
+  *  - All statistic numerators stay in BIGINT (counts, cents, rank sums);
+  *    doubles appear only in the final rounded ratio, so the DuckDB oracle
+  *    hash-matches bit-for-bit on the integer columns and at round-6 on the
+  *    ratios.
+  */
+object Stats {
+
+  /** Per-distinct-cents-value counts of the two compared event samples:
+    * A = purchase values, B = view values, in exact cents. */
+  private def twoSampleCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(round(col("value") * 100, 0).cast("long").as("v"),
+        (col("event_type") === "purchase").as("is_a"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("b"))
+
+  /** Adds exact cumulative sample counts STRICTLY BELOW each distinct value
+    * (`ca`, `cb`) without a global single-task sort — the q130 block-offset
+    * topology (see the object doc). Input: one row per distinct `v` with
+    * per-sample counts `a`, `b`. */
+  private[ops] def withCumBelow(counts: DataFrame): DataFrame = {
+    val parted = counts.repartitionByRange(32, col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true) // offsets + rank consumers share one shuffle
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("pid"))
+      .agg(sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+      .withColumn("off_a", coalesce(sum(col("sa")).over(wOff), lit(0L)))
+      .withColumn("off_b", coalesce(sum(col("sb")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off_a"), col("off_b"))
+    val wLoc = Window.partitionBy(col("pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted.join(broadcast(offsets), "pid")
+      .withColumn("ca",
+        col("off_a") + coalesce(sum(col("a")).over(wLoc), lit(0L)))
+      .withColumn("cb",
+        col("off_b") + coalesce(sum(col("b")).over(wLoc), lit(0L)))
+  }
+
+  /** Shared oracle prelude: per-distinct-cents counts of the two samples
+    * with cumulative-below counts (DuckDB recomputes the distributed prefix
+    * sums with a plain ordered window — v is unique per row, so the default
+    * RANGE frame's peer inclusion is moot). */
+  private val cdfPrelude =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |c AS (
+      |  SELECT v,
+      |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+      |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+      |  FROM e GROUP BY 1),
+      |w AS (
+      |  SELECT v, a, b,
+      |         coalesce(sum(a) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ca,
+      |         coalesce(sum(b) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM c)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Mann-Whitney U rank-sum test: are purchase values stochastically
+    // larger than view values? Complements q163's Welch t (means) with the
+    // distribution-free alternative an analyst reaches for when revenue is
+    // skewed. With per-value counts (a_v, b_v) and the combined count
+    // strictly below c_v, the tied-average-rank sum doubles to an integer:
+    //   2·R_A = Σ_v a_v · (2·c_v + a_v + b_v + 1),   2·U_A = 2·R_A − n_A(n_A+1).
+    // The tie-corrected normal approximation
+    //   z = (U_A − n_A·n_B/2) / sqrt(n_A·n_B/12 · ((n+1) − T/(n(n−1)))),
+    //   T = Σ_v t_v³ − t_v,  t_v = a_v + b_v,
+    // is assembled from those BIGINTs only at the final rounded division.
+    // Scale shape: see the object doc — the only SinglePartition carries
+    // ≤32 block-offset rows.
+    Q("q166_mann_whitney",
+      cdfPrelude +
+      """,
+        |t AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |         CAST(sum(b) AS BIGINT) AS n_b,
+        |         CAST(sum(a * (2 * (ca + cb) + a + b + 1)) AS BIGINT) AS r2_a,
+        |         CAST(sum((a + b) * (a + b - 1) * (a + b + 1)) AS BIGINT)
+        |           AS tie_term
+        |  FROM w)
+        |SELECT n_a, n_b,
+        |       CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+        |       tie_term,
+        |       round((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
+        |                - CAST(n_a AS DOUBLE) * n_b / 2)
+        |             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+        |                    * ((n_a + n_b + 1)
+        |                       - CAST(tie_term AS DOUBLE)
+        |                         / (CAST(n_a + n_b AS DOUBLE)
+        |                            * (n_a + n_b - 1)))), 6) AS z_stat
+        |FROM t""".stripMargin) { (s, d) =>
+      val t = col("a") + col("b")
+      withCumBelow(twoSampleCounts(s, d))
+        .agg(
+          sum(col("a")).cast("long").as("n_a"),
+          sum(col("b")).cast("long").as("n_b"),
+          sum(col("a") * (lit(2) * (col("ca") + col("cb")) + t + 1))
+            .cast("long").as("r2_a"),
+          sum(t * (t - 1) * (t + 1)).cast("long").as("tie_term"))
+        .withColumn("u2_a",
+          (col("r2_a") - col("n_a") * (col("n_a") + 1)).cast("long"))
+        .withColumn("nn", col("n_a") + col("n_b"))
+        .select(col("n_a"), col("n_b"), col("u2_a"), col("tie_term"),
+          round((col("u2_a").cast("double") / 2
+              - col("n_a").cast("double") * col("n_b") / 2)
+            / sqrt(col("n_a").cast("double") * col("n_b") / 12
+              * ((col("nn") + 1).cast("double")
+                - col("tie_term").cast("double")
+                  / (col("nn").cast("double") * (col("nn") - 1)))), 6)
+            .as("z_stat"))
+    },
+
+    // Two-sample Kolmogorov-Smirnov statistic on the same samples:
+    // D = max_v |F_A(v) − F_B(v)|. Cross-multiplying by n_A·n_B keeps the
+    // numerator exact: D_num = max_v |(ca+a)·n_B − (cb+b)·n_A| — a BIGINT
+    // the oracle reproduces bit-for-bit; only the final D ratio is a
+    // rounded double. Same block-offset CDF topology as q166.
+    Q("q167_ks_test",
+      cdfPrelude +
+      """,
+        |n AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |             CAST(sum(b) AS BIGINT) AS n_b FROM c)
+        |SELECT n_a, n_b,
+        |       CAST(max(abs((ca + a) * n_b - (cb + b) * n_a)) AS BIGINT)
+        |         AS d_num,
+        |       round(CAST(max(abs((ca + a) * n_b - (cb + b) * n_a)) AS DOUBLE)
+        |             / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d
+        |FROM w, n GROUP BY n_a, n_b""".stripMargin) { (s, d) =>
+      val cum = withCumBelow(twoSampleCounts(s, d)).localCheckpoint(true)
+      val tot = cum.agg(sum(col("a")).cast("long").as("n_a"),
+        sum(col("b")).cast("long").as("n_b"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("n_a"), col("n_b"),
+          abs((col("ca") + col("a")) * col("n_b")
+            - (col("cb") + col("b")) * col("n_a")).as("dn"))
+        .groupBy(col("n_a"), col("n_b"))
+        .agg(max(col("dn")).cast("long").as("d_num"))
+        .select(col("n_a"), col("n_b"), col("d_num"),
+          round(col("d_num").cast("double")
+            / (col("n_a").cast("double") * col("n_b")), 6).as("ks_d"))
+    },
+
+    // Benford first-digit screen over order totals — the classic fraud /
+    // data-quality test on financial amounts. The digit is taken from the
+    // exact cents integer's decimal rendering (same leading significant
+    // digit as the price; no float log in the digit extraction). One 9-row
+    // aggregate; expected counts n·log10(1+1/d) and chi-square terms are
+    // recomputed by the oracle from the same BIGINTs.
+    Q("q168_benford",
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |dg AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         count(*) AS n_obs
+        |  FROM c WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM dg)
+        |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |       round(n_total * log10(1 + 1.0 / digit), 6) AS n_expected,
+        |       round(pow(n_obs - n_total * log10(1 + 1.0 / digit), 2)
+        |             / (n_total * log10(1 + 1.0 / digit)), 6) AS chi2_term
+        |FROM dg, t ORDER BY digit""".stripMargin) { (s, d) =>
+      val digits = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        .localCheckpoint(true) // shared by the total and the per-digit rows
+      val tot = digits.agg(sum(col("n_obs")).cast("long").as("n_total"))
+      val expected = col("n_total") * log10(lit(1) + lit(1.0) / col("digit"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs").cast("long").as("n_obs"),
+          round(expected, 6).as("n_expected"),
+          round(pow(col("n_obs") - expected, 2) / expected, 6)
+            .as("chi2_term"))
+        .orderBy(col("digit"))
+    },
+
+    // Shannon entropy (bits) of the event-type mix per calendar day —
+    // the mix-shift profile a monitoring team tracks next to q134's PSI
+    // (the event corpus spans one month, so day is the natural grain).
+    // Two-level aggregate: per-(day, type) counts partial-aggregate
+    // map-side; entropy = log2(n) − Σ c·log2(c) / n is assembled per day
+    // from those counts. Both engines evaluate the SAME formula (not
+    // DuckDB's built-in entropy()) so the float path matches to round-6.
+    Q("q170_entropy_profile",
+      """WITH cell AS (
+        |  SELECT CAST(day(ts) AS INT) AS dy, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dy, CAST(sum(c) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       round(log2(CAST(sum(c) AS DOUBLE))
+        |             - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+        |               / CAST(sum(c) AS DOUBLE), 6) AS entropy_bits
+        |FROM cell GROUP BY dy ORDER BY dy""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(dayofmonth(col("ts")).cast("int").as("dy"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dy"))
+        .agg(sum(col("c")).cast("long").as("n_events"),
+          count(lit(1)).cast("long").as("n_types"),
+          round(log2(sum(col("c")).cast("double"))
+            - sum(col("c").cast("double") * log2(col("c").cast("double")))
+              / sum(col("c")).cast("double"), 6).as("entropy_bits"))
+        .orderBy(col("dy"))
+    },
+
+    // CUSUM changepoint scan over each nation's monthly revenue: the
+    // level-shift detector a demand planner runs before trusting q149's
+    // seasonal profile. Statistic: max_t |n·S_t − t·T| where S_t is the
+    // cumulative revenue through month t and T the nation total —
+    // the mean-centered CUSUM scaled by n to stay in exact BIGINT cents
+    // (n ≤ a few hundred months, T ≤ ~1e15 cents at 100 TB: no overflow).
+    // Scale shape: the fact table reduces to one row per (nation, month)
+    // in a partial-aggregated shuffle; windows partition by nation, so no
+    // SinglePartition anywhere; the argmax (earliest month on ties) rides
+    // the same struct-min fold as q131's hot key.
+    Q("q171_cusum_changepoint",
+      """WITH m AS (
+        |  SELECT c_nationkey AS nk, CAST(year(o_orderdate) AS INT) AS y,
+        |         CAST(month(o_orderdate) AS INT) AS mo,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT nk, y * 100 + mo AS ym,
+        |         sum(rev) OVER (PARTITION BY nk ORDER BY y, mo) AS cum,
+        |         row_number() OVER (PARTITION BY nk ORDER BY y, mo) AS t,
+        |         sum(rev) OVER (PARTITION BY nk) AS total,
+        |         count(*) OVER (PARTITION BY nk) AS nm
+        |  FROM m),
+        |dv AS (
+        |  SELECT nk, nm, total, ym, abs(nm * cum - t * total) AS dev FROM w),
+        |mx AS (
+        |  SELECT nk, CAST(max(nm) AS BIGINT) AS n_months,
+        |         CAST(max(total) AS BIGINT) AS total_cents,
+        |         CAST(max(dev) AS BIGINT) AS max_dev
+        |  FROM dv GROUP BY 1),
+        |cp AS (
+        |  SELECT dv.nk, CAST(min(ym) AS INT) AS cp_ym
+        |  FROM dv JOIN mx ON dv.nk = mx.nk AND dv.dev = mx.max_dev
+        |  GROUP BY 1)
+        |SELECT mx.nk, n_months, total_cents, max_dev,
+        |       CAST(cp_ym // 100 AS INT) AS cp_y,
+        |       CAST(cp_ym % 100 AS INT) AS cp_mo
+        |FROM mx JOIN cp ON mx.nk = cp.nk ORDER BY mx.nk""".stripMargin) {
+      (s, d) =>
+      val m = Tables.orders(s, d)
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"),
+          year(col("o_orderdate")).cast("int").as("y"),
+          month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .cast("long").as("rev"))
+      val wOrd = Window.partitionBy(col("nk")).orderBy(col("y"), col("mo"))
+      val wAll = Window.partitionBy(col("nk"))
+      val dv = m
+        .withColumn("ym", col("y") * 100 + col("mo"))
+        .withColumn("cum", sum(col("rev")).over(wOrd))
+        .withColumn("t", row_number().over(wOrd))
+        .withColumn("total", sum(col("rev")).over(wAll))
+        .withColumn("nm", count(lit(1)).over(wAll))
+        .select(col("nk"), col("nm"), col("total"), col("ym"),
+          abs(col("nm") * col("cum") - col("t") * col("total")).as("dev"))
+      dv.groupBy(col("nk"))
+        .agg(max(col("nm")).cast("long").as("n_months"),
+          max(col("total")).cast("long").as("total_cents"),
+          max(col("dev")).cast("long").as("max_dev"),
+          // argmax month, earliest on ties — single-aggregate struct-min
+          min(struct((-col("dev")).as("nd"), col("ym").as("ym"))).as("best"))
+        .select(col("nk"), col("n_months"), col("total_cents"),
+          col("max_dev"),
+          expr("CAST(best.ym div 100 AS INT)").as("cp_y"),
+          expr("CAST(best.ym % 100 AS INT)").as("cp_mo"))
+        .orderBy(col("nk"))
+    },
+
+    // Kendall tau-b rank correlation between quantity and discount per
+    // return flag — the tie-robust companion to Pearson (q14) and the
+    // discount-elasticity read (q151). Key scale idea: both variables
+    // have BOUNDED domains (quantity 1..50, discount 0..10 cents-pct), so
+    // the n² pair sum collapses onto the JOINT HISTOGRAM: concordant /
+    // discordant / tied pair counts are cell-pair sums over ≤550 cells per
+    // group — bounded by the domain, independent of row count. (For
+    // continuous columns, bucket first; the cells ARE the statistic.)
+    // All four pair counts are exact BIGINTs; tau_b is the only double.
+    Q("q172_kendall_tau",
+      """WITH cells AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(round(l_discount * 100, 0) AS BIGINT) AS dc,
+        |         count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT a.g,
+        |    CAST(coalesce(sum(CASE WHEN a.q < b.q AND a.dc < b.dc
+        |                            THEN a.c * b.c END), 0) AS BIGINT) AS conc,
+        |    CAST(coalesce(sum(CASE WHEN a.q < b.q AND a.dc > b.dc
+        |                            THEN a.c * b.c END), 0) AS BIGINT) AS disc,
+        |    CAST(coalesce(sum(CASE WHEN a.q = b.q AND a.dc < b.dc
+        |                            THEN a.c * b.c END), 0) AS BIGINT) AS tie_q,
+        |    CAST(coalesce(sum(CASE WHEN a.q < b.q AND a.dc = b.dc
+        |                            THEN a.c * b.c END), 0) AS BIGINT) AS tie_d
+        |  FROM cells a JOIN cells b ON a.g = b.g GROUP BY 1),
+        |n AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_rows FROM cells GROUP BY 1)
+        |SELECT p.g, n_rows, conc, disc, tie_q, tie_d,
+        |       round(CAST(conc - disc AS DOUBLE)
+        |             / sqrt(CAST(conc + disc + tie_q AS DOUBLE)
+        |                    * CAST(conc + disc + tie_d AS DOUBLE)), 6)
+        |         AS tau_b
+        |FROM p JOIN n ON p.g = n.g ORDER BY 1""".stripMargin) { (s, d) =>
+      val cells = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("q"),
+          round(col("l_discount") * 100, 0).cast("long").as("dc"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // both sides of the cell-pair join + totals
+      val r = cells.select(col("g"), col("q").as("q2"),
+        col("dc").as("dc2"), col("c").as("c2"))
+      def pairSum(cond: Column) =
+        coalesce(sum(when(cond, col("c") * col("c2"))), lit(0L)).cast("long")
+      val agg = cells.join(broadcast(r), Seq("g"))
+        .groupBy(col("g"))
+        .agg(
+          pairSum(col("q") < col("q2") && col("dc") < col("dc2")).as("conc"),
+          pairSum(col("q") < col("q2") && col("dc") > col("dc2")).as("disc"),
+          pairSum(col("q") === col("q2") && col("dc") < col("dc2"))
+            .as("tie_q"),
+          pairSum(col("q") < col("q2") && col("dc") === col("dc2"))
+            .as("tie_d"))
+      val n = cells.groupBy(col("g")).agg(sum(col("c")).cast("long")
+        .as("n_rows"))
+      agg.join(broadcast(n), "g")
+        .select(col("g"), col("n_rows"), col("conc"), col("disc"),
+          col("tie_q"), col("tie_d"),
+          round((col("conc") - col("disc")).cast("double")
+            / sqrt((col("conc") + col("disc") + col("tie_q")).cast("double")
+              * (col("conc") + col("disc") + col("tie_d")).cast("double")),
+            6).as("tau_b"))
+        .orderBy(col("g"))
+    },
+
+    // Grouped OLS of quantity on discount percentage-points by brand —
+    // regression the 100-TB way: ONE partial-aggregated scan collects the
+    // six sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy² — all exact
+    // BIGINTs here because both variables are integers), and slope /
+    // intercept / r² are pure arithmetic on them:
+    //   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    //   intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+    //   r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    // No second pass, no residual materialization. The covariance
+    // numerator is emitted as a BIGINT for bit-exact comparison; the
+    // ratios are rounded doubles. Degenerate groups (zero x-variance)
+    // yield NULLs in both engines via the explicit guard.
+    Q("q173_grouped_ols",
+      """WITH st AS (
+        |  SELECT p_brand,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS sx,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+        |         CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+        |                  * CAST(round(l_discount * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS sxx,
+        |         CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT p_brand, n,
+        |       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        |       END AS slope,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        |       END AS intercept,
+        |       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |            THEN NULL
+        |            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |                       * CAST(n * sxy - sx * sy AS DOUBLE)
+        |                       / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |                          * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |       END AS r2
+        |FROM st ORDER BY p_brand""".stripMargin) { (s, d) =>
+      val x = round(col("l_discount") * 100, 0).cast("long")
+      val y = col("l_quantity").cast("long")
+      val st = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(x).cast("long").as("sx"),
+          sum(y).cast("long").as("sy"),
+          sum(x * x).cast("long").as("sxx"),
+          sum(x * y).cast("long").as("sxy"),
+          sum(y * y).cast("long").as("syy"))
+      val denX = col("n") * col("sxx") - col("sx") * col("sx")
+      val denY = col("n") * col("syy") - col("sy") * col("sy")
+      val covN = col("n") * col("sxy") - col("sx") * col("sy")
+      st.select(col("p_brand"), col("n"),
+          covN.cast("long").as("cov_num"),
+          when(denX === 0, lit(null))
+            .otherwise(round(covN.cast("double") / denX.cast("double"), 6))
+            .as("slope"),
+          when(denX === 0, lit(null))
+            .otherwise(round((col("sy") * col("sxx")
+              - col("sx") * col("sxy")).cast("double")
+              / denX.cast("double"), 6)).as("intercept"),
+          // each variance factor tested separately: their PRODUCT overflows
+          // long at ~600k rows/group even though each factor is safe
+          when(denX === 0 || denY === 0, lit(null))
+            .otherwise(round(covN.cast("double") * covN.cast("double")
+              / (denX.cast("double") * denY.cast("double")), 6)).as("r2"))
+        .orderBy(col("p_brand"))
+    }
+  )
+}

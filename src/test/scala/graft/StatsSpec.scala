@@ -1,0 +1,153 @@
+package graft
+
+import graft.ops.Stats
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    Stats.queries.find(_.name == name).get.fn(spark, sf0001)
+
+  private def eventCents = Tables.events(spark, sf0001)
+    .filter(col("event_type").isin("purchase", "view"))
+    .select(round(col("value") * 100, 0).cast("long").as("v"),
+      (col("event_type") === "purchase").as("is_a"))
+
+  test("mann-whitney: 2U matches brute-force pair counting") {
+    val r = run("q166_mann_whitney").collect().head
+    val a = eventCents.filter(col("is_a")).select(col("v").as("va"))
+    val b = eventCents.filter(!col("is_a")).select(col("v").as("vb"))
+    // 2·U_A = 2·#(x_A > x_B) + #(x_A = x_B), counted pair-by-pair
+    val u2Brute = a.crossJoin(b)
+      .agg(sum(when(col("va") > col("vb"), 2L)
+        .when(col("va") === col("vb"), 1L).otherwise(0L)))
+      .head().getLong(0)
+    assert(r.getAs[Long]("u2_a") == u2Brute,
+      "rank-sum U must equal the definitional pair count")
+    assert(r.getAs[Long]("n_a") == a.count() && r.getAs[Long]("n_b") == b.count())
+    // U is bounded by the pair count; z is finite
+    assert(r.getAs[Long]("u2_a") >= 0 &&
+      r.getAs[Long]("u2_a") <= 2 * r.getAs[Long]("n_a") * r.getAs[Long]("n_b"))
+    assert(!r.getAs[Double]("z_stat").isNaN)
+  }
+
+  test("ks: distributed CDF matches the naive single-partition window") {
+    val r = run("q167_ks_test").collect().head
+    val counts = eventCents.groupBy(col("v"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("b"))
+    val (nA, nB) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val dBrute = counts
+      .withColumn("cuma", sum(col("a")).over(w))
+      .withColumn("cumb", sum(col("b")).over(w))
+      .agg(max(abs(col("cuma") * nB - col("cumb") * nA)))
+      .head().getLong(0)
+    assert(r.getAs[Long]("d_num") == dBrute,
+      "block-offset CDF must agree with the global-sort CDF")
+    // ks_d is rounded to 6 decimals in the query output
+    assert(math.abs(r.getAs[Double]("ks_d")
+      - dBrute.toDouble / (nA.toDouble * nB)) < 1e-6)
+  }
+
+  test("benford: expected counts sum to n, digits complete, terms nonneg") {
+    val rows = run("q168_benford").collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9),
+      "order totals cover all nine leading digits at every SF")
+    val nTotal = rows.map(_.getAs[Long]("n_obs")).sum
+    val expSum = rows.map(_.getAs[Double]("n_expected")).sum
+    // Σ_d log10(1+1/d) = 1 exactly, so expected counts must total n
+    assert(math.abs(expSum - nTotal) < 1e-3)
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0))
+  }
+
+  test("entropy: bounded by log2(n_types), event counts conserved") {
+    val rows = run("q170_entropy_profile").collect()
+    assert(rows.length >= 28, "one row per day of the one-month corpus")
+    val total = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val k = r.getAs[Long]("n_types")
+      assert(h >= 0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9,
+        s"entropy $h outside [0, log2($k)]")
+    }
+  }
+
+  test("cusum: one nation's scan matches a driver-side recomputation") {
+    val rows = run("q171_cusum_changepoint").collect()
+    val byNk = rows.map(r => r.getAs[Number]("nk").longValue -> r).toMap
+    val nk0 = byNk.keys.min
+    val months = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === nk0)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+      .orderBy(col("y"), col("mo"))
+      .collect().map(r => (r.getAs[Int]("y") * 100 + r.getAs[Int]("mo"),
+        r.getAs[Long]("rev")))
+    val n = months.length.toLong
+    val total = months.map(_._2).sum
+    var cum = 0L
+    val devs = months.zipWithIndex.map { case ((ym, rev), i) =>
+      cum += rev; (ym, math.abs(n * cum - (i + 1) * total))
+    }
+    val maxDev = devs.map(_._2).max
+    val cpYm = devs.filter(_._2 == maxDev).map(_._1).min
+    val r0 = byNk(nk0)
+    assert(r0.getAs[Long]("n_months") == n)
+    assert(r0.getAs[Long]("total_cents") == total)
+    assert(r0.getAs[Long]("max_dev") == maxDev)
+    assert(r0.getAs[Int]("cp_y") * 100 + r0.getAs[Int]("cp_mo") == cpYm)
+  }
+
+  test("kendall: pair categories partition n(n-1)/2, tau_b in [-1,1]") {
+    val rows = run("q172_kendall_tau").collect()
+    assert(rows.nonEmpty)
+    // within-cell pairs are the only both-tied pairs (cells are distinct
+    // (q, dc) combos), so the five categories must partition all pairs
+    val bothTied = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag").as("g"),
+        col("l_quantity").cast("long"),
+        round(col("l_discount") * 100, 0).cast("long"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("g"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("bt"))
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("bt")).toMap
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      val parts = r.getAs[Long]("conc") + r.getAs[Long]("disc") +
+        r.getAs[Long]("tie_q") + r.getAs[Long]("tie_d") +
+        bothTied(r.getAs[String]("g"))
+      assert(parts == n * (n - 1) / 2,
+        s"pair categories must partition all ${n * (n - 1) / 2} pairs")
+      val tau = r.getAs[Double]("tau_b")
+      assert(tau >= -1.0 && tau <= 1.0)
+    }
+  }
+
+  test("ols: slope/intercept agree with covar_pop/var_pop built-ins") {
+    val rows = run("q173_grouped_ols").collect()
+    val x = round(col("l_discount") * 100, 0).cast("long").cast("double")
+    val y = col("l_quantity")
+    val ref = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg((covar_pop(x, y) / var_pop(x)).as("slope"),
+        (avg(y) - covar_pop(x, y) / var_pop(x) * avg(x)).as("icept"))
+      .collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Double]("slope"), r.getAs[Double]("icept"))).toMap
+    assert(rows.length == ref.size)
+    rows.foreach { r =>
+      val (s0, i0) = ref(r.getAs[String]("p_brand"))
+      assert(math.abs(r.getAs[Double]("slope") - s0) < 1e-5,
+        s"slope mismatch for ${r.getAs[String]("p_brand")}")
+      assert(math.abs(r.getAs[Double]("intercept") - i0) < 1e-5)
+    }
+  }
+}
