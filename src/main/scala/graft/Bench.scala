@@ -2,17 +2,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** Machine-line per-query seconds, BOUNDED at 4 chars: 1 decimal below
-    * 10 s ("0.4"…"9.9", "-0.1"…"-9.9"), integer at |v| ≥ 10 ("12", "-12").
-    * The bound is what makes BenchContractSpec's line-length estimate a
-    * guaranteed worst case — a throttle-inflated run cannot grow entries
-    * past it and clip the driver's 2000-char stdout tail (the
-    * BENCH_r03/r04 failure mode). 0.1 s resolution above 10 s is noise
-    * anyway; stderr keeps 3 decimals. */
+  /** Machine-line per-query seconds, BOUNDED at 3 chars: failures (the
+    * negated markers) collapse to "-1" (their magnitude is meaningless —
+    * the errors map and stderr carry the detail), 1 decimal below 10 s
+    * ("0.4"…"9.9"), integer at 10…999 s ("12", "599" — the bench ceiling
+    * is 600 s/query, so 999 can't truncate a real value). The bound is
+    * what makes BenchContractSpec's line-length estimate a guaranteed
+    * worst case — a throttle-inflated run cannot grow entries past it and
+    * clip the driver's 2000-char stdout tail (the BENCH_r03/r04 failure
+    * mode; tightened 4→3 chars in round 8 when the registry passed 170).
+    * stderr keeps 3 decimals. */
   private[graft] def compactSecs(v: Double): String =
+    if (v < 0) "-1"
     // branch at 9.95, not 10: "%.1f" of 9.96 already rounds to "10.0"
     // (5 chars) — the decimal form must only ever render x.x
-    if (math.abs(v) >= 9.95) v.round.toString
+    else if (v >= 9.95) math.min(v.round, 999L).toString
     else "%.1f".formatLocal(java.util.Locale.ROOT, v)
 
   def main(args: Array[String]): Unit = {
@@ -158,7 +162,10 @@ object Bench {
     // Keys are the BARE query numbers since round 7 (the "q" prefix cost
     // ~150 chars at 147 queries and the line was ~6 chars from the
     // BenchContractSpec ceiling); stderr keeps full names.
-    def key(name: String): String = name.takeWhile(_ != '_').stripPrefix("q")
+    // leading zeros stripped too ("q00" → "0") since round 8 — SparkEntry
+    // guards NUMERIC prefix uniqueness so distinct queries can't collide
+    def key(name: String): String =
+      name.takeWhile(_ != '_').stripPrefix("q").toInt.toString
     val qs = results.map { case (k, v) =>
       "\"" + key(k) + "\":" + cs(v)
     }.mkString("{", ",", "}")

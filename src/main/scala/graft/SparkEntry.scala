@@ -26,10 +26,12 @@ object SparkEntry {
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")
-  // Bench emits each query under its bare qNN prefix (the driver's stdout
-  // tail is 2000 chars; full names overflow it) — prefixes must stay unique.
-  require(registry.map(_.name.takeWhile(_ != '_')).distinct.size == registry.size,
-    "duplicate qNN prefixes in registry")
+  // Bench emits each query under its bare NUMERIC prefix ("q00_x" → key
+  // "0"; the driver's stdout tail is 2000 chars, full names overflow it) —
+  // the numbers must stay unique ("q0_a" and "q00_b" would collide).
+  require(registry.map(_.name.takeWhile(_ != '_').stripPrefix("q").toInt)
+    .distinct.size == registry.size,
+    "duplicate numeric query prefixes in registry")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -455,6 +455,104 @@ object Stats {
             .otherwise(round(covN.cast("double") * covN.cast("double")
               / (denX.cast("double") * denY.cast("double")), 6)).as("r2"))
         .orderBy(col("p_brand"))
+    },
+
+    // Theil-Sen robust trend of monthly revenue: the median of all
+    // pairwise slopes — the estimator that shrugs off the outlier months
+    // an OLS trend (q173's machinery) chases. Scale shape: the corpus
+    // reduces to ONE row per month in a partial-aggregated scan; the
+    // O(months²) pair enumeration runs on that tiny frame with one side
+    // broadcast (a few thousand pairs regardless of corpus size — the
+    // reduction IS the scalability). Slopes are doubles from identical
+    // integer-cent differences, so both engines sort the same values;
+    // quartiles interpolate identically (q71 pins percentile ≡
+    // quantile_cont).
+    Q("q175_theil_sen",
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) * 12
+        |           + CAST(month(o_orderdate) AS INT) AS idx,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.idx - a.idx) AS slope
+        |  FROM m a JOIN m b ON b.idx > a.idx),
+        |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m)
+        |SELECT n_months, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(quantile_cont(slope, 0.25), 6) AS slope_q1,
+        |       round(quantile_cont(slope, 0.5), 6) AS ts_slope,
+        |       round(quantile_cont(slope, 0.75), 6) AS slope_q3
+        |FROM p, nm GROUP BY n_months""".stripMargin) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")).cast("int") * 12
+          + month(col("o_orderdate")).cast("int")).as("idx"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .cast("long").as("rev"))
+        .localCheckpoint(true) // both pair sides + the month count
+      val nm = m.agg(count(lit(1)).cast("long").as("n_months"))
+      m.select(col("idx").as("i"), col("rev").as("ri"))
+        .join(broadcast(m.select(col("idx").as("j"), col("rev").as("rj"))),
+          col("j") > col("i"))
+        .select(((col("rj") - col("ri")).cast("double")
+          / (col("j") - col("i"))).as("slope"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          round(expr("percentile(slope, 0.25)"), 6).as("slope_q1"),
+          round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"),
+          round(expr("percentile(slope, 0.75)"), 6).as("slope_q3"))
+        .crossJoin(broadcast(nm))
+        .select(col("n_months"), col("n_pairs"), col("slope_q1"),
+          col("ts_slope"), col("slope_q3"))
+    },
+
+    // Poisson bootstrap of the mean purchase value — the 100-TB way to
+    // put a standard error on a statistic: NO resampling pass exists; each
+    // row contributes to each of the 32 replicates with a Poisson(1)
+    // weight derived from md5(replicate ‖ event_id), so the whole
+    // bootstrap is ONE map-side pass (the 32× explode partial-aggregates
+    // to 32 rows per partition before the shuffle). The weight is the
+    // count of fixed 16-bit CDF thresholds (floor(cdf(k)·2^16) of
+    // Poisson(1), embedded as identical hex literals in both engines)
+    // lying at or below the row's hash prefix — deterministic under
+    // retries, re-runs, and repartitioning, unlike an RNG bootstrap.
+    // Replicate sums stay in exact BIGINT cents; only the per-replicate
+    // mean is a rounded double.
+    Q("q176_poisson_bootstrap",
+      """WITH x AS (
+        |  SELECT b, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         substr(md5(CAST(b AS VARCHAR) || ':'
+        |                    || CAST(event_id AS VARCHAR)), 1, 4) AS h
+        |  FROM events, (SELECT unnest(range(32)) AS b)
+        |  WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT b, cents,
+        |         CASE WHEN h < '5e2d' THEN 0 WHEN h < 'bc5a' THEN 1
+        |              WHEN h < 'eb71' THEN 2 WHEN h < 'fb23' THEN 3
+        |              WHEN h < 'ff10' THEN 4 WHEN h < 'ffd9' THEN 5
+        |              ELSE 6 END AS wt
+        |  FROM x)
+        |SELECT CAST(b AS INT) AS b, CAST(sum(wt) AS BIGINT) AS n_eff,
+        |       CAST(sum(wt * cents) AS BIGINT) AS sum_cents,
+        |       round(CAST(sum(wt * cents) AS DOUBLE)
+        |             / CAST(sum(wt) AS DOUBLE), 6) AS mean_cents
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val h = substring(md5(concat(col("b").cast("string"), lit(":"),
+        col("event_id").cast("string")).cast("binary")), 1, 4)
+      val wt = when(h < "5e2d", 0).when(h < "bc5a", 1).when(h < "eb71", 2)
+        .when(h < "fb23", 3).when(h < "ff10", 4).when(h < "ffd9", 5)
+        .otherwise(6)
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(round(col("value") * 100, 0).cast("long").as("cents"),
+          col("event_id"))
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .select(col("b").cast("int").as("b"), col("cents"),
+          wt.cast("long").as("wt"))
+        .groupBy(col("b"))
+        .agg(sum(col("wt")).cast("long").as("n_eff"),
+          sum(col("wt") * col("cents")).cast("long").as("sum_cents"),
+          round(sum(col("wt") * col("cents")).cast("double")
+            / sum(col("wt")).cast("double"), 6).as("mean_cents"))
+        .orderBy(col("b"))
     }
   )
 }

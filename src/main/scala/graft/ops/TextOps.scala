@@ -1488,6 +1488,63 @@ object TextOps {
         .select(col("source"), col("e._2").as("doc_id"), col("e._1").as("h"),
           (col("pos") + 1).cast("int").as("rank"))
         .orderBy("source", "rank")
+    },
+
+    // Temperature-smoothed source mixing (p_s ∝ n_s^α, α = ½) — the
+    // standard LLM-data rebalancer that upweights small sources relative
+    // to their raw share (q103 fixes per-tier rates; this derives them
+    // from the corpus itself). The per-source keep rate toward a ½-corpus
+    // budget, r_s = min(1, N/2 · √n_s / (Σ√n · n_s)), is quantized to a
+    // 16-bit threshold and each doc keeps iff its 4-hex md5 prefix falls
+    // under it — the q103/q136 RNG-free device: membership is a pure
+    // row function, stable under retries and repartitioning. Scale shape:
+    // one partial-aggregated count per source, the tiny (source → thr)
+    // table broadcast back, one corpus scan; only per-source counts ever
+    // shuffle. The emitted 16-bit thresholds are exact INTs, so the
+    // oracle pins the entire rate derivation, not just the kept counts.
+    Q("q174_temperature_mix",
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_all,
+        |             sum(sqrt(CAST(n_s AS DOUBLE))) AS sum_w FROM c),
+        |r AS (
+        |  SELECT source, n_s,
+        |         CAST(floor(least(1.0,
+        |                0.5 * n_all * sqrt(CAST(n_s AS DOUBLE))
+        |                  / (sum_w * n_s)) * 65536) AS INT) AS thr
+        |  FROM c, t),
+        |k AS (
+        |  SELECT d.source, r.n_s, r.thr, d.n_chars,
+        |         CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |                   < printf('%04x', r.thr)
+        |              THEN 1 ELSE 0 END AS keep
+        |  FROM documents d JOIN r ON d.source = r.source)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_total,
+        |       max(thr) AS thr_16bit,
+        |       CAST(sum(keep) AS BIGINT) AS n_kept,
+        |       round(avg(CASE WHEN keep = 1 THEN CAST(n_chars AS DOUBLE) END),
+        |             2) AS kept_avg_chars
+        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        .localCheckpoint(true) // totals + the per-source threshold rows
+      val tot = counts.agg(sum(col("n_s")).cast("long").as("n_all"),
+        sum(sqrt(col("n_s").cast("double"))).as("sum_w"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"),
+          floor(least(lit(1.0),
+            lit(0.5) * col("n_all") * sqrt(col("n_s").cast("double"))
+              / (col("sum_w") * col("n_s"))) * 65536).cast("int").as("thr"))
+      docs.join(broadcast(rates), "source")
+        .select(col("source"), col("n_s"), col("thr"), col("n_chars"),
+          when(docHashPrefix < format_string("%04x", col("thr")), 1)
+            .otherwise(0).as("keep"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).cast("long").as("n_total"),
+          max(col("thr")).as("thr_16bit"),
+          sum(col("keep")).cast("long").as("n_kept"),
+          round(avg(when(col("keep") === 1, col("n_chars").cast("double"))),
+            2).as("kept_avg_chars"))
+        .orderBy(col("source"))
     }
   )
 

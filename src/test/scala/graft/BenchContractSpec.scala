@@ -22,17 +22,19 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("compact bench line fits the driver's 2000-char stdout tail with headroom") {
     // Per-entry rendering "NNN":V, — bare-number key (the "q" prefix was
-    // dropped in round 7) + quotes(2) + colon + value + comma. Since
-    // round 8 the value rendering is BOUNDED at 4 chars (1 decimal below
-    // 10 s, integer at ≥ 10 s — Bench.cs), so key+8 is a guaranteed
-    // worst-case bound per entry, not a typical+spare estimate: even a
-    // fully throttle-inflated run cannot grow the line past this sum.
+    // dropped in round 7; leading zeros in round 8) + quotes(2) + colon +
+    // value + comma. The value rendering is BOUNDED at 3 chars (failures
+    // "-1", 1 decimal below 10 s, integer 10–999 s — Bench.compactSecs),
+    // so key+7 is a guaranteed worst-case bound per entry, not a
+    // typical+spare estimate: even a fully throttle-inflated run cannot
+    // grow the line past this sum.
     // Header/banner calibrated against a measured round-8 line (1587
     // chars total at 159 queries; header ≤ 103 observed, banner ~75) with
     // margin. Error maps (60-char-capped messages, failure runs only) are
     // excluded — a failing bench may clip, a healthy one must not.
     val entries = SparkEntry.registry
-      .map(_.name.takeWhile(_ != '_').stripPrefix("q")).map(_.length + 8).sum
+      .map(_.name.takeWhile(_ != '_').stripPrefix("q").toInt.toString)
+      .map(_.length + 7).sum
     val header = 110 // {"metric":"total","value":NNN.NNN,...,"queries":{
     val sbtBanner = 85 // trailing "[success] Total time: ..." line
     assert(header + entries + sbtBanner <= 2000,
@@ -42,14 +44,15 @@ class BenchContractSpec extends AnyFunSuite {
         "adding more queries")
   }
 
-  test("compactSecs rendering never exceeds 4 chars on any realistic value") {
+  test("compactSecs rendering never exceeds 3 chars on any realistic value") {
     // the values the bench can produce: positive seconds up to the 600 s
     // per-query ceiling, and negated failure markers floored at -0.1
     val candidates = Seq(0.0, 0.04, 0.1, 0.45, 9.94, 9.99, 10.0, 10.5,
-      12.34, 99.9, 123.4, 599.9, -0.1, -0.45, -9.9, -9.99, -12.3, -599.9)
+      12.34, 99.9, 123.4, 599.9, 1200.0, -0.1, -0.45, -9.9, -9.99, -12.3,
+      -599.9)
     candidates.foreach { v =>
       val s = Bench.compactSecs(v)
-      assert(s.length <= 4, s"compactSecs($v) = '$s' exceeds 4 chars")
+      assert(s.length <= 3, s"compactSecs($v) = '$s' exceeds 3 chars")
       assert(java.lang.Double.parseDouble(s).isFinite, s"'$s' not JSON-numeric")
       // sign survives rendering: failures must stay visibly negative
       if (v <= -0.1) assert(s.startsWith("-"), s"negated marker lost: $v -> $s")

@@ -129,6 +129,55 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("theil-sen: quartiles ordered, pair count exact, median matches brute force") {
+    val r = run("q175_theil_sen").collect().head
+    val n = r.getAs[Long]("n_months")
+    assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+    val (q1, med, q3) = (r.getAs[Double]("slope_q1"),
+      r.getAs[Double]("ts_slope"), r.getAs[Double]("slope_q3"))
+    assert(q1 <= med && med <= q3)
+    // brute-force: collect the monthly frame, enumerate pairs in Scala
+    val months = Tables.orders(spark, sf0001)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("idx"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+      .collect().map(r0 => (r0.getAs[Int]("idx"), r0.getAs[Long]("rev")))
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- months.indices; j <- (i + 1) until months.length
+    } yield (months(j)._2 - months(i)._2).toDouble /
+        (months(j)._1 - months(i)._1)).sorted
+    val k = slopes.length
+    val bruteMed = if (k % 2 == 1) slopes(k / 2)
+      else (slopes(k / 2 - 1) + slopes(k / 2)) / 2
+    assert(math.abs(med - bruteMed) < 1e-6,
+      s"theil-sen median $med vs brute $bruteMed")
+  }
+
+  test("poisson bootstrap: replicate mass near n, means bracket the sample mean") {
+    val rows = run("q176_poisson_bootstrap").collect()
+    assert(rows.length == 32)
+    assert(rows.map(_.getAs[Int]("b")).toSeq == (0 until 32))
+    val sample = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), avg(round(col("value") * 100, 0).cast("long")))
+      .head()
+    val (n, sampleMean) = (sample.getLong(0), sample.getDouble(1))
+    rows.foreach { r =>
+      // Poisson(1) total mass: mean n, sd ~ sqrt(n) — allow 5 sigma
+      val nEff = r.getAs[Long]("n_eff")
+      assert(math.abs(nEff - n) <= 5 * math.sqrt(n.toDouble) + 10,
+        s"replicate mass $nEff far from $n")
+      assert(r.getAs[Long]("sum_cents") >= 0)
+    }
+    val means = rows.map(_.getAs[Double]("mean_cents"))
+    val grand = means.sum / means.length
+    val se = math.sqrt(means.map(m => (m - grand) * (m - grand)).sum
+      / (means.length - 1))
+    assert(math.abs(grand - sampleMean) <= 5 * se + 1.0,
+      s"bootstrap grand mean $grand vs sample $sampleMean (se $se)")
+  }
+
   test("ols: slope/intercept agree with covar_pop/var_pop built-ins") {
     val rows = run("q173_grouped_ols").collect()
     val x = round(col("l_discount") * 100, 0).cast("long").cast("double")

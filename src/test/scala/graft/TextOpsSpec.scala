@@ -301,4 +301,30 @@ class TextOpsSpec extends SparkSpec {
       s"prefix filter pruned nothing: ${row.getAs[Long]("n_candidates")} " +
         s"candidates of $allPairs possible pairs")
   }
+
+  test("temperature mix: thresholds monotone in size, kept rate tracks threshold") {
+    val rows = TextOps.queries.find(_.name == "q174_temperature_mix").get
+      .fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, thr, kept) = (r.getAs[Long]("n_total"),
+        r.getAs[Int]("thr_16bit"), r.getAs[Long]("n_kept"))
+      assert(thr >= 0 && thr <= 65536)
+      assert(kept <= n)
+      // keep decision is Bernoulli(thr/2^16) on a uniform 16-bit hash:
+      // binomial 5-sigma band
+      val p = thr.toDouble / 65536
+      val sd = math.sqrt(n * p * (1 - p))
+      assert(math.abs(kept - n * p) <= 5 * sd + 3,
+        s"${r.getAs[String]("source")}: kept $kept vs expected ${n * p}")
+    }
+    // α=1/2 smoothing: the keep RATE must be non-increasing in source size
+    val bySize = rows.sortBy(_.getAs[Long]("n_total"))
+    bySize.sliding(2).foreach { case Array(a, b) =>
+      if (a.getAs[Long]("n_total") < b.getAs[Long]("n_total"))
+        assert(a.getAs[Int]("thr_16bit") >= b.getAs[Int]("thr_16bit"),
+          "smaller sources must keep at a rate >= larger sources")
+      case _ => ()
+    }
+  }
 }
