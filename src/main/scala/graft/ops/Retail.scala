@@ -326,6 +326,122 @@ object Retail {
           expr("CAST((2 * num + den) div (2 * den) AS BIGINT)")
             .as("ewma_cents"))
         .orderBy("y", "mo")
+    },
+
+    // Hierarchical top-down forecast allocation — the reconciliation step
+    // after a region-level forecast: scale each region's 1997 revenue by
+    // 7% and allocate it to the region's nations proportional to their
+    // history, with LARGEST-REMAINDER integer rounding so the nation
+    // allocations sum EXACTLY to the regional forecast (the invariant a
+    // planning system must hold; naive per-nation rounding drifts by up
+    // to |nations| dollars). All arithmetic is exact BIGINT dollars:
+    // base = ⌊F·h/R⌋, and the F − Σbase leftover units go to the largest
+    // remainders (F·h mod R), ties to the lower nation key. Scale shape:
+    // the fact table reduces to one row per nation in a partial-aggregated
+    // scan; every window runs on that ≤|nations| frame partitioned by
+    // region. (F·h stays in BIGINT through ~30× this corpus' top SF;
+    // beyond that the two mul/div steps move to DECIMAL(38,0) —
+    // DuckDB's HUGEINT already covers it.)
+    Q("q178_topdown_allocation",
+      """WITH nt AS (
+        |  SELECT n_regionkey AS rk, c_nationkey AS nk,
+        |         CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+        |           AS hist
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE year(o_orderdate) = 1997 GROUP BY 1, 2),
+        |rt AS (
+        |  SELECT rk, CAST(sum(hist) AS BIGINT) AS rtot,
+        |         CAST((sum(hist) * 107) // 100 AS BIGINT) AS fcast
+        |  FROM nt GROUP BY 1),
+        |a AS (
+        |  SELECT nt.rk, nk, hist, rtot, fcast,
+        |         CAST((fcast * hist) // rtot AS BIGINT) AS base,
+        |         CAST((fcast * hist) % rtot AS BIGINT) AS frac
+        |  FROM nt JOIN rt ON nt.rk = rt.rk),
+        |rmd AS (
+        |  SELECT rk, CAST(max(fcast) - sum(base) AS BIGINT) AS extra
+        |  FROM a GROUP BY 1),
+        |rnk AS (
+        |  SELECT a.rk, a.nk, a.hist, a.base, rmd.extra,
+        |         row_number() OVER (PARTITION BY a.rk
+        |                            ORDER BY a.frac DESC, a.nk) AS rn
+        |  FROM a JOIN rmd ON a.rk = rmd.rk)
+        |SELECT rk, nk, hist,
+        |       CAST(base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT)
+        |         AS alloc
+        |FROM rnk ORDER BY rk, nk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val nt = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === 1997)
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey").as("rk"), col("c_nationkey").as("nk"))
+        .agg(sum(round(col("o_totalprice"), 0).cast("long")).cast("long")
+          .as("hist"))
+        .localCheckpoint(true) // ≤|nations| rows drive everything below
+      val rt = nt.groupBy(col("rk"))
+        .agg(sum(col("hist")).cast("long").as("rtot"),
+          expr("CAST((sum(hist) * 107) div 100 AS BIGINT)").as("fcast"))
+      val a = nt.join(broadcast(rt), "rk")
+        .withColumn("base",
+          expr("CAST((fcast * hist) div rtot AS BIGINT)"))
+        .withColumn("frac", expr("CAST((fcast * hist) % rtot AS BIGINT)"))
+      val rmd = a.groupBy(col("rk"))
+        .agg((max(col("fcast")) - sum(col("base"))).cast("long").as("extra"))
+      val rn = org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy(col("rk"))
+          .orderBy(col("frac").desc, col("nk")))
+      a.join(broadcast(rmd), "rk")
+        .withColumn("rn", rn)
+        .select(col("rk"), col("nk"), col("hist"),
+          (col("base") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+        .orderBy(col("rk"), col("nk"))
+    },
+
+    // Laspeyres price index by ship month over 1997 — "how much more do
+    // January's quantities cost in month t": Σ p_t·q_base / Σ p_base·q_base
+    // over the parts shipped in both months. Scale shape: lineitem reduces
+    // to one (part, month) row of exact cent/quantity sums in a single
+    // partial-aggregated scan; the base join is a co-partitioned hash join
+    // on part key; only the 12-row index frame leaves the aggregation. The
+    // denominator is the exact BIGINT Σ ext_base (no float identity
+    // (e/q)·q ≈ e is relied on); the numerator is the one float sum, and
+    // the index rounds at 6.
+    Q("q179_price_index",
+      """WITH pm AS (
+        |  SELECT l_partkey AS pk, CAST(month(l_shipdate) AS INT) AS mo,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS ext,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1, 2),
+        |b AS (SELECT pk, ext AS ext0, qty AS qty0 FROM pm WHERE mo = 1)
+        |SELECT pm.mo, CAST(count(*) AS BIGINT) AS n_parts,
+        |       round(sum(CAST(pm.ext AS DOUBLE) / pm.qty * b.qty0)
+        |             / CAST(sum(b.ext0) AS DOUBLE), 6) AS laspeyres
+        |FROM pm JOIN b ON pm.pk = b.pk
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val pm = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1997)
+        .groupBy(col("l_partkey").as("pk"),
+          month(col("l_shipdate")).cast("int").as("mo"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .cast("long").as("ext"),
+          sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+        .localCheckpoint(true) // both sides of the base join
+      val b = pm.filter(col("mo") === 1)
+        .select(col("pk"), col("ext").as("ext0"), col("qty").as("qty0"))
+      pm.join(b, "pk")
+        .groupBy(col("mo"))
+        .agg(count(lit(1)).cast("long").as("n_parts"),
+          round(sum(col("ext").cast("double") / col("qty") * col("qty0"))
+            / sum(col("ext0")).cast("double"), 6).as("laspeyres"))
+        .orderBy(col("mo"))
     }
   )
 }

@@ -150,4 +150,19 @@ class AdvancedSpec extends SparkSpec {
       assert(r.getAs[Long]("n") == pc.count(x => x >= lo && x <= hi))
     }
   }
+
+  test("hll cardinality: bands hold, exact union obeys set algebra") {
+    val rows = graft.ops.Advanced.queries
+      .find(_.name == "q177_hll_cardinality").get.fn(spark, sf0001).collect()
+      .map(r => r.getAs[String]("scope") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Boolean]("est_ok"))).toMap
+    assert(rows.keySet == Set("purchase", "view", "view_or_purchase"))
+    rows.values.foreach { case (n, ok) =>
+      assert(n > 0); assert(ok, "sketch estimate outside the 2% band")
+    }
+    val (p, v, u) = (rows("purchase")._1, rows("view")._1,
+      rows("view_or_purchase")._1)
+    assert(u >= math.max(p, v) && u <= p + v,
+      s"exact union $u outside [max($p,$v), $p+$v]")
+  }
 }

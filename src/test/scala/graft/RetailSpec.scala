@@ -138,4 +138,39 @@ class RetailSpec extends SparkSpec {
       if (terms.size == 1) assert(ewma == rev, "first month is its own ewma")
     }
   }
+
+  test("topdown allocation: regional sums hit the forecast exactly, shares within one unit") {
+    val rows = run("q178_topdown_allocation").collect()
+      .map(r => (r.getAs[Number]("rk").longValue, r.getAs[Number]("nk").longValue,
+        r.getAs[Long]("hist"), r.getAs[Long]("alloc")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (rk, ns) =>
+      val rtot = ns.map(_._3).sum
+      val fcast = rtot * 107 / 100
+      assert(ns.map(_._4).sum == fcast,
+        s"region $rk allocations must sum exactly to the forecast")
+      ns.foreach { case (_, nk, hist, alloc) =>
+        // largest-remainder never strays more than 1 from the real share
+        val ideal = fcast.toDouble * hist / rtot
+        assert(math.abs(alloc - ideal) <= 1.0,
+          s"nation $nk alloc $alloc vs ideal $ideal")
+      }
+    }
+  }
+
+  test("price index: base month is exactly 1, matched parts bounded by base") {
+    val rows = run("q179_price_index").collect()
+      .map(r => (r.getAs[Int]("mo"), r.getAs[Long]("n_parts"),
+        r.getAs[Double]("laspeyres"))).sortBy(_._1)
+    assert(rows.map(_._1).contains(1))
+    val base = rows.find(_._1 == 1).get
+    assert(math.abs(base._3 - 1.0) <= 1e-6,
+      "January priced at January weights must index to 1")
+    rows.foreach { case (mo, np, idx) =>
+      assert(np <= base._2, s"month $mo matched $np parts > base ${base._2}")
+      // sf0.001 matches only a handful of parts per month, so ratios of
+      // unit prices swing hard — positivity plus a loose envelope only
+      assert(idx > 0.0 && idx < 100.0, s"month $mo index $idx implausible")
+    }
+  }
 }
