@@ -867,6 +867,40 @@ object Events {
           round(meanDiff /
             sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
             .as("t_stat"))
+    },
+
+    // Stream-static enrichment join — the canonical "decorate the event
+    // stream with a dimension" topology (completing the streaming join
+    // family: q114 is stream-stream). The purchase STREAM joins the static
+    // customer dimension (user_id ≙ c_custkey) inside the micro-batch
+    // plan; Spark re-plans the static side per batch, so at scale the
+    // dimension broadcasts and the stream never shuffles for the join. A
+    // complete-mode revenue-by-segment aggregate runs ON the stream; the
+    // oracle recomputes the identical join+aggregate in batch SQL — exact
+    // cents, FULL hash parity (the streaming result must equal batch to
+    // the cent, not just in shape).
+    Q("q180_stream_enrich",
+      """SELECT c_mktsegment AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS rev_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.streaming.EventStreams
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val enriched = EventStreams.readEvents(s, d)
+        .filter(col("event_type") === "purchase")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          sum(round(col("value") * 100, 0).cast("long")).cast("long")
+            .as("rev_cents"))
+      EventStreams.runToMemory(s, enriched, "q180_enrich",
+          outputMode = "complete", shufflePartitions = Some(8))
+        .select(col("segment"), col("n_purchases"), col("rev_cents"))
+        .orderBy(col("segment"))
     }
   )
 }

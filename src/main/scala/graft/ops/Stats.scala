@@ -49,7 +49,7 @@ object Stats {
     * (`ca`, `cb`) without a global single-task sort — the q130 block-offset
     * topology (see the object doc). Input: one row per distinct `v` with
     * per-sample counts `a`, `b`. */
-  private[ops] def withCumBelow(counts: DataFrame): DataFrame = {
+  private[graft] def withCumBelow(counts: DataFrame): DataFrame = {
     val parted = counts.repartitionByRange(32, col("v"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true) // offsets + rank consumers share one shuffle

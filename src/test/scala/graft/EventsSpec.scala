@@ -228,4 +228,23 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mean_diff_cents") - diff) < 1e-6)
     assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-6)
   }
+
+  test("stream enrich: streamed join+aggregate equals the batch plan to the cent") {
+    val streamed = ops.Events.queries.find(_.name == "q180_stream_enrich").get
+      .fn(spark, sf0001).collect()
+      .map(r => r.getAs[String]("segment") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("rev_cents"))).toMap
+    val batch = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .join(Tables.customer(spark, sf0001),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("rev"))
+      .collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("rev"))).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.nonEmpty, "join must actually match users to customers")
+  }
 }

@@ -178,6 +178,42 @@ class PlanQualitySpec extends SparkSpec {
       }
   }
 
+  test("q166/q167: rank CDF never single-partitions the value frame") {
+    // the block-offset topology (Stats.withCumBelow): per-value rows rank
+    // inside a pid-partitioned window; the only SinglePartition exchanges
+    // may carry pre-aggregated rows (per-pid offsets, final statistics) —
+    // never the per-distinct-value frame itself. q167's extra checkpoint
+    // hides the window stage from its final plan, so the window shape is
+    // pinned on the helper directly (below) and on q166's visible plan.
+    Seq("q166_mann_whitney", "q167_ks_test").foreach { name =>
+      val p = planOf(name)
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex
+        .filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate"),
+            s"$name: SinglePartition exchange feeding a non-aggregate:\n$p")
+        }
+    }
+    assert(planOf("q166_mann_whitney").contains("hashpartitioning(pid"),
+      "q166: value-frame window not partitioned by pid")
+    // helper over a synthetic frame: same contract, end to end
+    import org.apache.spark.sql.functions.{col, lit}
+    val counts = spark.range(5000).toDF("v")
+      .withColumn("a", col("v") % 7).withColumn("b", col("v") % 5)
+    val hp = ops.Stats.withCumBelow(counts)
+      .queryExecution.executedPlan.toString
+    assert(hp.contains("hashpartitioning(pid"),
+      s"withCumBelow window not partitioned by pid:\n$hp")
+    val hLines = hp.linesIterator.toVector
+    hLines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(i + 1 < hLines.size && hLines(i + 1).contains("HashAggregate"),
+          s"withCumBelow single-partitions non-aggregated rows:\n$hp")
+      }
+  }
+
   test("q53: segment ranking windows are block-partitioned, not a 5-task funnel") {
     val p = planOf("q53_window_stats")
     // the customer-frame rank window must partition by (pid, segment) —
