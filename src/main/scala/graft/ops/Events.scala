@@ -901,6 +901,88 @@ object Events {
           outputMode = "complete", shufflePartitions = Some(8))
         .select(col("segment"), col("n_purchases"), col("rev_cents"))
         .orderBy(col("segment"))
+    },
+
+    // CDC changelog application with delete tombstones — the MERGE variant
+    // q81's upsert doesn't cover: the event feed is read as a per-user
+    // change stream ('error' rows are tombstones, everything else upserts
+    // the user's value), applied in (ts, event_id) order, latest wins.
+    // Scale shape: NO window and no per-key sort — the latest op per key
+    // is a single struct-max aggregate ((ts, event_id) is unique, so the
+    // lexicographic max IS the last change), which partial-aggregates
+    // map-side; one shuffle keyed by user_id carries one candidate row
+    // per (partition, user). The final-state audit (live keys, tombstoned
+    // keys, surviving value total in exact cents) folds in the same plan.
+    Q("q181_cdc_apply",
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS del,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |f AS (SELECT * FROM c WHERE rn = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(1 - del) AS BIGINT) AS n_live,
+        |       CAST(sum(del) AS BIGINT) AS n_tombstoned,
+        |       CAST(sum(CASE WHEN del = 0 THEN cents END) AS BIGINT)
+        |         AS live_sum_cents
+        |FROM f""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            (col("event_type") === "error").cast("int").as("del"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+            .as("op"))
+        .groupBy(col("user_id"))
+        .agg(max(col("op")).as("last"))
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(lit(1) - col("last.del")).cast("long").as("n_live"),
+          sum(col("last.del")).cast("long").as("n_tombstoned"),
+          sum(when(col("last.del") === 0, col("last.cents"))).cast("long")
+            .as("live_sum_cents"))
+    },
+
+    // Funnel latency distribution — q86 counts WHO converts; this measures
+    // HOW FAST: per user, hours from the first view to the first purchase
+    // at or after it, summarized as exact-integer hour quantiles. Scale
+    // shape: both sides reduce per-user BEFORE the join (first-view is an
+    // aggregate, candidate purchases join on user_id co-partitioned with
+    // the conditional min folded into the same keyed aggregate); the
+    // quantile runs over one duration row per converted user. Durations
+    // floor to whole hours in BIGINT, so the only doubles are the
+    // interpolated quantiles, rounded at 6.
+    Q("q182_funnel_latency",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS fv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |j AS (
+        |  SELECT v.user_id,
+        |         CAST(date_diff('second', v.fv, min(e.ts)) // 3600 AS BIGINT)
+        |           AS hrs
+        |  FROM v JOIN events e ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.fv
+        |  GROUP BY v.user_id, v.fv)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |       round(quantile_cont(hrs, 0.5), 6) AS p50_hours,
+        |       round(quantile_cont(hrs, 0.9), 6) AS p90_hours,
+        |       CAST(max(hrs) AS BIGINT) AS max_hours
+        |FROM j""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
+      val hrs = e.filter(col("event_type") === "purchase")
+        .join(fv, "user_id")
+        .filter(col("ts") >= col("fv"))
+        .groupBy(col("user_id"), col("fv"))
+        .agg(min(col("ts")).as("fp"))
+        .select(((col("fp").cast("timestamp").cast("long")
+          - col("fv").cast("timestamp").cast("long"))
+          .cast("long") / 3600).cast("long").as("hrs"))
+      hrs.agg(count(lit(1)).cast("long").as("n_converted"),
+        round(expr("percentile(hrs, 0.5)"), 6).as("p50_hours"),
+        round(expr("percentile(hrs, 0.9)"), 6).as("p90_hours"),
+        max(col("hrs")).cast("long").as("max_hours"))
     }
   )
 }

@@ -247,4 +247,40 @@ class EventsSpec extends SparkSpec {
     assert(streamed == batch, s"stream $streamed != batch $batch")
     assert(streamed.nonEmpty, "join must actually match users to customers")
   }
+
+  test("cdc apply: struct-max final state matches a windowed replay") {
+    val r = ops.Events.queries.find(_.name == "q181_cdc_apply").get
+      .fn(spark, sf0001).collect().head
+    val nUsers = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_keys") == nUsers)
+    assert(r.getAs[Long]("n_live") + r.getAs[Long]("n_tombstoned") == nUsers)
+    // windowed replay: the orthodox row_number formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val last = Tables.events(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val live = last.filter(col("event_type") =!= "error")
+      .agg(count(lit(1)), sum(round(col("value") * 100, 0).cast("long")))
+      .head()
+    assert(r.getAs[Long]("n_live") == live.getLong(0))
+    assert(r.getAs[Long]("live_sum_cents") == live.getLong(1))
+  }
+
+  test("funnel latency: quantiles ordered, conversions bounded by purchasers") {
+    val r = ops.Events.queries.find(_.name == "q182_funnel_latency").get
+      .fn(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n_converted")
+    assert(n > 0, "the corpus must contain view-then-purchase users")
+    val purchasers = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(n <= purchasers)
+    val (p50, p90, mx) = (r.getAs[Double]("p50_hours"),
+      r.getAs[Double]("p90_hours"), r.getAs[Long]("max_hours"))
+    assert(p50 >= 0 && p50 <= p90 && p90 <= mx.toDouble)
+    // one-month corpus: a first-view→first-purchase delay fits the span
+    assert(mx <= 31L * 24)
+  }
 }
