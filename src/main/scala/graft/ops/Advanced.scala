@@ -1017,6 +1017,43 @@ object Advanced {
           (abs(hll_sketch_estimate(col("sk")).cast("double") - col("n_exact"))
             <= lit(0.02) * col("n_exact")).as("est_ok"))
       perOut.unionByName(uOut).orderBy(col("scope"))
+    },
+
+    // Recursive CTE (WITH RECURSIVE → UnionLoopExec, new in Spark 4) —
+    // iterative closure expressed declaratively: every size-50 part walks
+    // its synthetic ancestor chain node → node div 10 to the root, and the
+    // per-depth census is aggregated over the closure. The recursion depth
+    // is O(log maxKey) — ~7 levels at 100 TB key ranges — and each step is
+    // a narrow projection of the frontier, so the loop's cost is the seed
+    // cardinality times a bounded constant, not a quadratic closure. This
+    // pins the engine's recursion machinery against DuckDB's reference
+    // WITH RECURSIVE semantics (same anchor, same step, same termination).
+    Q("q183_recursive_closure",
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS leaf, CAST(p_partkey AS BIGINT) AS node,
+        |         0 AS depth
+        |  FROM part WHERE p_size = 50
+        |  UNION ALL
+        |  SELECT leaf, node // 10, depth + 1 FROM anc WHERE node >= 10)
+        |SELECT CAST(depth AS INT) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(node) AS BIGINT) AS node_sum,
+        |       CAST(count(DISTINCT node) AS BIGINT) AS n_distinct
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(col("p_partkey"), col("p_size"))
+        .createOrReplaceTempView("part_q183")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT p_partkey AS leaf, CAST(p_partkey AS BIGINT) AS node,
+          |         0 AS depth
+          |  FROM part_q183 WHERE p_size = 50
+          |  UNION ALL
+          |  SELECT leaf, node div 10, depth + 1 FROM anc WHERE node >= 10)
+          |SELECT CAST(depth AS INT) AS depth,
+          |       CAST(count(*) AS BIGINT) AS n_nodes,
+          |       CAST(sum(node) AS BIGINT) AS node_sum,
+          |       CAST(count(DISTINCT node) AS BIGINT) AS n_distinct
+          |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
     }
   )
 

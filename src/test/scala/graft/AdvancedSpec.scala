@@ -165,4 +165,29 @@ class AdvancedSpec extends SparkSpec {
     assert(u >= math.max(p, v) && u <= p + v,
       s"exact union $u outside [max($p,$v), $p+$v]")
   }
+
+  test("recursive closure: depth census replays the ancestor chains exactly") {
+    val rows = graft.ops.Advanced.queries
+      .find(_.name == "q183_recursive_closure").get.fn(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Int]("depth") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("node_sum"))).toMap
+    val seeds = Tables.part(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("p_size") === 50)
+      .select("p_partkey").collect().map(_.getLong(0))
+    assert(seeds.nonEmpty, "size-50 parts must exist at every SF")
+    // replay the recursion in Scala
+    val expect = scala.collection.mutable.Map[Int, (Long, Long)]()
+    seeds.foreach { s0 =>
+      var (node, depth) = (s0, 0)
+      var go = true
+      while (go) {
+        val (n, sm) = expect.getOrElse(depth, (0L, 0L))
+        expect(depth) = (n + 1, sm + node)
+        if (node >= 10) { node /= 10; depth += 1 } else go = false
+      }
+    }
+    assert(rows == expect.toMap,
+      s"recursive census ${rows.toSeq.sortBy(_._1)} != replay ${expect.toSeq.sortBy(_._1)}")
+  }
 }
