@@ -983,6 +983,34 @@ object Events {
         round(expr("percentile(hrs, 0.5)"), 6).as("p50_hours"),
         round(expr("percentile(hrs, 0.9)"), 6).as("p90_hours"),
         max(col("hrs")).cast("long").as("max_hours"))
+    },
+
+    // Semi-structured VARIANT ingestion (Spark 4's parse_json → binary
+    // variant encoding) — the modern alternative to q22's string-path
+    // get_json_object: parse once into the shredded binary form, then
+    // typed variant_get extraction feeds ordinary codegen'd aggregation.
+    // The histogram (typed k div 10) plus a deliberate missing-path probe
+    // pin both the typed-access and the null-on-absent semantics against
+    // DuckDB's reference JSON reader. At scale the parse is one map-side
+    // pass and the shuffle carries 10 bucket rows.
+    Q("q184_variant_json",
+      """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10
+        |            AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+        |            AS BIGINT) AS sum_k,
+        |       CAST(count(json_extract_string(props, '$.absent'))
+        |            AS BIGINT) AS n_absent_hits
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+        .withColumn("miss", expr("variant_get(v, '$.absent', 'int')"))
+        .groupBy(expr("CAST(k div 10 AS INT)").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          count(col("miss")).cast("long").as("n_absent_hits"))
+        .orderBy(col("bucket"))
     }
   )
 }

@@ -553,6 +553,64 @@ object Stats {
           round(sum(col("wt") * col("cents")).cast("double")
             / sum(col("wt")).cast("double"), 6).as("mean_cents"))
         .orderBy(col("b"))
+    },
+
+    // EXACT isotonic regression of quantity on discount — not MLlib's
+    // PAVA (whose pooled output no SQL oracle could replay) but the
+    // classical minimax characterization: the isotonic fit at x_i is
+    //   ŷ_i = max_{j ≤ i} min_{k ≥ i} avg(y over [x_j, x_k]),
+    // which is pure interval algebra once the corpus reduces to one
+    // (x, n, Σy) row per distinct discount. Scale shape: the reduction is
+    // one partial-aggregated scan; the O(|domain|²) interval enumeration
+    // and the nested min/max run on the ≤11-row frame with every join
+    // broadcast — bounded by the value domain, independent of row count
+    // (the q172 joint-histogram economics). Interval averages are the
+    // same BIGINT-ratio doubles in both engines, so min/max pick
+    // identical values and the fit hashes exactly at round-6.
+    Q("q185_isotonic",
+      """WITH cells AS (
+        |  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS x,
+        |         count(*) AS nn,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (
+        |  SELECT j.x AS j, k.x AS k,
+        |         CAST(sum(c.sy) AS DOUBLE) / sum(c.nn) AS a
+        |  FROM cells j JOIN cells k ON j.x <= k.x
+        |  JOIN cells c ON c.x BETWEEN j.x AND k.x
+        |  GROUP BY 1, 2),
+        |mi AS (
+        |  SELECT i.x AS i, iv.j, min(a) AS m
+        |  FROM cells i JOIN iv ON iv.j <= i.x AND iv.k >= i.x
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT i, max(m) AS pred FROM mi GROUP BY 1)
+        |SELECT CAST(c.x AS INT) AS x_cents, CAST(c.nn AS BIGINT) AS n,
+        |       round(CAST(c.sy AS DOUBLE) / c.nn, 6) AS avg_y,
+        |       round(pred, 6) AS iso_pred
+        |FROM cells c JOIN pr ON c.x = pr.i ORDER BY 1""".stripMargin) {
+      (s, d) =>
+      val cells = Tables.lineitem(s, d)
+        .groupBy(round(col("l_discount") * 100, 0).cast("long").as("x"))
+        .agg(count(lit(1)).as("nn"),
+          sum(col("l_quantity").cast("long")).cast("long").as("sy"))
+        .localCheckpoint(true) // reused by every interval stage below
+      val xs = cells.select(col("x"))
+      val iv = xs.toDF("j")
+        .join(broadcast(xs.toDF("k")), col("j") <= col("k"))
+        .join(broadcast(cells), col("x") >= col("j") && col("x") <= col("k"))
+        .groupBy(col("j"), col("k"))
+        .agg((sum(col("sy")).cast("double") / sum(col("nn"))).as("a"))
+      val mi = xs.toDF("i")
+        .join(broadcast(iv), col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(min(col("a")).as("m"))
+      val pr = mi.groupBy(col("i")).agg(max(col("m")).as("pred"))
+      cells.join(broadcast(pr), col("x") === col("i"))
+        .select(col("x").cast("int").as("x_cents"),
+          col("nn").cast("long").as("n"),
+          round(col("sy").cast("double") / col("nn"), 6).as("avg_y"),
+          round(col("pred"), 6).as("iso_pred"))
+        .orderBy(col("x_cents"))
     }
   )
 }

@@ -283,4 +283,21 @@ class EventsSpec extends SparkSpec {
     // one-month corpus: a first-view→first-purchase delay fits the span
     assert(mx <= 31L * 24)
   }
+
+  test("variant json: bucket census conserves events, absent path never hits") {
+    val rows = ops.Events.queries.find(_.name == "q184_variant_json").get
+      .fn(spark, sf0001).collect()
+    val total = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val (b, n, sk) = (r.getAs[Int]("bucket"), r.getAs[Long]("n"),
+        r.getAs[Long]("sum_k"))
+      assert(b >= 0, "props k is nonnegative")
+      // every k in bucket b lies in [10b, 10b+9]
+      assert(sk >= 10L * b * n && sk <= (10L * b + 9) * n,
+        s"bucket $b sum $sk outside its bounds for $n rows")
+      assert(r.getAs[Long]("n_absent_hits") == 0L,
+        "variant_get on a missing path must be null for every row")
+    }
+  }
 }

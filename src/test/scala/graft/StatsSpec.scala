@@ -178,6 +178,34 @@ class StatsSpec extends SparkSpec {
       s"bootstrap grand mean $grand vs sample $sampleMean (se $se)")
   }
 
+  test("isotonic: monotone, mean-preserving, and equal to MLlib's PAVA") {
+    val rows = run("q185_isotonic").collect()
+      .map(r => (r.getAs[Int]("x_cents"), r.getAs[Long]("n"),
+        r.getAs[Double]("avg_y"), r.getAs[Double]("iso_pred")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._4 + 1e-9,
+        s"isotonic fit must be nondecreasing: $a then $b")
+      case _ =>
+    }
+    // the L2 projection preserves the weighted mean
+    val wMean = rows.map(r => r._2 * r._3).sum / rows.map(_._2).sum
+    val wFit = rows.map(r => r._2 * r._4).sum / rows.map(_._2).sum
+    assert(math.abs(wMean - wFit) < 1e-4,
+      s"weighted mean $wMean not preserved by fit $wFit")
+    // independent algorithm: MLlib's PAVA on the same aggregated points
+    import org.apache.spark.ml.regression.IsotonicRegression
+    val pts = spark.createDataFrame(rows.toSeq.map(r =>
+      (r._3, r._1.toDouble, r._2.toDouble))).toDF("label", "features", "weight")
+    val model = new IsotonicRegression().setWeightCol("weight").fit(pts)
+    rows.foreach { r =>
+      val pava = model.predict(r._1.toDouble)
+      assert(math.abs(pava - r._4) < 1e-5,
+        s"minimax fit ${r._4} != PAVA $pava at x=${r._1}")
+    }
+  }
+
   test("ols: slope/intercept agree with covar_pop/var_pop built-ins") {
     val rows = run("q173_grouped_ols").collect()
     val x = round(col("l_discount") * 100, 0).cast("long").cast("double")
