@@ -442,6 +442,37 @@ object Retail {
           round(sum(col("ext").cast("double") / col("qty") * col("qty0"))
             / sum(col("ext0")).cast("double"), 6).as("laspeyres"))
         .orderBy(col("mo"))
+    },
+
+    // Recency-weighted customer lifetime value — the CRM ranking where a
+    // dollar spent this year outweighs one spent six years ago (weight
+    // halves per year of age). The q162 exactness trick at per-customer
+    // scale: with the corpus spanning 1995–2001, weight 2^(yr−1995) is an
+    // integer, so the ×64-scaled LTV Σ rev·2^(yr−1995) stays in exact
+    // BIGINT cents — no float ever crosses engines. Scale shape: one
+    // partial-aggregated groupBy on customer key (rev and weight fold
+    // map-side), then a TakeOrdered top-20 — never a global sort of the
+    // customer frame.
+    Q("q186_recency_ltv",
+      """SELECT o_custkey,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS raw_cents,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |                * CAST(power(2, year(o_orderdate) - 1995) AS BIGINT))
+        |            AS BIGINT) AS ltv_x64_cents
+        |FROM orders GROUP BY 1
+        |ORDER BY ltv_x64_cents DESC, o_custkey LIMIT 20""".stripMargin) {
+      (s, d) =>
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val w = pow(lit(2.0), year(col("o_orderdate")) - 1995).cast("long")
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(cents).cast("long").as("raw_cents"),
+          sum(cents * w).cast("long").as("ltv_x64_cents"))
+        .orderBy(col("ltv_x64_cents").desc, col("o_custkey"))
+        .limit(20)
     }
   )
 }

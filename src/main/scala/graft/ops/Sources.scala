@@ -490,6 +490,38 @@ object Sources {
           sum(when(length(col("text")) === col("n_chars"), 1).otherwise(0))
             .cast("long").as("n_len_ok"))
         .orderBy(col("source"))
+    },
+
+    // XML round-trip on Spark 4's NATIVE xml datasource (the spark-xml
+    // connector folded into core) — the interchange format q52/q105 don't
+    // cover, and the one where free text is most hazardous: <, &, quotes
+    // and control chars must survive the escape→parse cycle byte-exact.
+    // The documents table is written as XML rows, read back with the
+    // EXPLICIT schema (never inferred), and the per-source byte audit must
+    // equal the same audit computed straight off parquet — any mangled
+    // character changes an md5 and breaks the count. Scale: the write is
+    // a parallel per-partition encode; the audit is one partial-aggregated
+    // pass over the re-read.
+    Q("q187_xml_roundtrip",
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_uniq_texts,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dir = Sources.scratchDir(s, "graft_xml")
+      docs.write.mode("overwrite")
+        .option("rootTag", "docs").option("rowTag", "doc")
+        .xml(s"$dir/docs_xml")
+      s.read.schema(docs.schema)
+        .option("rowTag", "doc").xml(s"$dir/docs_xml")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_uniq_texts"),
+          sum(length(col("text"))).cast("long").as("sum_text_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -173,4 +173,18 @@ class RetailSpec extends SparkSpec {
       assert(idx > 0.0 && idx < 100.0, s"month $mo index $idx implausible")
     }
   }
+
+  test("recency ltv: weighting bounded by the year-span envelope, ordered") {
+    val rows = run("q186_recency_ltv").collect()
+    assert(rows.length == 20)
+    val ltvs = rows.map(_.getAs[Long]("ltv_x64_cents")).toSeq
+    assert(ltvs == ltvs.sorted.reverse, "ordered by weighted LTV desc")
+    rows.foreach { r =>
+      val (raw, w) = (r.getAs[Long]("raw_cents"),
+        r.getAs[Long]("ltv_x64_cents"))
+      // weights span 2^0 (1995 orders) .. 2^6 (2001 orders)
+      assert(w >= raw && w <= 64 * raw,
+        s"weighted $w outside [raw, 64*raw] for raw $raw")
+    }
+  }
 }

@@ -84,4 +84,24 @@ class SourcesSpec extends SparkSpec {
       s"z-order boxes too loose: avg $avgArea vs grid $gridArea " +
         boxes.mkString(", "))
   }
+
+  test("xml roundtrip: audit equals the parquet-direct audit byte-exact") {
+    import org.apache.spark.sql.functions._
+    val viaXml = ops.Sources.queries.find(_.name == "q187_xml_roundtrip").get
+      .fn(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_uniq_texts"),
+          r.getAs[Long]("sum_text_chars"))).toMap
+    val direct = Tables.documents(spark, sf0001)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(md5(col("text").cast("binary"))).as("u"),
+        sum(length(col("text"))).cast("long").as("c"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("u"), r.getAs[Long]("c"))).toMap
+    assert(viaXml == direct,
+      "XML escape→parse cycle must preserve every text byte")
+    assert(viaXml.nonEmpty)
+  }
 }
