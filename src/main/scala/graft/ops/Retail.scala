@@ -473,6 +473,54 @@ object Retail {
           sum(cents * w).cast("long").as("ltv_x64_cents"))
         .orderBy(col("ltv_x64_cents").desc, col("o_custkey"))
         .limit(20)
+    },
+
+    // Interval-overlap occupancy (sweep line) — "how many shipments are
+    // in transit at once", the warehouse-capacity question no windowed
+    // count answers (intervals overlap arbitrarily). Each line occupies
+    // [shipdate, shipdate + (suppkey mod 10 + 1) days) — a deterministic
+    // synthetic duration, the corpus carries no receipt date. Scale
+    // shape: ONE scan explodes each interval to two (day, ±1) endpoint
+    // deltas that partial-aggregate map-side onto the DAY DOMAIN (a few
+    // thousand rows regardless of corpus size); the running occupancy is
+    // a window over that domain-bounded frame (the only SinglePartition,
+    // fed by the aggregate), and the per-month maxima reduce it further.
+    // Occupancy only changes at endpoint days, so the per-month max over
+    // delta days is exact.
+    Q("q188_transit_occupancy",
+      """WITH iv AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS s,
+        |         CAST(l_shipdate AS DATE)
+        |           + CAST(l_suppkey % 10 + 1 AS INT) AS e
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT s AS day, CAST(count(*) AS BIGINT) AS delta
+        |  FROM iv GROUP BY 1
+        |  UNION ALL
+        |  SELECT e AS day, -CAST(count(*) AS BIGINT) FROM iv GROUP BY 1),
+        |dd AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+        |       FROM d GROUP BY 1),
+        |r AS (SELECT day, sum(delta) OVER (ORDER BY day) AS occ FROM dd)
+        |SELECT CAST(year(day) AS INT) AS y, CAST(month(day) AS INT) AS mo,
+        |       CAST(max(occ) AS BIGINT) AS max_in_transit
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sd = to_date(col("l_shipdate"))
+      val deltas = Tables.lineitem(s, d)
+        .select(explode(array(
+          struct(sd.as("day"), lit(1L).as("w")),
+          struct(date_add(sd, (col("l_suppkey") % 10 + 1).cast("int"))
+            .as("day"), lit(-1L).as("w")))).as("x"))
+        .groupBy(col("x.day").as("day"))
+        .agg(sum(col("x.w")).cast("long").as("delta"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deltas
+        .withColumn("occ", sum(col("delta")).over(w))
+        .groupBy(year(col("day")).cast("int").as("y"),
+          month(col("day")).cast("int").as("mo"))
+        .agg(max(col("occ")).cast("long").as("max_in_transit"))
+        .orderBy(col("y"), col("mo"))
     }
   )
 }

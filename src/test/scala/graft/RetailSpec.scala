@@ -187,4 +187,30 @@ class RetailSpec extends SparkSpec {
         s"weighted $w outside [raw, 64*raw] for raw $raw")
     }
   }
+
+  test("transit occupancy: sweep line matches a brute interval count") {
+    val rows = run("q188_transit_occupancy").collect()
+      .map(r => ((r.getAs[Int]("y"), r.getAs[Int]("mo")),
+        r.getAs[Long]("max_in_transit"))).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(_ >= 0), "occupancy can never go negative")
+    // brute force one month: count intervals covering each day directly
+    val iv = Tables.lineitem(spark, sf0001)
+      .select(to_date(col("l_shipdate")).as("s"),
+        (col("l_suppkey") % 10 + 1).cast("int").as("len"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("s").toLocalDate,
+        r.getAs[Int]("len")))
+    val probe = rows.keys.minBy(ym => ym._1 * 100 + ym._2)
+    val monthDays = (1 to 28).map(dd =>
+      java.time.LocalDate.of(probe._1, probe._2, dd))
+    val brute = monthDays.map(day =>
+      iv.count { case (s0, len) =>
+        !day.isBefore(s0) && day.isBefore(s0.plusDays(len.toLong))
+      }).max
+    // the sweep line samples only endpoint days; its max can only exceed
+    // the 28-day probe (months have 29-31 days) — and must dominate it
+    assert(rows(probe) >= brute,
+      s"sweep max ${rows(probe)} < brute day-scan $brute for $probe")
+  }
 }
