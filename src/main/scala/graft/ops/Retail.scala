@@ -521,6 +521,51 @@ object Retail {
           month(col("day")).cast("int").as("mo"))
         .agg(max(col("occ")).cast("long").as("max_in_transit"))
         .orderBy(col("y"), col("mo"))
+    },
+
+    // Order-to-first-ship SLA attainment by priority — the operational
+    // service-level read: days from order placement to the order's FIRST
+    // line shipping, bucketed against 7/30-day SLAs per priority class.
+    // Scale shape: lineitem reduces to one min-shipdate row per order in
+    // a partial-aggregated pass, the orders join is co-partitioned on the
+    // order key, and the priority rollup is a five-row aggregate. Lag
+    // days are exact integers (datediff); shares round at 6.
+    Q("q190_ship_sla",
+      """WITH fs AS (
+        |  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+        |  FROM lineitem GROUP BY 1),
+        |lag AS (
+        |  SELECT o_orderpriority AS priority,
+        |         date_diff('day', CAST(o_orderdate AS DATE), first_ship)
+        |           AS days
+        |  FROM orders JOIN fs ON o_orderkey = l_orderkey)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CASE WHEN days <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_within_7d,
+        |       CAST(sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_within_30d,
+        |       CAST(max(days) AS BIGINT) AS max_days,
+        |       round(CAST(sum(CASE WHEN days <= 7 THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS sla7_share
+        |FROM lag GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val fs = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+      Tables.orders(s, d)
+        .join(fs, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("first_ship"), to_date(col("o_orderdate")))
+            .as("days"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(when(col("days") <= 7, 1).otherwise(0)).cast("long")
+            .as("n_within_7d"),
+          sum(when(col("days") <= 30, 1).otherwise(0)).cast("long")
+            .as("n_within_30d"),
+          max(col("days")).cast("long").as("max_days"),
+          round(sum(when(col("days") <= 7, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 6).as("sla7_share"))
+        .orderBy(col("priority"))
     }
   )
 }

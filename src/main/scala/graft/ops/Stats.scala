@@ -611,6 +611,64 @@ object Stats {
           round(col("sy").cast("double") / col("nn"), 6).as("avg_y"),
           round(col("pred"), 6).as("iso_pred"))
         .orderBy(col("x_cents"))
+    },
+
+    // Difference-in-differences uplift — the causal read on a promotion:
+    // did discounted lines' quantity move MORE across the 1998 boundary
+    // than undiscounted lines' did (netting out the common trend)?
+    //   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre),
+    // treatment = discount ≥ 5%. ONE partial-aggregated scan collects the
+    // four (n, Σy) cells as conditional sums; every mean and the estimate
+    // are assembled from those BIGINTs at the final rounded step. The
+    // four exact cells are emitted alongside, so the oracle pins the
+    // inputs bit-for-bit, not just the rounded estimate.
+    Q("q189_did_uplift",
+      """WITH f AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         l_discount >= 0.05 AS t,
+        |         l_shipdate >= TIMESTAMP '1998-01-01' AS post
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN t AND post THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tp,
+        |    CAST(sum(CASE WHEN t AND post THEN q ELSE 0 END) AS BIGINT)
+        |      AS s_tp,
+        |    CAST(sum(CASE WHEN t AND NOT post THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t0,
+        |    CAST(sum(CASE WHEN t AND NOT post THEN q ELSE 0 END) AS BIGINT)
+        |      AS s_t0,
+        |    CAST(sum(CASE WHEN NOT t AND post THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cp,
+        |    CAST(sum(CASE WHEN NOT t AND post THEN q ELSE 0 END) AS BIGINT)
+        |      AS s_cp,
+        |    CAST(sum(CASE WHEN NOT t AND NOT post THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_c0,
+        |    CAST(sum(CASE WHEN NOT t AND NOT post THEN q ELSE 0 END)
+        |         AS BIGINT) AS s_c0
+        |  FROM f)
+        |SELECT n_tp, s_tp, n_t0, s_t0, n_cp, s_cp, n_c0, s_c0,
+        |       round((CAST(s_tp AS DOUBLE) / n_tp
+        |              - CAST(s_t0 AS DOUBLE) / n_t0)
+        |             - (CAST(s_cp AS DOUBLE) / n_cp
+        |                - CAST(s_c0 AS DOUBLE) / n_c0), 6) AS did_qty
+        |FROM c""".stripMargin) { (s, d) =>
+      val t = col("l_discount") >= 0.05
+      val post = col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz")
+      val q = col("l_quantity").cast("long")
+      def cell(cond: Column, v: Column) =
+        sum(when(cond, v).otherwise(0L)).cast("long")
+      Tables.lineitem(s, d)
+        .agg(
+          cell(t && post, lit(1L)).as("n_tp"), cell(t && post, q).as("s_tp"),
+          cell(t && !post, lit(1L)).as("n_t0"), cell(t && !post, q).as("s_t0"),
+          cell(!t && post, lit(1L)).as("n_cp"), cell(!t && post, q).as("s_cp"),
+          cell(!t && !post, lit(1L)).as("n_c0"), cell(!t && !post, q).as("s_c0"))
+        .withColumn("did_qty", round(
+          (col("s_tp").cast("double") / col("n_tp")
+            - col("s_t0").cast("double") / col("n_t0"))
+          - (col("s_cp").cast("double") / col("n_cp")
+            - col("s_c0").cast("double") / col("n_c0")), 6))
     }
   )
 }

@@ -213,4 +213,20 @@ class RetailSpec extends SparkSpec {
     assert(rows(probe) >= brute,
       s"sweep max ${rows(probe)} < brute day-scan $brute for $probe")
   }
+
+  test("ship sla: counts nested, every order covered exactly once") {
+    val rows = run("q190_ship_sla").collect()
+    assert(rows.nonEmpty)
+    val nOrders = Tables.orders(spark, sf0001)
+      .join(Tables.lineitem(spark, sf0001),
+        col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders,
+      "every order with lines appears in exactly one priority class")
+    rows.foreach { r =>
+      val (n, s7, s30) = (r.getAs[Long]("n_orders"),
+        r.getAs[Long]("n_within_7d"), r.getAs[Long]("n_within_30d"))
+      assert(s7 <= s30 && s30 <= n, "SLA buckets must nest")
+      assert(math.abs(r.getAs[Double]("sla7_share") - s7.toDouble / n) < 1e-6)
+    }
+  }
 }

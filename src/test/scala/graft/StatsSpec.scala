@@ -206,6 +206,18 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("did uplift: cells partition the table, estimate replays from cells") {
+    val r = run("q189_did_uplift").collect().head
+    val cells = Seq("n_tp", "n_t0", "n_cp", "n_c0").map(r.getAs[Long])
+    assert(cells.forall(_ > 0), "all four DiD cells must be populated")
+    assert(cells.sum == Tables.lineitem(spark, sf0001).count())
+    val Seq(stp, st0, scp, sc0) =
+      Seq("s_tp", "s_t0", "s_cp", "s_c0").map(r.getAs[Long])
+    val did = (stp.toDouble / cells(0) - st0.toDouble / cells(1)) -
+      (scp.toDouble / cells(2) - sc0.toDouble / cells(3))
+    assert(math.abs(r.getAs[Double]("did_qty") - did) < 1e-6)
+  }
+
   test("ols: slope/intercept agree with covar_pop/var_pop built-ins") {
     val rows = run("q173_grouped_ols").collect()
     val x = round(col("l_discount") * 100, 0).cast("long").cast("double")
