@@ -166,9 +166,24 @@ object Bench {
     // guards NUMERIC prefix uniqueness so distinct queries can't collide
     def key(name: String): String =
       name.takeWhile(_ != '_').stripPrefix("q").toInt.toString
-    val qs = results.map { case (k, v) =>
+    // The per-query map carries the SLOWEST ≤150 entries only (since late
+    // round 8, when the registry outgrew the all-entries worst case): the
+    // omitted fast tail is summarized by n_omitted/omitted_total so the
+    // accounting still closes, and stderr keeps every query at 3
+    // decimals. This bounds the line for ANY registry size — a
+    // throttle-inflated run can slow queries down but cannot add entries.
+    val MaxEntries = 150
+    val shown: Set[String] =
+      if (results.size <= MaxEntries) results.map(_._1).toSet
+      else results.sortBy(-_._2).take(MaxEntries).map(_._1).toSet
+    val omitted = results.filterNot(r => shown(r._1))
+    val qs = results.filter(r => shown(r._1)).map { case (k, v) =>
       "\"" + key(k) + "\":" + cs(v)
     }.mkString("{", ",", "}")
+    val omitJson =
+      if (omitted.isEmpty) ""
+      else s""","n_omitted":${omitted.size},"omitted_total":${cs(
+        omitted.map(_._2).filter(_ > 0).sum)}"""
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
@@ -181,7 +196,7 @@ object Bench {
       case s if s.matches("(0|[1-9][0-9]*)(\\.[0-9]+)?") => s
       case _ => "\"" + esc(sfDir) + "\""
     }
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":$sf,"n_queries":${results.size},"n_errors":${errors.size}$errJson,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":$sf,"n_queries":${results.size},"n_errors":${errors.size}$errJson$omitJson,"queries":$qs}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — nearing the driver's 2000-char stdout tail")
     println(line)

@@ -22,7 +22,8 @@ object SparkEntry {
     ops.Retrieval.queries ++
     ops.Profiling.queries ++
     ops.Retail.queries ++
-    ops.Stats.queries
+    ops.Stats.queries ++
+    ops.Conformance.queries
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")

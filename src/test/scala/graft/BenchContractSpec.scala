@@ -27,14 +27,21 @@ class BenchContractSpec extends AnyFunSuite {
     // "-1", 1 decimal below 10 s, integer 10–999 s — Bench.compactSecs),
     // so key+7 is a guaranteed worst-case bound per entry, not a
     // typical+spare estimate: even a fully throttle-inflated run cannot
-    // grow the line past this sum.
+    // grow the line past this sum. Since late round 8 the map carries the
+    // SLOWEST ≤150 entries (the registry outgrew the all-entries bound at
+    // 190); the omitted tail adds the fixed n_omitted/omitted_total keys.
+    // The worst case below takes the 150 LONGEST keys — whichever queries
+    // turn out slowest, their rendered entries cannot exceed that sum.
     // Header/banner calibrated against a measured round-8 line (1587
     // chars total at 159 queries; header ≤ 103 observed, banner ~75) with
     // margin. Error maps (60-char-capped messages, failure runs only) are
     // excluded — a failing bench may clip, a healthy one must not.
-    val entries = SparkEntry.registry
+    val keyLens = SparkEntry.registry
       .map(_.name.takeWhile(_ != '_').stripPrefix("q").toInt.toString)
-      .map(_.length + 7).sum
+      .map(_.length + 7).sorted.reverse
+    val entries = keyLens.take(150).sum +
+      (if (SparkEntry.registry.size > 150)
+        ""","n_omitted":NNN,"omitted_total":NNN""".length else 0)
     val header = 110 // {"metric":"total","value":NNN.NNN,...,"queries":{
     val sbtBanner = 85 // trailing "[success] Total time: ..." line
     assert(header + entries + sbtBanner <= 2000,

@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.Conformance
+import org.apache.spark.sql.functions._
+
+class ConformanceSpec extends SparkSpec {
+
+  private def run(name: String) =
+    Conformance.queries.find(_.name == name).get.fn(spark, sf0001)
+
+  test("null semantics: the three-valued-logic identities hold per group") {
+    val rows = run("q191_null_semantics").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nn, nnn) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"),
+        r.getAs[Long]("n_not_null"))
+      assert(nn > 0, "quantity 50 must occur in every returnflag group")
+      assert(nn + nnn == n, "COUNT(*) = nulls + non-nulls")
+      // aggregates skip NULLs: max came from the non-null domain (< 50)
+      assert(r.getAs[Long]("max_q") < 50 && r.getAs[Long]("min_q") >= 1)
+      // null-safe equality matches exactly the NULL rows
+      assert(r.getAs[Long]("n_nullsafe_null") == nn)
+      // q > 0 is UNKNOWN for NULLs, so it counts only non-null rows
+      assert(r.getAs[Long]("n_cmp_true") == nnn)
+      // GROUP BY folds all NULLs into ONE group
+      assert(r.getAs[Long]("n_groups") == r.getAs[Long]("n_distinct") + 1)
+    }
+  }
+
+  test("padding audit: shards partition the corpus, waste bounded below max-pad") {
+    val rows = run("q192_padding_audit").collect()
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val (nd, nb) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_buckets"))
+      assert(nb >= 1 && nb <= 16 && nd >= nb)
+      val (sc, pc) = (r.getAs[Long]("sum_chars"), r.getAs[Long]("pad_chars"))
+      assert(pc >= 0 && pc + sc == pc + sc) // pad nonneg
+      val ratio = r.getAs[Double]("pad_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(math.abs(ratio - pc.toDouble / (pc + sc)) < 1e-6,
+        "ratio must recompute from the emitted integers")
+    }
+  }
+}
