@@ -117,6 +117,105 @@ object Conformance {
             / sum(col("n") * col("max_chars")).cast("double"), 6)
             .as("pad_ratio"))
         .orderBy(col("shard"))
+    },
+
+    // Incremental view maintenance algebra — the refresh path a nightly
+    // 100-TB rollup actually takes: the materialized aggregate over the
+    // base partition (days ≤ 25) absorbs a late-arriving delta partition
+    // (days > 25) by MERGING PARTIALS (count/sum add, min/max fold) with
+    // NO rescan of the base. The merged per-type rows must equal the
+    // full recompute bit-for-bit — emitted side by side with equality
+    // booleans the oracle pins TRUE, plus the exact merged values it
+    // recomputes from scratch.
+    Q("q193_incremental_refresh",
+      """WITH full_agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS s,
+        |         CAST(min(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS mn,
+        |         CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS mx
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events, s AS sum_cents,
+        |       mn AS min_cents, mx AS max_cents,
+        |       TRUE AS merge_matches_full
+        |FROM full_agg ORDER BY event_type""".stripMargin) { (s, d) =>
+      val cents = round(col("value") * 100, 0).cast("long")
+      def part(cond: org.apache.spark.sql.Column) = Tables.events(s, d)
+        .filter(cond)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(cents).cast("long").as("s"),
+          min(cents).cast("long").as("mn"), max(cents).cast("long").as("mx"))
+      val base = part(dayofmonth(col("ts")) <= 25)
+      val delta = part(dayofmonth(col("ts")) > 25)
+      // partial-merge WITHOUT touching base rows again: full outer on the
+      // group key, additive counts/sums, least/greatest extrema
+      val merged = base.as("b")
+        .join(delta.as("o"), Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("b.n"), lit(0L)) + coalesce(col("o.n"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("b.s"), lit(0L)) + coalesce(col("o.s"), lit(0L)))
+            .as("sum_cents"),
+          least(coalesce(col("b.mn"), col("o.mn")),
+            coalesce(col("o.mn"), col("b.mn"))).as("min_cents"),
+          greatest(coalesce(col("b.mx"), col("o.mx")),
+            coalesce(col("o.mx"), col("b.mx"))).as("max_cents"))
+      val full = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("fn"),
+          sum(cents).cast("long").as("fs"),
+          min(cents).cast("long").as("fmn"), max(cents).cast("long")
+            .as("fmx"))
+      merged.join(full, "event_type")
+        .select(col("event_type"), col("n_events"), col("sum_cents"),
+          col("min_cents"), col("max_cents"),
+          (col("n_events") === col("fn") && col("sum_cents") === col("fs") &&
+            col("min_cents") === col("fmn") &&
+            col("max_cents") === col("fmx")).as("merge_matches_full"))
+        .orderBy(col("event_type"))
+    },
+
+    // Exact weighted median of the unit price, quantity-weighted — the
+    // "typical transacted price" a pricing team wants (the unweighted
+    // median overweights small orders). Reuses the q166 block-offset CDF
+    // topology over the distinct-unit-price histogram (the corpus
+    // partial-aggregates to one row per distinct cent value; no global
+    // sort): the lower weighted median is the smallest value whose
+    // cumulative weight reaches half the total — all BIGINT, FULL hash.
+    Q("q194_weighted_median",
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100 / l_quantity, 0)
+        |              AS BIGINT) AS v,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS a
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT v, a, coalesce(sum(a) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS ca
+        |  FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+        |             CAST(sum(a) AS BIGINT) AS total_weight FROM c)
+        |SELECT n_values, total_weight,
+        |       CAST((SELECT min(v) FROM w, t WHERE 2 * (ca + a)
+        |              >= total_weight) AS BIGINT) AS wmedian_cents
+        |FROM t""".stripMargin) { (s, d) =>
+      val counts = Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100 / col("l_quantity"), 0)
+          .cast("long").as("v"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("v")).agg(sum(col("w")).as("a"))
+        .withColumn("b", lit(0L))
+      val cum = Stats.withCumBelow(counts).localCheckpoint(true)
+      val tot = cum.agg(count(lit(1)).cast("long").as("n_values"),
+        sum(col("a")).cast("long").as("total_weight"))
+      cum.crossJoin(broadcast(tot))
+        .filter(lit(2) * (col("ca") + col("a")) >= col("total_weight"))
+        .groupBy(col("n_values"), col("total_weight"))
+        .agg(min(col("v")).cast("long").as("wmedian_cents"))
+        .select(col("n_values"), col("total_weight"), col("wmedian_cents"))
     }
   )
 }

@@ -42,4 +42,31 @@ class ConformanceSpec extends SparkSpec {
         "ratio must recompute from the emitted integers")
     }
   }
+
+  test("incremental refresh: merged partials equal the full recompute") {
+    val rows = run("q193_incremental_refresh").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_matches_full"),
+        s"partial merge diverged for ${r.getAs[String]("event_type")}")
+    }
+    val total = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+  }
+
+  test("weighted median: exact rank condition holds on a driver replay") {
+    val r = run("q194_weighted_median").collect().head
+    val (w, med) = (r.getAs[Long]("total_weight"),
+      r.getAs[Long]("wmedian_cents"))
+    val vals = Tables.lineitem(spark, sf0001)
+      .select(round(col("l_extendedprice") * 100 / col("l_quantity"), 0)
+        .cast("long").as("v"), col("l_quantity").cast("long").as("q"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(vals.map(_._2).sum == w)
+    val below = vals.filter(_._1 < med).map(_._2).sum
+    val atOrBelow = vals.filter(_._1 <= med).map(_._2).sum
+    // lower weighted median: cum(< med) < W/2 <= cum(<= med)
+    assert(2 * below < w && 2 * atOrBelow >= w,
+      s"median $med violates the weighted rank condition")
+  }
 }
