@@ -373,7 +373,10 @@ object Retail {
         |FROM rnk ORDER BY rk, nk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val nt = Tables.orders(s, d)
-        .filter(year(col("o_orderdate")) === 1997)
+        // half-open range, not year() = 1997: the range form reaches the
+        // parquet scan as PushedFilters (a function call never does)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
         .join(Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
@@ -427,7 +430,9 @@ object Retail {
         |FROM pm JOIN b ON pm.pk = b.pk
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val pm = Tables.lineitem(s, d)
-        .filter(year(col("l_shipdate")) === 1997)
+        // range form for parquet pushdown (see q178)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
         .groupBy(col("l_partkey").as("pk"),
           month(col("l_shipdate")).cast("int").as("mo"))
         .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
