@@ -1011,6 +1011,84 @@ object Events {
           sum(col("k")).cast("long").as("sum_k"),
           count(col("miss")).cast("long").as("n_absent_hits"))
         .orderBy(col("bucket"))
+    },
+
+    // Abandonment cohorts — q182's complement: of the users who viewed,
+    // how many NEVER purchased within 72 h of their first view, cohorted
+    // by first-view day. The "did a qualifying purchase exist" probe is a
+    // conditional aggregate folded into the SAME keyed reduction as the
+    // join (no second pass, no anti join over raw rows): both sides
+    // reduce per-user first, the purchase leg joins co-partitioned on
+    // user_id with a LEFT join so never-purchasers survive, and the
+    // cohort rollup is a ≤31-row aggregate. Exact integers only.
+    Q("q195_abandonment",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS fv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT v.user_id,
+        |         CAST(max(CASE WHEN e.ts >= v.fv
+        |                        AND e.ts < v.fv + INTERVAL 72 HOUR
+        |                       THEN 1 ELSE 0 END) AS INT) AS converted
+        |  FROM v LEFT JOIN events e
+        |    ON v.user_id = e.user_id AND e.event_type = 'purchase'
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(day(v.fv) AS INT) AS cohort_day,
+        |         coalesce(p.converted, 0) AS converted
+        |  FROM v JOIN p ON v.user_id = p.user_id)
+        |SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_viewers,
+        |       CAST(sum(1 - converted) AS BIGINT) AS n_abandoned,
+        |       round(CAST(sum(1 - converted) AS DOUBLE) / count(*), 6)
+        |         AS abandon_rate
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
+      val conv = fv
+        .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts")), Seq("user_id"),
+          "left")
+        .groupBy(col("user_id"), col("fv"))
+        .agg(max(when(col("pts") >= col("fv") &&
+          col("pts") < col("fv") + expr("INTERVAL 72 HOUR"), 1)
+          .otherwise(0)).as("converted"))
+      conv
+        .groupBy(dayofmonth(col("fv")).cast("int").as("cohort_day"))
+        .agg(count(lit(1)).cast("long").as("n_viewers"),
+          sum(lit(1) - col("converted")).cast("long").as("n_abandoned"),
+          round(sum(lit(1) - col("converted")).cast("double")
+            / count(lit(1)), 6).as("abandon_rate"))
+        .orderBy(col("cohort_day"))
+    },
+
+    // Ordered string aggregation (LISTAGG semantics) — the "render the
+    // group as a canonical delimited string" op, pinned across engines by
+    // an explicit total order: Spark sorts the collected list
+    // (sort_array ∘ collect_list — collect order is nondeterministic,
+    // the sort is what makes it canonical), DuckDB orders inside
+    // string_agg. The md5 of each rendered string pins every byte.
+    // Scale: group payloads here are dimension-sized (nations/region);
+    // for fact-scale groups the canonical-string op itself is the
+    // anti-pattern — that contract lives in the doc, the op exists for
+    // dimension rendering.
+    Q("q196_ordered_listagg",
+      """SELECT r_name,
+        |       CAST(count(*) AS BIGINT) AS n_nations,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       md5(string_agg(n_name, ',' ORDER BY n_name)) AS nations_md5
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val joined = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+      joined.groupBy(col("r_name"))
+        .agg(count(lit(1)).cast("long").as("n_nations"),
+          concat_ws(",", sort_array(collect_list(col("n_name"))))
+            .as("nations"))
+        .select(col("r_name"), col("n_nations"), col("nations"),
+          md5(col("nations").cast("binary")).as("nations_md5"))
+        .orderBy(col("r_name"))
     }
   )
 }

@@ -300,4 +300,34 @@ class EventsSpec extends SparkSpec {
         "variant_get on a missing path must be null for every row")
     }
   }
+
+  test("abandonment: cohorts cover every viewer, complements q182 conversions") {
+    val rows = ops.Events.queries.find(_.name == "q195_abandonment").get
+      .fn(spark, sf0001).collect()
+    val viewers = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_viewers")).sum == viewers,
+      "every viewer lands in exactly one first-view cohort")
+    rows.foreach { r =>
+      val (n, a) = (r.getAs[Long]("n_viewers"), r.getAs[Long]("n_abandoned"))
+      assert(a <= n)
+      assert(math.abs(r.getAs[Double]("abandon_rate") - a.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("ordered listagg: rendered strings replay from collected names") {
+    val rows = ops.Events.queries.find(_.name == "q196_ordered_listagg").get
+      .fn(spark, sf0001).collect()
+    assert(rows.length == 5, "five regions")
+    rows.foreach { r =>
+      val names = r.getAs[String]("nations").split(",")
+      assert(names.length == r.getAs[Long]("n_nations"))
+      assert(names.toSeq == names.toSeq.sorted, "canonical order is sorted")
+      val md5ref = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getAs[String]("nations").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("nations_md5") == md5ref)
+    }
+  }
 }
