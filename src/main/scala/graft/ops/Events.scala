@@ -1089,6 +1089,67 @@ object Events {
         .select(col("r_name"), col("n_nations"), col("nations"),
           md5(col("nations").cast("binary")).as("nations_md5"))
         .orderBy(col("r_name"))
+    },
+
+    // Streaming checkpoint-restart recovery — the exactly-once property
+    // every production stream rests on and no other query exercises: a
+    // file-source stream aggregates batch 1 (the full event corpus) under
+    // a checkpoint, STOPS, a late file (the purchase rows) lands, and a
+    // SECOND query instance resumes from the same checkpoint. The source
+    // log must replay NOTHING (the resumed run may ingest only the new
+    // file's rows — asserted in-engine from StreamingQueryProgress) and
+    // lose nothing (the final complete-mode state must equal the batch
+    // aggregate of corpus ⊎ purchases, exact cents — the oracle
+    // recomputes it). Scratch input/checkpoint dirs are wiped per
+    // invocation so the query is idempotent within a session.
+    Q("q197_stream_recovery",
+      """WITH u AS (
+        |  SELECT event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_type, value FROM events WHERE event_type = 'purchase')
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       TRUE AS resumed_incrementally
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import java.nio.file.{Files, Paths}
+      val root = Sources.scratchDir(s, "graft_ckpt")
+      val (inDir, ckDir) = (s"$root/input", s"$root/checkpoint")
+      Seq(inDir, ckDir).foreach { p =>
+        val path = Paths.get(p)
+        if (Files.exists(path)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(path).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
+      }
+      val batch = Tables.events(s, d).select(col("event_type"), col("value"))
+      // batch 1: the full corpus lands as the first source file(s)
+      batch.write.mode("overwrite").parquet(s"$inDir/f1")
+      val schema = batch.schema
+      def agg = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$inDir/*")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).cast("long")
+            .as("sum_cents"))
+      def runOnce(name: String): Long = {
+        val q = agg.writeStream.outputMode("complete").format("memory")
+          .queryName(name).option("checkpointLocation", ckDir).start()
+        try { q.processAllAvailable() } finally q.stop()
+        q.recentProgress.map(_.numInputRows).sum
+      }
+      runOnce("q197_run1")
+      // a late file lands while the stream is DOWN
+      val delta = batch.filter(col("event_type") === "purchase")
+      delta.write.mode("overwrite").parquet(s"$inDir/f2")
+      val nDelta = delta.count()
+      val resumedRows = runOnce("q197_run2")
+      // the resumed instance may ingest AT MOST the new file (zero if the
+      // final batch was planned before stop; never a replay of file 1)
+      s.table("q197_run2")
+        .withColumn("resumed_incrementally", lit(resumedRows <= nDelta))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -330,4 +330,27 @@ class EventsSpec extends SparkSpec {
       assert(r.getAs[String]("nations_md5") == md5ref)
     }
   }
+
+  test("stream recovery: resumed state equals batch corpus-plus-delta exactly") {
+    val rows = ops.Events.queries.find(_.name == "q197_stream_recovery").get
+      .fn(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"),
+          r.getAs[Boolean]("resumed_incrementally"))).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(_._3),
+      "the resumed run must not replay already-checkpointed files")
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("s"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    batch.foreach { case (t, (n, sm)) =>
+      val mult = if (t == "purchase") 2 else 1 // the delta re-lands purchases
+      assert(rows(t)._1 == mult * n, s"$t count after recovery")
+      assert(rows(t)._2 == mult * sm, s"$t cents after recovery")
+    }
+  }
 }
