@@ -20,6 +20,38 @@ object Relational {
     * fact⋈dim left joins (Scripts/etl.py:35-36) + date features
     * (etl.py:49-52) + per-key lag/trailing-avg window (etl.py:61-65) +
     * group top-k (eda.py:129) — transplanted to the test schema. */
+  /** TPC-H Q5-shaped 6-table join (local-supplier volume) — see queries. */
+  def localSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val dpct = round(col("l_discount") * 100, 0).cast("long")
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), cents.as("cents"),
+          dpct.as("dpct")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("cents") * (lit(100L) - col("dpct"))).cast("long")
+        .as("rev_c4"),
+        count(lit(1)).cast("long").as("n_lines"))
+      .orderBy(col("rev_c4").desc, col("n_name"))
+  }
+
   def flagship(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir)
@@ -810,6 +842,78 @@ object Relational {
             .as("hi_cents"),
           col("n"), col("sum_cents"))
         .orderBy("bucket")
+    },
+
+    // TPC-H Q5-shaped local-supplier volume: the SIX-table join-planning
+    // showcase (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈
+    // region) with the classic c_nationkey = s_nationkey "local" twist —
+    // the join that punishes a bad order at 100 TB. Plan choices: the
+    // date filter pushes to the orders scan (half-open range, q178
+    // lesson); customer/orders/lineitem/supplier shuffle-join on their
+    // natural keys (all big at scale, AQE free to re-plan); only the
+    // dimension tail (nation, filtered region) broadcasts. Revenue
+    // Σ cents·(100−disc_pct) stays in exact BIGINT hundredths-of-cents.
+    Q("q198_local_supplier_volume",
+      """SELECT n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |            AS BIGINT) AS rev_c4,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |              AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY rev_c4 DESC, n_name""".stripMargin)(
+      localSupplierVolume),
+
+    // Dominant-supplier audit (the TPC-H Q20 nesting shape): which
+    // (part, supplier) pairs shipped MORE than every other supplier of
+    // that part combined in 1997? Two-level aggregation — lineitem
+    // reduces to (part, supplier) quantity sums in one partial-aggregated
+    // scan, per-part totals reduce that frame again, and the dominance
+    // probe is a co-partitioned join back on the part key (both sides
+    // already hash-partitioned by pk: no extra exchange under AQE).
+    // Single-supplier parts are excluded (dominance is vacuous). All
+    // integers, FULL hash.
+    Q("q199_dominant_supplier",
+      """WITH pq AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT pk, CAST(sum(q) AS BIGINT) AS tq,
+        |               count(*) AS n_sup FROM pq GROUP BY 1),
+        |dom AS (
+        |  SELECT pq.pk, pq.sk, pq.q FROM pq JOIN tot ON pq.pk = tot.pk
+        |  WHERE 2 * pq.q > tot.tq AND tot.n_sup > 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dominant_pairs,
+        |       CAST(count(DISTINCT sk) AS BIGINT) AS n_suppliers,
+        |       CAST(count(DISTINCT pk) AS BIGINT) AS n_parts,
+        |       CAST(coalesce(sum(q), 0) AS BIGINT) AS dominated_qty
+        |FROM dom""".stripMargin) { (s, d) =>
+      val pq = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(sum(col("l_quantity").cast("long")).cast("long").as("q"))
+        .localCheckpoint(true) // per-part totals + the dominance probe
+      val tot = pq.groupBy(col("pk"))
+        .agg(sum(col("q")).cast("long").as("tq"),
+          count(lit(1)).as("n_sup"))
+      pq.join(tot, "pk")
+        .filter(lit(2) * col("q") > col("tq") && col("n_sup") > 1)
+        .agg(count(lit(1)).cast("long").as("n_dominant_pairs"),
+          countDistinct(col("sk")).cast("long").as("n_suppliers"),
+          countDistinct(col("pk")).cast("long").as("n_parts"),
+          coalesce(sum(col("q")), lit(0L)).cast("long").as("dominated_qty"))
     }
   )
 }

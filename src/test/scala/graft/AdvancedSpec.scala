@@ -190,4 +190,47 @@ class AdvancedSpec extends SparkSpec {
     assert(rows == expect.toMap,
       s"recursive census ${rows.toSeq.sortBy(_._1)} != replay ${expect.toSeq.sortBy(_._1)}")
   }
+
+  test("local supplier volume: six-table join matches the two-step replay") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = graft.ops.Relational.queries
+      .find(_.name == "q198_local_supplier_volume").get.fn(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty, "ASIA local-supplier lines exist at every SF")
+    val revs = rows.map(_.getAs[Long]("rev_c4")).toSeq
+    assert(revs == revs.sorted.reverse)
+    // independent replay: count the same join via a different composition
+    // (semi-join chain instead of the 6-way inner join)
+    val asiaNations = Tables.nation(spark, sf0001)
+      .join(Tables.region(spark, sf0001)
+        .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")).collect()
+      .map(_.get(0).asInstanceOf[Number].longValue).toSet
+    val nLines = rows.map(_.getAs[Long]("n_lines")).sum
+    val replay = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf0001),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .filter(col("s_nationkey").isin(asiaNations.toSeq: _*))
+      .count()
+    assert(nLines == replay, s"6-way join lines $nLines != replay $replay")
+  }
+
+  test("dominant supplier: dominance is unique per part") {
+    val r = graft.ops.Relational.queries
+      .find(_.name == "q199_dominant_supplier").get.fn(spark, sf0001)
+      .collect().head
+    // strict majority ⇒ at most one dominant supplier per part
+    assert(r.getAs[Long]("n_dominant_pairs") == r.getAs[Long]("n_parts"),
+      "a part can have at most one strict-majority supplier")
+    assert(r.getAs[Long]("n_suppliers") <= r.getAs[Long]("n_dominant_pairs"))
+    assert(r.getAs[Long]("dominated_qty") >= r.getAs[Long]("n_dominant_pairs"))
+  }
 }
