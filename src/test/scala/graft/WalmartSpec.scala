@@ -104,4 +104,26 @@ class WalmartSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/eda_null_counts.parquet").count() == 1)
     assert(spark.read.parquet(s"$outDir/test_predictions.parquet").count() == 2)
   }
+
+  test("corpus pipeline: funnel is monotone and stages compose") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Composition.queries
+      .find(_.name == "q200_corpus_pipeline").get.fn(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"))).toMap
+    assert(rows.keySet ==
+      Set("0_all", "1_lang", "2_quality", "3_dedup", "4_mix"))
+    val order = Seq("0_all", "1_lang", "2_quality", "3_dedup", "4_mix")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(a)._1 >= rows(b)._1, s"funnel must shrink: $a -> $b")
+      assert(rows(a)._2 >= rows(b)._2)
+      case _ =>
+    }
+    assert(rows("0_all")._1 ==
+      Tables.documents(spark, sf0001).count())
+    assert(rows("1_lang")._1 == Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en").count())
+    assert(rows("4_mix")._1 > 0, "the mix stage must keep something")
+  }
 }
