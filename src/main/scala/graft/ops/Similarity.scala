@@ -582,6 +582,55 @@ object Similarity {
             .as("complete_ok"),
           (col("n_candidates") * 2 < col("n_vectors") * 5).as("pruning_ok"),
           (col("n_hit") >= col("n_exact") * 0.04).as("recall_ok"))
+    },
+
+    // Inter-class centroid separation — the embedding-quality report a
+    // training run publishes next to its clustering (q41): pairwise
+    // cosine between label centroids. Two scale tricks: cosine is
+    // SCALE-INVARIANT, so the per-label SUM vector stands in for the
+    // centroid (no count division, exact reduction shape), and the
+    // vectors decompose to (label, dim, partial-sum) rows that
+    // partial-aggregate map-side — the 64-dim × 10-label centroid frame
+    // is all that shuffles, and the pairwise dot is a dim-keyed join on
+    // that tiny frame. FULL-hash oracle: DuckDB replays the same sums via
+    // unnest WITH ORDINALITY.
+    Q("q201_label_separation",
+      """WITH e AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT label, dim, sum(v) AS s FROM e GROUP BY 1, 2),
+        |n2 AS (SELECT label, sum(s * s) AS n2 FROM cent GROUP BY 1),
+        |d AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |         sum(a.s * b.s) AS dot
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |       round(dot / sqrt(na.n2 * nb.n2), 6) AS centroid_cos
+        |FROM d JOIN n2 na ON label_a = na.label
+        |JOIN n2 nb ON label_b = nb.label
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("v").cast("double")).as("cs"))
+        .localCheckpoint(true) // both pair sides + the norm frame
+      val n2 = cent.groupBy(col("label"))
+        .agg(sum(col("cs") * col("cs")).as("n2"))
+      val dots = cent.toDF("la", "dim", "sa")
+        .join(broadcast(cent.toDF("lb", "dim", "sb")), Seq("dim"))
+        .filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(sum(col("sa") * col("sb")).as("dot"))
+      dots
+        .join(broadcast(n2.toDF("la", "n2a")), "la")
+        .join(broadcast(n2.toDF("lb", "n2b")), "lb")
+        .select(col("la").as("label_a"), col("lb").as("label_b"),
+          round(col("dot") / sqrt(col("n2a") * col("n2b")), 6)
+            .as("centroid_cos"))
+        .orderBy(col("label_a"), col("label_b"))
     }
   )
 

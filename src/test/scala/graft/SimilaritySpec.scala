@@ -106,4 +106,33 @@ class SimilaritySpec extends SparkSpec {
     assert(q.getAs[Boolean]("complete_ok") && q.getAs[Boolean]("pruning_ok") &&
       q.getAs[Boolean]("recall_ok"))
   }
+
+  test("label separation: full pair matrix, cosines bounded, one pair replayed") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q201_label_separation")(spark, sf0001)
+      .collect()
+    val labels = Tables.embeddings(spark, sf0001)
+      .select(col("label")).distinct().count().toInt
+    assert(rows.length == labels * (labels - 1) / 2, "every unordered pair")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("centroid_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getAs[Int]("label_a") < r.getAs[Int]("label_b"))
+    }
+    // replay one pair centroid-cosine from raw vectors on the driver
+    val (la, lb) = (rows.head.getAs[Int]("label_a"),
+      rows.head.getAs[Int]("label_b"))
+    def centroid(l: Int): Array[Double] = {
+      val vs = Tables.embeddings(spark, sf0001)
+        .filter(col("label") === l).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      val out = new Array[Double](vs.head.length)
+      vs.foreach(v => v.indices.foreach(i => out(i) += v(i)))
+      out
+    }
+    val (ca, cb) = (centroid(la), centroid(lb))
+    val dot = ca.indices.map(i => ca(i) * cb(i)).sum
+    val cosRef = dot / math.sqrt(ca.map(x => x * x).sum * cb.map(x => x * x).sum)
+    assert(math.abs(rows.head.getAs[Double]("centroid_cos") - cosRef) < 1e-5)
+  }
 }
