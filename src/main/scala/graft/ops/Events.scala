@@ -1150,6 +1150,50 @@ object Events {
       s.table("q197_run2")
         .withColumn("resumed_incrementally", lit(resumedRows <= nDelta))
         .orderBy(col("event_type"))
+    },
+
+    // Audience-overlap matrix — the segment-planning read: for every pair
+    // of event types, how many users did BOTH, and the Jaccard of the two
+    // audiences. Scale shape: the corpus reduces to DISTINCT (user, type)
+    // rows in one pass; the pair enumeration is a self-join on user_id
+    // (each user expands to at most |types|² = 25 pairs, bounded by the
+    // type domain, co-partitioned on the key), and the audience sizes
+    // broadcast back onto the 10-row pair frame. Exact counts, rounded
+    // Jaccard.
+    Q("q202_audience_overlap",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS na
+        |      FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, na.na AS n_a, nb.na AS n_b,
+        |       round(CAST(n_both AS DOUBLE)
+        |             / (na.na + nb.na - n_both), 6) AS jaccard
+        |FROM p JOIN n na ON type_a = na.event_type
+        |JOIN n nb ON type_b = nb.event_type
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(true) // both pair sides + the audience sizes
+      val n = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("na"))
+      val pairs = ut.toDF("user_id", "type_a")
+        .join(ut.toDF("user_id", "type_b"), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).cast("long").as("n_both"))
+      pairs
+        .join(broadcast(n.toDF("type_a", "n_a")), "type_a")
+        .join(broadcast(n.toDF("type_b", "n_b")), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+          col("n_b"),
+          round(col("n_both").cast("double")
+            / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
     }
   )
 }

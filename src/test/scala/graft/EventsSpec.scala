@@ -353,4 +353,20 @@ class EventsSpec extends SparkSpec {
       assert(rows(t)._2 == mult * sm, s"$t cents after recovery")
     }
   }
+
+  test("audience overlap: set algebra holds for every pair") {
+    val rows = ops.Events.queries.find(_.name == "q202_audience_overlap").get
+      .fn(spark, sf0001).collect()
+    val nTypes = Tables.events(spark, sf0001)
+      .select(col("event_type")).distinct().count().toInt
+    assert(rows.length == nTypes * (nTypes - 1) / 2)
+    rows.foreach { r =>
+      val (both, a, b) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(both <= math.min(a, b), "intersection bounded by either side")
+      val j = r.getAs[Double]("jaccard")
+      assert(math.abs(j - both.toDouble / (a + b - both)) < 1e-6)
+      assert(j >= 0 && j <= 1)
+    }
+  }
 }
