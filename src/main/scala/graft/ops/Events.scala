@@ -1194,6 +1194,125 @@ object Events {
           round(col("n_both").cast("double")
             / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
         .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // DYNAMIC-gap sessionization — q25's fixed 30-minute gap generalized
+    // to per-event gaps (purchases hold a session open 60 min, errors
+    // 5 min, the rest 30): a session ends only when an event starts at or
+    // after the RUNNING MAX of every previous event's (ts + its own gap).
+    // That running-max-end is the algorithmic difference from q25's
+    // adjacent-lag test — a long-gap event can bridge across several
+    // short-gap ones. All comparisons run in exact epoch MICROSECONDS
+    // (unix_micros ≙ epoch_us), so no interval-boundary semantics can
+    // drift between engines. Windows partition by user — fully parallel.
+    Q("q203_dynamic_sessions",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         epoch_us(ts) AS t_us,
+        |         epoch_us(ts) + CASE event_type
+        |           WHEN 'purchase' THEN 3600000000
+        |           WHEN 'error' THEN 300000000
+        |           ELSE 1800000000 END AS end_us
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, t_us, end_us,
+        |         CASE WHEN max(end_us) OVER (PARTITION BY user_id
+        |                ORDER BY t_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                IS NULL
+        |              OR t_us >= max(end_us) OVER (PARTITION BY user_id
+        |                ORDER BY t_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, is_new,
+        |         sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY t_us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |per AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(max(n) AS BIGINT) AS max_session_n
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tUs = unix_micros(col("ts").cast("timestamp"))
+      val gapUs = when(col("event_type") === "purchase", 3600000000L)
+        .when(col("event_type") === "error", 300000000L)
+        .otherwise(1800000000L)
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val prevEnd = max(col("end_us")).over(wPrev)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), tUs.as("t_us"),
+          (tUs + gapUs).as("end_us"))
+        .withColumn("is_new",
+          when(prevEnd.isNull || col("t_us") >= prevEnd, 1).otherwise(0))
+        .withColumn("sid", sum(col("is_new")).over(wCum))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("n")).cast("long").as("n_events"),
+          max(col("n")).cast("long").as("max_session_n"))
+        .orderBy(col("user_id"))
+    },
+
+    // Right-to-be-forgotten purge cascade — the compliance sweep: users
+    // whose LAST event is a tombstone (q181's erased set) cascade through
+    // the schema: their event rows, their orders (user_id ≙ o_custkey),
+    // and the line items of those orders. Every hop is a keyed semi join
+    // (bloom-reducible at scale; the erased-user set itself is a
+    // struct-max aggregate, never a window), and the report is the exact
+    // row counts a deletion job would have to rewrite.
+    Q("q204_purge_cascade",
+      """WITH last AS (
+        |  SELECT user_id,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS del,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |erased AS (SELECT user_id FROM last WHERE rn = 1 AND del = 1),
+        |ev AS (SELECT CAST(count(*) AS BIGINT) AS ev_rows FROM events
+        |       WHERE user_id IN (SELECT user_id FROM erased)),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS ord_rows FROM orders
+        |      WHERE o_custkey IN (SELECT user_id FROM erased)),
+        |l AS (SELECT CAST(count(*) AS BIGINT) AS li_rows FROM lineitem
+        |      WHERE l_orderkey IN (
+        |        SELECT o_orderkey FROM orders
+        |        WHERE o_custkey IN (SELECT user_id FROM erased)))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM erased)
+        |         AS n_erased_users,
+        |       ev_rows, ord_rows, li_rows
+        |FROM ev, o, l""".stripMargin) { (s, d) =>
+      val erased = Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            (col("event_type") === "error").cast("int").as("del")).as("op"))
+        .groupBy(col("user_id")).agg(max(col("op")).as("last"))
+        .filter(col("last.del") === 1)
+        .select(col("user_id"))
+        .localCheckpoint(true) // three cascade hops reuse the erased set
+      val evRows = Tables.events(s, d)
+        .join(erased, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("ev_rows"))
+      val ords = Tables.orders(s, d)
+        .join(erased.withColumnRenamed("user_id", "o_custkey"),
+          Seq("o_custkey"), "left_semi")
+        .localCheckpoint(true) // counted AND joined to lineitem
+      val ordRows = ords.agg(count(lit(1)).cast("long").as("ord_rows"))
+      val liRows = Tables.lineitem(s, d)
+        .join(ords.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("li_rows"))
+      erased.agg(count(lit(1)).cast("long").as("n_erased_users"))
+        .crossJoin(broadcast(evRows))
+        .crossJoin(broadcast(ordRows))
+        .crossJoin(broadcast(liRows))
     }
   )
 }

@@ -369,4 +369,50 @@ class EventsSpec extends SparkSpec {
       assert(j >= 0 && j <= 1)
     }
   }
+
+  test("dynamic sessions: long gaps bridge, counts conserve, one user replayed") {
+    val rows = ops.Events.queries.find(_.name == "q203_dynamic_sessions").get
+      .fn(spark, sf0001).collect()
+    val total = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") >= 1)
+      assert(r.getAs[Long]("max_session_n") <= r.getAs[Long]("n_events"))
+    }
+    // replay one user's running-max-end sessionization on the driver
+    val uid = rows.head.getAs[Long]("user_id")
+    val evs = Tables.events(spark, sf0001)
+      .filter(col("user_id") === uid)
+      .select(unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getString(2)))
+      .sortBy(e => (e._1, e._2))
+    var (maxEnd, sessions) = (Long.MinValue, 0)
+    evs.foreach { case (t, _, tp) =>
+      if (t >= maxEnd) sessions += 1
+      val gap = tp match {
+        case "purchase" => 3600000000L
+        case "error" => 300000000L
+        case _ => 1800000000L
+      }
+      maxEnd = math.max(maxEnd, t + gap)
+    }
+    assert(rows.head.getAs[Long]("n_sessions") == sessions,
+      s"user $uid sessions mismatch replay $sessions")
+  }
+
+  test("purge cascade: hops nest and erased set matches q181") {
+    val r = ops.Events.queries.find(_.name == "q204_purge_cascade").get
+      .fn(spark, sf0001).collect().head
+    val q181 = ops.Events.queries.find(_.name == "q181_cdc_apply").get
+      .fn(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_erased_users") == q181.getAs[Long]("n_tombstoned"),
+      "the purge set IS q181's tombstoned key set")
+    assert(r.getAs[Long]("ev_rows") >= r.getAs[Long]("n_erased_users"),
+      "every erased user has at least their tombstone event")
+    assert(r.getAs[Long]("li_rows") >= r.getAs[Long]("ord_rows") ||
+      r.getAs[Long]("ord_rows") == 0,
+      "every order carries at least one line at these SFs")
+  }
 }
