@@ -1054,6 +1054,50 @@ object Advanced {
           |       CAST(sum(node) AS BIGINT) AS node_sum,
           |       CAST(count(DISTINCT node) AS BIGINT) AS n_distinct
           |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+    },
+
+    // Rolling 7-day distinct users via SKETCH MERGE — the window where
+    // mergeable sketches (q177) earn their keep: exact rolling distinct
+    // must re-scan every window's raw keys (7× the corpus), but per-day
+    // HLL sketches build ONCE and each rolling window is a union of ≤7
+    // tiny binaries — a bounded band join on the ≤|days| sketch frame
+    // (broadcast). The exact rolling distinct IS also computed here, but
+    // only as the in-query yardstick the oracle can recompute and the
+    // 2%-band boolean grades the sketch against — a production rollup
+    // would ship the sketch path alone.
+    Q("q206_rolling_distinct",
+      """WITH days AS (
+        |  SELECT CAST(day(ts) AS INT) AS d, user_id FROM events),
+        |w AS (
+        |  SELECT a.d AS win_day,
+        |         CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_exact
+        |  FROM (SELECT DISTINCT d FROM days) a
+        |  JOIN days b ON b.d BETWEEN a.d - 6 AND a.d
+        |  GROUP BY 1)
+        |SELECT win_day, n_exact, TRUE AS est_ok
+        |FROM w ORDER BY win_day""".stripMargin) { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(dayofmonth(col("ts")).cast("int").as("d"), col("user_id"))
+      // per-day sketches + per-day exact sets reduced ONCE
+      val perDay = days.groupBy(col("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .localCheckpoint(true)
+      val windows = perDay.select(col("d").as("win_day"))
+      val merged = windows
+        .join(broadcast(perDay),
+          col("d") >= col("win_day") - 6 && col("d") <= col("win_day"))
+        .groupBy(col("win_day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = days.alias("b")
+        .join(broadcast(windows),
+          col("d") >= col("win_day") - 6 && col("d") <= col("win_day"))
+        .groupBy(col("win_day"))
+        .agg(countDistinct(col("user_id")).cast("long").as("n_exact"))
+      exact.join(broadcast(merged), "win_day")
+        .select(col("win_day"), col("n_exact"),
+          (abs(col("est").cast("double") - col("n_exact"))
+            <= lit(0.02) * col("n_exact")).as("est_ok"))
+        .orderBy(col("win_day"))
     }
   )
 

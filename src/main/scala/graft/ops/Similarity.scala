@@ -631,6 +631,39 @@ object Similarity {
           round(col("dot") / sqrt(col("n2a") * col("n2b")), 6)
             .as("centroid_cos"))
         .orderBy(col("label_a"), col("label_b"))
+    },
+
+    // Per-dimension embedding distribution audit — the feature-QA pass
+    // before any ANN index is trusted: for every dimension, the median
+    // and IQR across the corpus (a collapsed dimension — zero IQR — or a
+    // shifted median flags a broken encoder batch). Decomposes to
+    // (dim, value) rows map-side; each dimension's exact quantiles run
+    // inside a |dims|-way parallel aggregate (dimension count is the
+    // bounded domain, corpus size only deepens each group's percentile
+    // buffer — at true scale the grouped GK sketch of q118 is the
+    // drop-in). Floats widen to double exactly; quantiles round at 6.
+    Q("q205_embedding_dim_profile",
+      """WITH e AS (
+        |  SELECT generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |       round(quantile_cont(v, 0.5), 6) AS p50,
+        |       round(quantile_cont(v, 0.75) - quantile_cont(v, 0.25), 6)
+        |         AS iqr,
+        |       round(min(v), 6) AS v_min, round(max(v), 6) AS v_max
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim0", "v0")))
+        .select((col("dim0") + 1).as("dim"), col("v0").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(expr("percentile(v, 0.5)"), 6).as("p50"),
+          round(expr("percentile(v, 0.75) - percentile(v, 0.25)"), 6)
+            .as("iqr"),
+          round(min(col("v")), 6).as("v_min"),
+          round(max(col("v")), 6).as("v_max"))
+        .orderBy(col("dim"))
     }
   )
 

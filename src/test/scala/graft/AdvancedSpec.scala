@@ -223,6 +223,32 @@ class AdvancedSpec extends SparkSpec {
     assert(nLines == replay, s"6-way join lines $nLines != replay $replay")
   }
 
+  test("rolling distinct: windows superset their days, sketch bands hold") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Advanced.queries
+      .find(_.name == "q206_rolling_distinct").get.fn(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Int]("win_day") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Boolean]("est_ok"))).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(_._2), "every window inside the 2% band")
+    // each window's rolling distinct dominates its own single day's
+    val perDay = Tables.events(spark, sf0001)
+      .groupBy(dayofmonth(col("ts")).cast("int").as("d"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getAs[Int]("d") -> r.getAs[Long]("u")).toMap
+    rows.foreach { case (d, (ex, _)) =>
+      assert(ex >= perDay(d), s"window $d smaller than its own day")
+    }
+    // rolling counts are monotone under window containment for the first
+    // seven days (window k ⊆ window k+1 there)
+    val first = rows.keys.toSeq.sorted.take(7)
+    first.sliding(2).foreach {
+      case Seq(a, b) => assert(rows(a)._1 <= rows(b)._1)
+      case _ =>
+    }
+  }
+
   test("dominant supplier: dominance is unique per part") {
     val r = graft.ops.Relational.queries
       .find(_.name == "q199_dominant_supplier").get.fn(spark, sf0001)

@@ -135,4 +135,21 @@ class SimilaritySpec extends SparkSpec {
     val cosRef = dot / math.sqrt(ca.map(x => x * x).sum * cb.map(x => x * x).sum)
     assert(math.abs(rows.head.getAs[Double]("centroid_cos") - cosRef) < 1e-5)
   }
+
+  test("dim profile: one row per dimension, IQR nonneg, count = corpus size") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q205_embedding_dim_profile")(spark, sf0001)
+      .collect()
+    val n = Tables.embeddings(spark, sf0001).count()
+    val dims = Tables.embeddings(spark, sf0001)
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(rows.length == dims)
+    assert(rows.map(_.getAs[Int]("dim")).toSeq == (1 to dims))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("iqr") >= 0)
+      assert(r.getAs[Double]("v_min") <= r.getAs[Double]("p50") &&
+        r.getAs[Double]("p50") <= r.getAs[Double]("v_max"))
+    }
+  }
 }
