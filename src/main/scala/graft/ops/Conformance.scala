@@ -3,6 +3,10 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 
+/** Row type for the q207 typed-Dataset path (top-level so the product
+  * encoder derives statically). */
+final case class LiRow(flag: String, qty: Long, cents: Long)
+
 /** SQL-semantics conformance batteries — queries whose POINT is pinning
   * the engine's edge-case semantics (three-valued logic, hash-bucketed
   * batching) against the DuckDB reference, so a regression in either
@@ -216,6 +220,45 @@ object Conformance {
         .groupBy(col("n_values"), col("total_weight"))
         .agg(min(col("v")).cast("long").as("wmedian_cents"))
         .select(col("n_values"), col("total_weight"), col("wmedian_cents"))
+    },
+
+    // Typed Dataset[T] aggregation — the case-class API surface (the
+    // brief's "Dataset[T] where type safety helps"): lineitem rows decode
+    // through a product Encoder, group with groupByKey, and reduce
+    // through a custom typed Aggregator whose buffer is a plain tuple.
+    // The typed path compiles to the SAME partial/final hash-aggregate
+    // plan as the untyped one (object serialization only at the
+    // boundaries), and the oracle pins the results equal to the SQL
+    // formulation — the API changes, the physics doesn't.
+    Q("q207_typed_aggregation",
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.{Encoder, Encoders}
+      import org.apache.spark.sql.expressions.Aggregator
+      val ds = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .as(Encoders.product[LiRow])
+      val agg = new Aggregator[LiRow, (Long, Long, Long), (Long, Long, Long)] {
+        def zero: (Long, Long, Long) = (0L, 0L, Long.MinValue)
+        def reduce(b: (Long, Long, Long), a: LiRow): (Long, Long, Long) =
+          (b._1 + 1, b._2 + a.cents, math.max(b._3, a.qty))
+        def merge(x: (Long, Long, Long), y: (Long, Long, Long)) =
+          (x._1 + y._1, x._2 + y._2, math.max(x._3, y._3))
+        def finish(b: (Long, Long, Long)): (Long, Long, Long) = b
+        def bufferEncoder: Encoder[(Long, Long, Long)] = Encoders.product
+        def outputEncoder: Encoder[(Long, Long, Long)] = Encoders.product
+      }.toColumn
+      ds.groupByKey(_.flag)(Encoders.STRING)
+        .agg(agg.name("stats"))
+        .toDF("flag", "stats")
+        .select(col("flag"), col("stats._1").as("n_rows"),
+          col("stats._2").as("sum_cents"), col("stats._3").as("max_qty"))
+        .orderBy(col("flag"))
     }
   )
 }

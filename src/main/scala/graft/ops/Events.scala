@@ -1313,6 +1313,57 @@ object Events {
         .crossJoin(broadcast(evRows))
         .crossJoin(broadcast(ordRows))
         .crossJoin(broadcast(liRows))
+    },
+
+    // foreachBatch MERGE sink — the "streaming upsert into a lakehouse
+    // table" idiom (the piece q180/q197 don't cover: a custom SINK).
+    // Each micro-batch of an update-mode aggregate carries the keys it
+    // changed with their new totals; the foreachBatch hook merges them
+    // into a versioned parquet state table (previous rows whose keys are
+    // untouched + the updated rows — exactly Delta/Iceberg MERGE compiled
+    // by hand, the q81 pattern driven from a stream). The final version
+    // must equal the batch aggregate in exact cents; merged_ok asserts at
+    // least one merge ran and the version chain advanced monotonically.
+    Q("q208_foreachbatch_merge",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       TRUE AS merged_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.streaming.EventStreams
+      import java.nio.file.{Files, Paths}
+      val root = Sources.scratchDir(s, "graft_febm")
+      val stateRoot = Paths.get(s"$root/state")
+      if (Files.exists(stateRoot)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(stateRoot).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+      @volatile var version = 0
+      val agg = EventStreams.readEvents(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).cast("long")
+            .as("sum_cents"))
+      val q = agg.writeStream.outputMode("update")
+        .foreachBatch { (delta: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val next = version + 1
+          val merged =
+            if (version == 0) delta
+            else s.read.parquet(s"$stateRoot/v$version")
+              .join(delta.select(col("event_type")), Seq("event_type"),
+                "left_anti")
+              .unionByName(delta)
+          merged.write.mode("overwrite").parquet(s"$stateRoot/v$next")
+          version = next
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val ok = version >= 1
+      s.read.parquet(s"$stateRoot/v$version")
+        .withColumn("merged_ok", lit(ok))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -69,4 +69,20 @@ class ConformanceSpec extends SparkSpec {
     assert(2 * below < w && 2 * atOrBelow >= w,
       s"median $med violates the weighted rank condition")
   }
+
+  test("typed aggregation: the Dataset path equals the untyped plan row for row") {
+    val typed = run("q207_typed_aggregation").collect()
+      .map(r => r.getAs[String]("flag") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_cents"),
+          r.getAs[Long]("max_qty"))).toMap
+    val untyped = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("s"),
+        max(col("l_quantity").cast("long")).as("m"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("m"))).toMap
+    assert(typed == untyped, "typed and untyped aggregation must agree")
+  }
 }

@@ -415,4 +415,19 @@ class EventsSpec extends SparkSpec {
       r.getAs[Long]("ord_rows") == 0,
       "every order carries at least one line at these SFs")
   }
+
+  test("foreachBatch merge: final state table equals the batch aggregate") {
+    val rows = ops.Events.queries.find(_.name == "q208_foreachbatch_merge")
+      .get.fn(spark, sf0001).collect()
+    assert(rows.forall(_.getAs[Boolean]("merged_ok")))
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("s"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    assert(rows.map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))).toMap == batch)
+  }
 }
