@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Row type for the q207 typed-Dataset path (top-level so the product
@@ -259,6 +260,102 @@ object Conformance {
         .select(col("flag"), col("stats._1").as("n_rows"),
           col("stats._2").as("sum_cents"), col("stats._3").as("max_qty"))
         .orderBy(col("flag"))
+    },
+
+    // Whole-schema referential-integrity sweep — q97's single-edge orphan
+    // probe extended to EVERY foreign-key edge of the star schema, one
+    // report row per edge. Each probe is a keyed left-anti join (the
+    // bloom-reducible shape; child side partial-aggregates to its
+    // DISTINCT keys first, so the anti join compares key sets, not raw
+    // rows). The nightly constraint report a 100-TB warehouse actually
+    // runs.
+    Q("q209_fk_sweep",
+      """SELECT 'customer->nation' AS edge,
+        |       CAST((SELECT count(*) FROM (SELECT DISTINCT c_nationkey
+        |         FROM customer) c WHERE NOT EXISTS (SELECT 1 FROM nation
+        |         WHERE n_nationkey = c.c_nationkey)) AS BIGINT) AS n_orphan_keys
+        |UNION ALL SELECT 'lineitem->orders',
+        |       CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey
+        |         FROM lineitem) l WHERE NOT EXISTS (SELECT 1 FROM orders
+        |         WHERE o_orderkey = l.l_orderkey)) AS BIGINT)
+        |UNION ALL SELECT 'lineitem->part',
+        |       CAST((SELECT count(*) FROM (SELECT DISTINCT l_partkey
+        |         FROM lineitem) l WHERE NOT EXISTS (SELECT 1 FROM part
+        |         WHERE p_partkey = l.l_partkey)) AS BIGINT)
+        |UNION ALL SELECT 'lineitem->supplier',
+        |       CAST((SELECT count(*) FROM (SELECT DISTINCT l_suppkey
+        |         FROM lineitem) l WHERE NOT EXISTS (SELECT 1 FROM supplier
+        |         WHERE s_suppkey = l.l_suppkey)) AS BIGINT)
+        |UNION ALL SELECT 'nation->region',
+        |       CAST((SELECT count(*) FROM (SELECT DISTINCT n_regionkey
+        |         FROM nation) n WHERE NOT EXISTS (SELECT 1 FROM region
+        |         WHERE r_regionkey = n.n_regionkey)) AS BIGINT)
+        |UNION ALL SELECT 'orders->customer',
+        |       CAST((SELECT count(*) FROM (SELECT DISTINCT o_custkey
+        |         FROM orders) o WHERE NOT EXISTS (SELECT 1 FROM customer
+        |         WHERE c_custkey = o.o_custkey)) AS BIGINT)
+        |UNION ALL SELECT 'supplier->nation',
+        |       CAST((SELECT count(*) FROM (SELECT DISTINCT s_nationkey
+        |         FROM supplier) s WHERE NOT EXISTS (SELECT 1 FROM nation
+        |         WHERE n_nationkey = s.s_nationkey)) AS BIGINT)
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      def probe(edge: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String) =
+        child.select(col(key)).distinct()
+          .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_orphan_keys"))
+          .select(lit(edge).as("edge"), col("n_orphan_keys"))
+      probe("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey")
+        .unionByName(probe("lineitem->orders", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+        .unionByName(probe("lineitem->part", Tables.lineitem(s, d),
+          "l_partkey", Tables.part(s, d), "p_partkey"))
+        .unionByName(probe("lineitem->supplier", Tables.lineitem(s, d),
+          "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(probe("nation->region", Tables.nation(s, d),
+          "n_regionkey", Tables.region(s, d), "r_regionkey"))
+        .unionByName(probe("orders->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .unionByName(probe("supplier->nation", Tables.supplier(s, d),
+          "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+        .orderBy(col("edge"))
+    },
+
+    // Catalog ANALYZE pass — the statistics a cost-based planner (and a
+    // data catalog) collects per table: row count, distinct primary keys,
+    // key range. One partial-aggregated scan per table, one report row
+    // each — the table-stats refresh job of a lakehouse, expressed as a
+    // query. (Column-level NDVs at scale come from q177's sketches; this
+    // is the exact-count anchor.)
+    Q("q210_catalog_stats",
+      """SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_pk,
+        |       CAST(min(c_custkey) AS BIGINT) AS pk_min,
+        |       CAST(max(c_custkey) AS BIGINT) AS pk_max
+        |FROM customer
+        |UNION ALL SELECT 'events', count(*), count(DISTINCT event_id),
+        |       min(event_id), max(event_id) FROM events
+        |UNION ALL SELECT 'orders', count(*), count(DISTINCT o_orderkey),
+        |       min(o_orderkey), max(o_orderkey) FROM orders
+        |UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey),
+        |       min(p_partkey), max(p_partkey) FROM part
+        |UNION ALL SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
+        |       min(s_suppkey), max(s_suppkey) FROM supplier
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      def stats(tbl: String, df: DataFrame, pk: String) =
+        df.agg(count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col(pk)).cast("long").as("n_pk"),
+          min(col(pk)).cast("long").as("pk_min"),
+          max(col(pk)).cast("long").as("pk_max"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("n_pk"),
+            col("pk_min"), col("pk_max"))
+      stats("customer", Tables.customer(s, d), "c_custkey")
+        .unionByName(stats("events", Tables.events(s, d), "event_id"))
+        .unionByName(stats("orders", Tables.orders(s, d), "o_orderkey"))
+        .unionByName(stats("part", Tables.part(s, d), "p_partkey"))
+        .unionByName(stats("supplier", Tables.supplier(s, d), "s_suppkey"))
+        .orderBy(col("tbl"))
     }
   )
 }

@@ -85,4 +85,23 @@ class ConformanceSpec extends SparkSpec {
         (r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("m"))).toMap
     assert(typed == untyped, "typed and untyped aggregation must agree")
   }
+
+  test("fk sweep: all seven edges reported, star schema is orphan-free") {
+    val rows = run("q209_fk_sweep").collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphan_keys") == 0L,
+        s"edge ${r.getAs[String]("edge")} has orphans in the test corpus")
+    }
+  }
+
+  test("catalog stats: primary keys unique, ranges sane") {
+    val rows = run("q210_catalog_stats").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == r.getAs[Long]("n_pk"),
+        s"${r.getAs[String]("tbl")}: primary key must be unique")
+      assert(r.getAs[Long]("pk_min") <= r.getAs[Long]("pk_max"))
+    }
+  }
 }
