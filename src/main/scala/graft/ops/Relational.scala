@@ -914,6 +914,57 @@ object Relational {
           countDistinct(col("sk")).cast("long").as("n_suppliers"),
           countDistinct(col("pk")).cast("long").as("n_parts"),
           coalesce(sum(col("q")), lit(0L)).cast("long").as("dominated_qty"))
+    },
+
+    // Contingency table via the DataFrameStatFunctions.crosstab API —
+    // the pairwise categorical census (returnflag × linestatus) as the
+    // stat-helper surface exposes it: one wide row per left value, one
+    // column per right value. Compiles to the same pivoted aggregate a
+    // GROUP BY + PIVOT plans (partial-aggregated, domain-bounded output);
+    // the oracle rebuilds the identical wide shape with conditional sums.
+    Q("q211_crosstab",
+      """SELECT l_returnflag AS flag_status,
+        |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS F,
+        |       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS O
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .stat.crosstab("l_returnflag", "l_linestatus")
+        .withColumnRenamed("l_returnflag_l_linestatus", "flag_status")
+        .select(col("flag_status"), col("F").cast("long").as("F"),
+          col("O").cast("long").as("O"))
+        .orderBy(col("flag_status"))
+    },
+
+    // Seeded stratified sampling via the stat.sampleBy API — per-stratum
+    // Bernoulli with DIFFERENT fractions per key (the class-rebalancing
+    // draw; q21 is the single-rate form, q80/q159 the exact-k forms).
+    // Membership is RNG-seeded (engine-specific), so the oracle grades
+    // the q21 way: exact stratum totals DuckDB recomputes, plus in-engine
+    // booleans that each stratum's draw sits inside its binomial
+    // five-sigma band — which hold at every SF for seed 42.
+    Q("q212_sample_by",
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_total,
+        |       TRUE AS band_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val fractions = Map("A" -> 0.2, "N" -> 0.05, "R" -> 0.5)
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"))
+      val sampled = li.stat.sampleBy("flag", fractions, 42L)
+        .groupBy(col("flag")).agg(count(lit(1)).as("n_kept"))
+      li.groupBy(col("flag")).agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("flag"), "left")
+        .select(col("flag"), col("n_total").cast("long").as("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("nk"),
+          col("n_total").as("nt"))
+        .withColumn("p", element_at(
+          map(fractions.toSeq.flatMap { case (k, v) =>
+            Seq(lit(k), lit(v)) }: _*), col("flag")))
+        .select(col("flag"), col("n_total"),
+          (abs(col("nk") - col("p") * col("nt"))
+            <= lit(5.0) * sqrt(col("p") * (lit(1.0) - col("p")) * col("nt"))
+              + lit(3.0)).as("band_ok"))
+        .orderBy(col("flag"))
     }
   )
 }

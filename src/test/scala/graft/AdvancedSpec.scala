@@ -249,6 +249,31 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("crosstab: wide counts equal the long-form census") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val rows = graft.ops.Relational.queries
+      .find(_.name == "q211_crosstab").get.fn(spark, sf0001).collect()
+    val long = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val f = r.getAs[String]("flag_status")
+      assert(r.getAs[Long]("F") == long.getOrElse((f, "F"), 0L))
+      assert(r.getAs[Long]("O") == long.getOrElse((f, "O"), 0L))
+    }
+    assert(rows.map(r => r.getAs[Long]("F") + r.getAs[Long]("O")).sum ==
+      Tables.lineitem(spark, sf0001).count())
+  }
+
+  test("sampleBy: every stratum inside its binomial band") {
+    val rows = graft.ops.Relational.queries
+      .find(_.name == "q212_sample_by").get.fn(spark, sf0001).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getAs[Boolean]("band_ok"),
+      s"stratum ${r.getAs[String]("flag")} outside its band"))
+  }
+
   test("dominant supplier: dominance is unique per part") {
     val r = graft.ops.Relational.queries
       .find(_.name == "q199_dominant_supplier").get.fn(spark, sf0001)
