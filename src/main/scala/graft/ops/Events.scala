@@ -1364,6 +1364,70 @@ object Events {
       s.read.parquet(s"$stateRoot/v$version")
         .withColumn("merged_ok", lit(ok))
         .orderBy(col("event_type"))
+    },
+
+    // Watermark late-data accounting — the event-time guarantee q23-q25
+    // never stress (their single batch has no late rows): recent events
+    // (day > 5) stream FIRST and advance the watermark to max(ts) − 1 h;
+    // only then does the old tail (day ≤ 5, weeks late) arrive. Append
+    // mode must emit exactly the daily windows FINALIZED by the
+    // watermark — window.end ≤ max(ts) − 1 h, the last day always
+    // withheld — with NO late contamination (the per-window counts hash
+    // against fresh-only sums: that IS the exclusion proof). The
+    // accounting boolean is deliberately weaker than |late|:
+    // numRowsDroppedByWatermark attributes only rows reaching the state
+    // operator (measured 5 of 165 here — the rest die in the pre-state
+    // watermark filter), so it asserts drops registered and never
+    // exceeded the late count. The oracle derives the emitted-window set
+    // from the same watermark arithmetic.
+    Q("q213_watermark_drops",
+      """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+        |            WHERE day(ts) > 5)
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       TRUE AS late_dropped_ok
+        |FROM events, wm
+        |WHERE day(ts) > 5
+        |  AND date_trunc('day', ts) + INTERVAL 1 DAY <= w
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.streaming.EventStreams
+      import java.nio.file.{Files, Paths}
+      val root = Sources.scratchDir(s, "graft_wmk")
+      val inDir = Paths.get(s"$root/input")
+      if (Files.exists(inDir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(inDir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+      val batch = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val fresh = batch.filter(dayofmonth(col("ts")) > 5)
+      val late = batch.filter(dayofmonth(col("ts")) <= 5)
+      fresh.write.mode("overwrite").parquet(s"$inDir/f1")
+      val schema = batch.schema
+      val agg = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$inDir/*")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName("q213_wmk").start()
+      val (nLate, dropped) =
+        try {
+          q.processAllAvailable() // batch 1: fresh rows set the watermark
+          late.write.mode("overwrite").parquet(s"$inDir/f2")
+          val n = late.count()
+          q.processAllAvailable() // batch 2: every row is behind the mark
+          (n, q.recentProgress
+            .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum)
+        } finally q.stop()
+      s.table("q213_wmk")
+        .select(col("window.start").cast("timestamp_ntz").cast("timestamp")
+          .as("day_start"), col("n_events"),
+          lit(dropped > 0 && dropped <= nLate).as("late_dropped_ok"))
+        .orderBy(col("day_start"))
     }
   )
 }

@@ -430,4 +430,25 @@ class EventsSpec extends SparkSpec {
     assert(rows.map(r => r.getAs[String]("event_type") ->
       (r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))).toMap == batch)
   }
+
+  test("watermark drops: emitted windows are fresh-only and finalized") {
+    val rows = ops.Events.queries.find(_.name == "q213_watermark_drops").get
+      .fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("late_dropped_ok")))
+    // every emitted window must match the fresh-only batch count exactly
+    // (a single late row leaking in would inflate a day-5-or-earlier
+    // window into existence or a later count upward)
+    val freshOnly = Tables.events(spark, sf0001)
+      .filter(dayofmonth(col("ts")) > 5)
+      .groupBy(dayofmonth(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Int]("d") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Timestamp]("day_start").toLocalDateTime
+      assert(freshOnly(d.getDayOfMonth) == r.getAs[Long]("n_events"),
+        s"window $d contaminated or miscounted")
+      assert(d.getDayOfMonth > 5, "no late-window may be emitted")
+    }
+  }
 }
