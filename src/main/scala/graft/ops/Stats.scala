@@ -669,6 +669,65 @@ object Stats {
             - col("s_t0").cast("double") / col("n_t0"))
           - (col("s_cp").cast("double") / col("n_cp")
             - col("s_c0").cast("double") / col("n_c0")), 6))
+    },
+
+    // Distribution-shape moments (population skewness / excess kurtosis)
+    // of purchase values per event type — NOT the engines' built-ins:
+    // Spark's skewness/kurtosis and DuckDB's apply DIFFERENT bias
+    // corrections, so both sides here expand the same central-moment
+    // formulas from raw power sums (Σx..Σx⁴ over cents) collected in ONE
+    // partial-aggregated pass — the q173 sufficient-statistics pattern
+    // one moment order higher. Variance rounds at 2 (its ~1e8-cent²
+    // magnitude sits near double's ulp at 6 decimals); the scale-free
+    // shape ratios round at 6.
+    Q("q214_moment_stats",
+      """WITH x AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(c AS DOUBLE)) AS s1,
+        |         sum(CAST(c AS DOUBLE) * c) AS s2,
+        |         sum(CAST(c AS DOUBLE) * c * c) AS s3,
+        |         sum(CAST(c AS DOUBLE) * c * c * c) AS s4
+        |  FROM x GROUP BY 1),
+        |k AS (
+        |  SELECT event_type, n, s1 / n AS mu,
+        |         s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |         s3 / n - 3 * (s1 / n) * (s2 / n)
+        |           + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |         s4 / n - 4 * (s1 / n) * (s3 / n)
+        |           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |       round(mu, 6) AS mean_cents,
+        |       round(m2, 2) AS var_pop,
+        |       round(m3 / pow(m2, 1.5), 6) AS skew_pop,
+        |       round(m4 / (m2 * m2) - 3, 6) AS kurt_excess
+        |FROM k ORDER BY event_type""".stripMargin) { (s, d) =>
+      val c = round(col("value") * 100, 0).cast("long")
+      val m = Tables.events(s, d)
+        .select(col("event_type"), c.as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("double")).as("s1"),
+          sum(col("c").cast("double") * col("c")).as("s2"),
+          sum(col("c").cast("double") * col("c") * col("c")).as("s3"),
+          sum(col("c").cast("double") * col("c") * col("c") * col("c"))
+            .as("s4"))
+      val mu = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - mu * mu
+      val m3 = col("s3") / col("n") - lit(3) * mu * (col("s2") / col("n")) +
+        lit(2) * mu * mu * mu
+      val m4 = col("s4") / col("n") - lit(4) * mu * (col("s3") / col("n")) +
+        lit(6) * mu * mu * (col("s2") / col("n")) - lit(3) * mu * mu * mu * mu
+      m.select(col("event_type"), col("n").cast("long").as("n_events"),
+          round(mu, 6).as("mean_cents"),
+          round(m2, 2).as("var_pop"),
+          round(m3 / pow(m2, 1.5), 6).as("skew_pop"),
+          round(m4 / (m2 * m2) - 3, 6).as("kurt_excess"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -218,6 +218,27 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("did_qty") - did) < 1e-6)
   }
 
+  test("moments: variance matches var_pop, shape ratios plausible") {
+    val rows = run("q214_moment_stats").collect()
+    val ref = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(var_pop(round(col("value") * 100, 0).cast("long")).as("v"),
+        avg(round(col("value") * 100, 0).cast("long")).as("mu"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("v"), r.getAs[Double]("mu"))).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(math.abs(r.getAs[Double]("var_pop") - ref(t)._1)
+        < 1e-4 * ref(t)._1, s"$t variance vs built-in var_pop")
+      assert(math.abs(r.getAs[Double]("mean_cents") - ref(t)._2) < 1e-3)
+      // value is a bounded nonneg distribution: shape stays in sane range
+      assert(math.abs(r.getAs[Double]("skew_pop")) < 10)
+      assert(r.getAs[Double]("kurt_excess") > -3 &&
+        r.getAs[Double]("kurt_excess") < 100)
+    }
+  }
+
   test("ols: slope/intercept agree with covar_pop/var_pop built-ins") {
     val rows = run("q173_grouped_ols").collect()
     val x = round(col("l_discount") * 100, 0).cast("long").cast("double")
