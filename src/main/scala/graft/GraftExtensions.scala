@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, DotProduct, HyperplaneBands, SimHash64, Winnow, WordShingles}
+import graft.functions.{CosineSim, DotProduct, HyperplaneBands, JaroWinklerSim, SimHash64, Winnow, WordShingles}
 
 /** SparkSessionExtensions injector exposing the custom Catalyst expressions
   * (SURVEY.md §8 "custom Catalyst surface") as first-class SQL functions, so
@@ -24,6 +24,7 @@ import graft.functions.{CosineSim, DotProduct, HyperplaneBands, SimHash64, Winno
   *  - `graft_winnow(text, k, w): array<bigint>`
   *  - `graft_word_shingles(text, n): array<string>`
   *  - `graft_hyperplane_bands(array, bands, bits, dim): array<bigint>`
+  *  - `graft_jaro_winkler(string, string): double`
   *
   * For sessions built without the conf, [[GraftExtensions.register]] installs
   * the same functions on a live session.
@@ -78,7 +79,11 @@ object GraftExtensions {
         HyperplaneBands(a(0),
           intLit("graft_hyperplane_bands", "bands")(a(1)),
           intLit("graft_hyperplane_bands", "bits")(a(2)),
-          intLit("graft_hyperplane_bands", "dim")(a(3))) }))
+          intLit("graft_hyperplane_bands", "dim")(a(3))) }),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler", classOf[JaroWinklerSim]),
+      args => { val a = arity("graft_jaro_winkler", 2)(args)
+        JaroWinklerSim(a(0), a(1)) }))
 
   /** Install the functions on an already-built session (the path for users
     * who didn't set `spark.sql.extensions`). Idempotent. */

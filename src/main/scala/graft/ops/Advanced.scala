@@ -1098,6 +1098,55 @@ object Advanced {
           (abs(col("est").cast("double") - col("n_exact"))
             <= lit(0.02) * col("n_exact")).as("est_ok"))
         .orderBy(col("win_day"))
+    },
+
+    // Fuzzy catalog reconciliation by Jaro-Winkler — the record-linkage
+    // companion to q116's edit-distance blocking: a bounded batch of
+    // corrupted query names (vowel-stripped catalog entries — a
+    // deterministic corruption both engines derive identically) is matched
+    // back to its best candidate in the FULL catalog by the prefix-weighted
+    // similarity record linkage standardized on (Winkler 1990). The scorer
+    // is the native codegen'd expression graft.functions.JaroWinklerSim —
+    // Spark has levenshtein but no Jaro-Winkler — pinned bit-for-bit to
+    // DuckDB's jaro_winkler_similarity (JaroWinklerSpec + this oracle over
+    // every scored pair). Scale shape = q34's bounded-query-slice contract:
+    // the ≤64-row query batch BROADCASTS, the catalog side scans in place
+    // (never shuffles, never collides in a cartesian), and the per-query
+    // argmax is a partial-aggregated max-struct — similarity is rounded to
+    // 6 BEFORE the argmax so float noise below the round grain can never
+    // flip a cross-engine tie (ties break to the lower candidate key).
+    Q("q216_jw_reconcile",
+      """WITH q AS (
+        |  SELECT p_partkey AS qk, translate(p_name, 'aeiou', '') AS qn
+        |  FROM part WHERE p_partkey < 64),
+        |s AS (
+        |  SELECT qk, qn, p_partkey AS ck, p_name AS cn,
+        |         round(jaro_winkler_similarity(qn, p_name), 6) AS sim
+        |  FROM q, part),
+        |b AS (
+        |  SELECT qk, qn, ck, cn, sim,
+        |         row_number() OVER (PARTITION BY qk
+        |                            ORDER BY sim DESC, ck) AS rn
+        |  FROM s)
+        |SELECT CAST(qk AS BIGINT) AS q_partkey, qn AS query_name,
+        |       CAST(ck AS BIGINT) AS match_partkey, cn AS match_name, sim
+        |FROM b WHERE rn = 1 ORDER BY q_partkey""".stripMargin) { (s, d) =>
+      import graft.functions.JaroWinklerSim.jaroWinkler
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      val q = p.filter(col("p_partkey") < 64)
+        .select(col("p_partkey").as("qk"),
+          translate(col("p_name"), "aeiou", "").as("qn"))
+      p.join(broadcast(q), lit(true))
+        .withColumn("sim", round(jaroWinkler(col("qn"), col("p_name")), 6))
+        .groupBy(col("qk"), col("qn"))
+        .agg(max(struct(col("sim").as("sim"),
+          (-col("p_partkey")).as("negk"),
+          col("p_name").as("cn"))).as("best"))
+        .select(col("qk").as("q_partkey"), col("qn").as("query_name"),
+          (-col("best.negk")).as("match_partkey"),
+          col("best.cn").as("match_name"),
+          col("best.sim").as("sim"))
+        .orderBy(col("q_partkey"))
     }
   )
 

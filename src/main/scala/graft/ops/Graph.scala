@@ -79,4 +79,34 @@ object Graph {
           "component diameter exceeds the cap; raise maxIters")
     labels
   }
+
+  /** Multi-source BFS hop distances, bounded at `maxHop`: classic frontier
+    * expansion with a visited-set anti join, which computes exactly
+    * min-hop-distance from the seed set. Input: symmetric-or-not (a, b)
+    * edges (traversal follows a→b as given — symmetrize first for
+    * undirected graphs) and a (node) seed frame. Returns (node, hop) for
+    * every node within `maxHop` hops, hop 0 = the seeds themselves.
+    * Each round is one frontier⋈edges hash join plus an anti join against
+    * the visited set; frontiers carry ids only, and every round
+    * localCheckpoints (same lineage discipline as the components loop —
+    * at cluster scale, persisted tables per round). Rounds are FIXED at
+    * `maxHop` — an empty frontier just makes the remaining rounds no-op
+    * joins on empty frames. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0))
+      .localCheckpoint(true)
+    var frontier = visited
+    for (h <- 1 to maxHop) {
+      frontier = frontier
+        .join(e, frontier("node") === e("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    visited
+  }
 }

@@ -728,6 +728,144 @@ object Stats {
           round(m3 / pow(m2, 1.5), 6).as("skew_pop"),
           round(m4 / (m2 * m2) - 3, 6).as("kurt_excess"))
         .orderBy(col("event_type"))
+    },
+
+    // Kaplan-Meier survival curve (product-limit estimator, Kaplan & Meier
+    // 1958) over customer order lifetimes — the censoring-aware churn
+    // analysis that replaces naive "average customer lifetime" (which
+    // treats still-active customers as churned at their last order and
+    // biases lifetime DOWN). Subject = customer; duration = days between
+    // first and last order; a customer whose last order falls within 180
+    // days of the corpus end is CENSORED (still at risk), otherwise their
+    // churn event is observed. At each distinct duration t with d_t events:
+    //   n_t = N − Σ_{u<t}(d_u + c_u),   S(t) = Π_{u≤t, d_u>0}(1 − d_u/n_u).
+    // Scale shape: the order corpus reduces to one row per customer in a
+    // partial-aggregated scan, then to one row per DISTINCT DURATION — a
+    // frame bounded by the corpus' calendar span in days (a domain
+    // constant, ~2.4k here, independent of row count). Risk sets and the
+    // product-limit both come from broadcast inequality self-joins on that
+    // bounded frame (the q162/q185 bounded-domain economics) — no
+    // SinglePartition window anywhere; the only float work is the final
+    // Σln(1−d/n) fold, all-negative terms (no cancellation), rounded at 6.
+    Q("q215_kaplan_meier",
+      """WITH mx AS (
+        |  SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+        |cust AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', min(CAST(o_orderdate AS DATE)),
+        |                   max(CAST(o_orderdate AS DATE))) AS t,
+        |         CASE WHEN max(CAST(o_orderdate AS DATE))
+        |                   < (SELECT mxd FROM mx) - 180
+        |              THEN 1 ELSE 0 END AS ev
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |         CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM cust GROUP BY 1),
+        |n AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM g),
+        |r AS (
+        |  SELECT i.t, i.d, i.c,
+        |         (SELECT n_total FROM n)
+        |           - coalesce((SELECT sum(p.d + p.c) FROM g p
+        |                       WHERE p.t < i.t), 0) AS n_risk
+        |  FROM g i),
+        |e AS (SELECT t, d, c, n_risk FROM r WHERE d > 0)
+        |SELECT CAST(i.t AS INT) AS t_days,
+        |       CAST(i.n_risk AS BIGINT) AS n_risk,
+        |       i.d AS d_events, i.c AS c_censored,
+        |       round(CASE WHEN max(CASE WHEN p.d >= p.n_risk
+        |                               THEN 1 ELSE 0 END) = 1 THEN 0.0
+        |             ELSE exp(sum(CASE WHEN p.d < p.n_risk
+        |                          THEN ln(1 - CAST(p.d AS DOUBLE) / p.n_risk)
+        |                          ELSE 0.0 END)) END, 6) AS survival
+        |FROM e i JOIN e p ON p.t <= i.t
+        |GROUP BY 1, 2, 3, 4 ORDER BY t_days""".stripMargin) { (s, d) =>
+      val od = col("o_orderdate").cast("date")
+      val mx = Tables.orders(s, d).agg(max(od).as("mxd"))
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(datediff(max(od), min(od)).as("t"), max(od).as("last"))
+        .join(broadcast(mx), lit(true))
+        .select(col("t"),
+          when(col("last") < date_sub(col("mxd"), 180), 1L)
+            .otherwise(0L).as("ev"))
+      val g = cust.groupBy(col("t"))
+        .agg(sum(col("ev")).cast("long").as("d"),
+          sum(lit(1L) - col("ev")).cast("long").as("c"))
+        .localCheckpoint(true) // bounded frame reused by all stages below
+      val nTot = g.agg(sum(col("d") + col("c")).cast("long").as("n_total"))
+      val past = g.select(col("t").as("pt"), (col("d") + col("c")).as("pw"))
+      val r = g.join(broadcast(past), col("pt") < col("t"), "left")
+        .groupBy(col("t"), col("d"), col("c"))
+        .agg(coalesce(sum(col("pw")), lit(0L)).as("below"))
+        .join(broadcast(nTot), lit(true))
+        .select(col("t"), col("d"), col("c"),
+          (col("n_total") - col("below")).cast("long").as("n_risk"))
+      val e = r.filter(col("d") > 0).localCheckpoint(true)
+      // a duration whose events exhaust its whole risk set pins S(t)=0 for
+      // every t at or beyond it; its ln(0) is guarded OUT of the fold in
+      // both engines (DuckDB raises on ln(0); Spark would yield null).
+      val pe = e.select(col("t").as("pt"),
+        (col("d") >= col("n_risk")).cast("int").as("exhausted"),
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .otherwise(0.0).as("lnf"))
+      e.join(broadcast(pe), col("pt") <= col("t"))
+        .groupBy(col("t"), col("n_risk"), col("d"), col("c"))
+        .agg(round(when(max(col("exhausted")) === 1, 0.0)
+          .otherwise(exp(sum(col("lnf")))), 6).as("survival"))
+        .select(col("t").cast("int").as("t_days"), col("n_risk"),
+          col("d").as("d_events"), col("c").as("c_censored"),
+          col("survival"))
+        .orderBy(col("t_days"))
+    },
+
+    // Empirical-Bayes shrinkage of per-supplier return rates (beta-binomial,
+    // method-of-moments prior) — the fix for the classic small-sample
+    // ranking trap: a supplier with 3 returns out of 8 lines should NOT
+    // outrank one with 200/1000; raw rates overfit thin suppliers. A beta
+    // prior is fitted to the across-supplier rate distribution by moments
+    //   s₀ = μ(1−μ)/v − 1,  α = μ·s₀,  β = (1−μ)·s₀,
+    // and each supplier's posterior mean is (k + α)/(n + s₀) — thin
+    // suppliers pull toward the global μ, thick ones keep their data.
+    // Scale shape: ONE partial-aggregated scan reduces the fact table to a
+    // (supplier → k, n) frame; the prior is a single-row aggregate over
+    // that frame that broadcasts back (no second corpus pass, no window).
+    // k and n are exact BIGINTs in both engines; μ, v and the posterior are
+    // the same double formula over them, rounded at 6.
+    Q("q218_eb_shrinkage",
+      """WITH s AS (
+        |  SELECT l_suppkey AS sk, count(*) AS n,
+        |         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+        |  FROM lineitem GROUP BY 1),
+        |pr AS (
+        |  SELECT avg(CAST(k AS DOUBLE) / n) AS mu,
+        |         var_pop(CAST(k AS DOUBLE) / n) AS v
+        |  FROM s),
+        |ab AS (SELECT mu, mu * (1 - mu) / v - 1 AS s0 FROM pr)
+        |SELECT CAST(sk AS BIGINT) AS s_suppkey,
+        |       CAST(n AS BIGINT) AS n_lines, CAST(k AS BIGINT) AS n_returned,
+        |       round(CAST(k AS DOUBLE) / n, 6) AS raw_rate,
+        |       round((k + mu * s0) / (n + s0), 6) AS eb_rate
+        |FROM s, ab ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("sk"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+        .localCheckpoint(true) // prior fit + posterior share one reduction
+      val prior = per
+        .agg(avg(col("k").cast("double") / col("n")).as("mu"),
+          var_pop(col("k").cast("double") / col("n")).as("v"))
+        .select(col("mu"), (col("mu") * (lit(1) - col("mu")) / col("v") - 1)
+          .as("s0"))
+      per.join(broadcast(prior), lit(true))
+        .select(col("sk").cast("long").as("s_suppkey"),
+          col("n").cast("long").as("n_lines"),
+          col("k").cast("long").as("n_returned"),
+          round(col("k").cast("double") / col("n"), 6).as("raw_rate"),
+          round((col("k") + col("mu") * col("s0")) / (col("n") + col("s0")), 6)
+            .as("eb_rate"))
+        .orderBy(col("s_suppkey"))
     }
   )
 }

@@ -1545,6 +1545,54 @@ object TextOps {
           round(avg(when(col("keep") === 1, col("n_chars").cast("double"))),
             2).as("kept_avg_chars"))
         .orderBy(col("source"))
+    },
+
+    // Contamination RADIUS — multi-source BFS over the near-dup graph: how
+    // far does a quarantined ingest source's content reach through chains
+    // of near-duplicates? Seeds = every src0 document (hop 0); each hop
+    // crosses one exact-Jaccard near-dup edge (the q27/q79 pair set), out
+    // to hop 4. The q79 components say WHICH docs are transitively linked;
+    // this says HOW MANY EDGES AWAY — the audit that decides whether
+    // removing a poisoned source also needs its 1-hop or 2-hop shell.
+    // Distributed shape: classic frontier BFS — 4 fixed rounds of
+    // frontier⋈edges with a visited-set anti join, each round's frontier
+    // localCheckpointed (q79's iteration discipline). BFS-with-visited-set
+    // computes exactly min-hop, which the oracle recomputes declaratively
+    // as min() over a bounded recursive path expansion — an independent
+    // algorithm, same function. Frontiers and the edge list carry doc ids
+    // only (text never shuffles); rounds are O(frontier ⋈ edges), the
+    // hop-bounded analogue of the pointer-jumping components.
+    Q("q217_contamination_bfs",
+      s"""WITH RECURSIVE $jaccardCtes,
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION SELECT doc_b, doc_a FROM jp),
+        |walk(node, hop) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT e.b, w.hop + 1 FROM walk w JOIN e ON w.node = e.a
+        |  WHERE w.hop < 4),
+        |d AS (SELECT node, min(hop) AS hop FROM walk GROUP BY 1)
+        |SELECT CAST(hop AS INT) AS hop,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(node) AS BIGINT) AS id_checksum
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val pairs = exactJaccardPairs(s, d, minJac = 0.5)
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .distinct()
+      val seeds = Tables.documents(s, d)
+        .filter(col("source") === "src0")
+        .select(col("doc_id").as("node"))
+      Graph.bfsHops(edges, seeds, maxHop = 4)
+        .groupBy(col("hop").cast("int").as("hop"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("node")).cast("long").as("id_checksum"))
+        .orderBy(col("hop"))
     }
   )
 

@@ -84,4 +84,25 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_clusters") ==
       comp.select("component").distinct().count())
   }
+
+  test("bfsHops: min-hop on a chain with a shortcut, bounded, visited-once") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 plus shortcut 1-4: node 4 is hop 1 (not 3),
+    // 5 is hop 2, 6 is hop 3; 9-10 is a disconnected island (absent)
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L), (9L, 10L)).toDF("a", "b")
+    val edges = raw.union(raw.select(col("b").as("a"), col("a").as("b")))
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHop = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2, 6L -> 3))
+    // hop bound respected: maxHop 1 stops at the 1-hop shell
+    val shell = Graph.bfsHops(edges, seeds, maxHop = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(shell == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    // multi-source: seeds {1, 10} reach the island too
+    val multi = Graph.bfsHops(edges, Seq(1L, 10L).toDF("node"), maxHop = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi(9L) == 1 && multi(10L) == 0)
+  }
 }

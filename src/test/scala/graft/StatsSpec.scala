@@ -260,4 +260,53 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("intercept") - i0) < 1e-5)
     }
   }
+
+  test("kaplan-meier: estimator invariants + risk-set accounting") {
+    val rows = run("q215_kaplan_meier").collect()
+    assert(rows.nonEmpty)
+    // subjects = customers with orders; first event row's risk set must
+    // equal N minus everyone who left strictly before it
+    val n = Tables.orders(spark, sf0001)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") <= n)
+    // survival starts ≤ 1, is strictly positive until (possibly) the last
+    // step, and NEVER increases; risk sets strictly decrease with t
+    var lastS = 1.0
+    var lastN = Long.MaxValue
+    var lastT = -1
+    rows.foreach { r =>
+      val t = r.getAs[Int]("t_days")
+      val s0 = r.getAs[Double]("survival")
+      val nr = r.getAs[Long]("n_risk")
+      assert(t > lastT)
+      assert(s0 <= lastS + 1e-9, s"survival increased at t=$t")
+      assert(s0 >= 0.0 && s0 <= 1.0)
+      assert(nr < lastN, s"risk set did not shrink at t=$t")
+      assert(r.getAs[Long]("d_events") > 0)
+      assert(r.getAs[Long]("d_events") <= nr)
+      lastS = s0; lastN = nr; lastT = t
+    }
+    // every subject leaves the risk set exactly once: events + censored
+    // across ALL durations (event rows only carry that duration's d and c)
+    assert(rows.map(_.getAs[Long]("d_events")).sum <= n)
+  }
+
+  test("eb shrinkage: posterior pulls every supplier toward the prior mean") {
+    val rows = run("q218_eb_shrinkage").collect()
+    assert(rows.nonEmpty)
+    val mu = {
+      val rates = rows.map(r =>
+        r.getAs[Long]("n_returned").toDouble / r.getAs[Long]("n_lines"))
+      rates.sum / rates.length
+    }
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("raw_rate")
+      val eb = r.getAs[Double]("eb_rate")
+      // shrinkage, never overshoot: eb lies between raw and the prior mean
+      assert(math.abs(eb - mu) <= math.abs(raw - mu) + 1e-6,
+        s"supplier ${r.getAs[Long]("s_suppkey")}: eb=$eb raw=$raw mu=$mu")
+      assert((eb >= math.min(raw, mu) - 1e-6) &&
+        (eb <= math.max(raw, mu) + 1e-6))
+    }
+  }
 }
