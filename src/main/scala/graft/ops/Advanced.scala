@@ -1147,6 +1147,60 @@ object Advanced {
           col("best.cn").as("match_name"),
           col("best.sim").as("sim"))
         .orderBy(col("q_partkey"))
+    },
+
+    // Robust outlier detection by MAD (median absolute deviation) — the
+    // estimator that survives what breaks q12's IQR fences and any
+    // mean/stddev z-score: up to 50% contamination. Per event type:
+    // med = median(cents), MAD = median(|cents − med|), and a point is an
+    // outlier when its robust z-score 0.6745·(x−med)/MAD exceeds 3.5 in
+    // magnitude (Iglewicz & Hoaglin 1993's recommended cutoff; 0.6745
+    // rescales MAD to σ under normality). Two grouped passes are
+    // intrinsic (MAD is a median OF deviations from a median); each is a
+    // partial-aggregated corpus scan, and both per-group statistics
+    // tables are group-cardinality-sized broadcasts back onto the corpus
+    // (the q121 winsorize topology — no window over raw rows). Exactness:
+    // cents are BIGINTs, so both engines' interpolating medians land on
+    // exact halves, deviations are exact, and the outlier comparison
+    // multiplies the SAME doubles in the same order on both sides.
+    Q("q219_mad_outliers",
+      """WITH x AS (
+        |  SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events),
+        |m AS (SELECT g, quantile_cont(c, 0.5) AS med FROM x GROUP BY 1),
+        |a AS (SELECT x.g, x.c, m.med, abs(x.c - m.med) AS ad
+        |      FROM x JOIN m USING (g)),
+        |s AS (SELECT g, quantile_cont(ad, 0.5) AS mad FROM a GROUP BY 1)
+        |SELECT a.g AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       round(min(a.med), 6) AS med_cents,
+        |       round(min(s.mad), 6) AS mad_cents,
+        |       CAST(sum(CASE WHEN abs(a.c - a.med)
+        |                          > 3.5 / 0.6745 * s.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(sum(CASE WHEN abs(a.c - a.med)
+        |                           > 3.5 / 0.6745 * s.mad
+        |                      THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE), 6) AS outlier_frac
+        |FROM a JOIN s USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val x = Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val med = x.groupBy(col("g")).agg(expr("percentile(c, 0.5)").as("med"))
+      val a = x.join(broadcast(med), "g")
+        .withColumn("ad", abs(col("c") - col("med")))
+      val mad = a.groupBy(col("g")).agg(expr("percentile(ad, 0.5)").as("mad"))
+      val isOut = abs(col("c") - col("med")) >
+        lit(3.5) / lit(0.6745) * col("mad")
+      a.join(broadcast(mad), "g")
+        .groupBy(col("g").as("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          round(min(col("med")), 6).as("med_cents"),
+          round(min(col("mad")), 6).as("mad_cents"),
+          sum(when(isOut, 1L).otherwise(0L)).cast("long").as("n_outliers"),
+          round(sum(when(isOut, 1L).otherwise(0L))
+            / count(lit(1)).cast("double"), 6).as("outlier_frac"))
+        .orderBy(col("event_type"))
     }
   )
 

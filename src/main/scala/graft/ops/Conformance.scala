@@ -356,6 +356,42 @@ object Conformance {
         .unionByName(stats("part", Tables.part(s, d), "p_partkey"))
         .unionByName(stats("supplier", Tables.supplier(s, d), "s_suppkey"))
         .orderBy(col("tbl"))
+    },
+
+    // Correlated LATERAL join conformance — the SQL:2016 lateral-derived-
+    // table surface (top-3-per-group phrased as a dependent subquery with
+    // ORDER BY … LIMIT, not a window): both engines run the same SQL up to
+    // one dialect quirk (DuckDB's JOIN LATERAL requires an explicit
+    // `ON true`; Spark's accepts the bare join).
+    // Spark decorrelates the lateral into a DomainJoin-rewritten plan
+    // (LateralJoin → window/rank under the hood since 3.2) rather than
+    // executing the subquery per outer row — the conformance point is that
+    // this rewrite agrees exactly with DuckDB's dependent-join execution,
+    // including the cents-then-key tie order. Cents are exact BIGINTs;
+    // priorities are a ≤5-value domain, so the decorrelated rank runs
+    // per-priority, fully parallel.
+    Q("q221_lateral_topk",
+      """SELECT p.prio, t.o_orderkey, t.cents
+        |FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders) p
+        |JOIN LATERAL (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders o WHERE o.o_orderpriority = p.prio
+        |  ORDER BY cents DESC, o_orderkey LIMIT 3
+        |) t ON true
+        |ORDER BY p.prio, t.cents DESC, t.o_orderkey""".stripMargin) {
+      (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_q221")
+      s.sql(
+        """SELECT p.prio, t.o_orderkey, t.cents
+          |FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders_q221) p
+          |JOIN LATERAL (
+          |  SELECT o_orderkey,
+          |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          |  FROM orders_q221 o WHERE o.o_orderpriority = p.prio
+          |  ORDER BY cents DESC, o_orderkey LIMIT 3
+          |) t
+          |ORDER BY p.prio, t.cents DESC, t.o_orderkey""".stripMargin)
     }
   )
 }

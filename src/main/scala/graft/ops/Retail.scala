@@ -24,6 +24,16 @@ import graft.{Q, Tables}
   */
 object Retail {
 
+  /** Deterministic 6-decimal rounding for values that are long float folds
+    * (q220's smoothing recursion): `floor(x·10⁶ + 0.5)/10⁶` is a pure
+    * double expression, so identical input BITS give identical output in
+    * every engine — unlike `round(x, 6)`, whose decimal-string midpoint
+    * handling diverged between Spark and DuckDB by one final digit when a
+    * fold landed a hair from a rounding boundary (caught at sf0.01). Both
+    * the Spark side and the oracle SQL use this same formula. */
+  private def fl6(x: org.apache.spark.sql.Column) =
+    floor(x * 1000000 + 0.5) / 1000000
+
   /** `ntile(buckets) OVER (ORDER BY order…)` without the single-task global
     * sort. The naive global window funnels EVERY row through one Exchange
     * SinglePartition — the definitional scale-killer on a per-customer
@@ -571,6 +581,159 @@ object Retail {
           round(sum(when(col("days") <= 7, 1).otherwise(0)).cast("double")
             / count(lit(1)), 6).as("sla7_share"))
         .orderBy(col("priority"))
+    },
+
+    // Holt linear (double-exponential) smoothing — the trend-aware
+    // forecaster one step past q162's EWMA (which flattens any trend):
+    //   ℓ_t = α·y_t + (1−α)(ℓ_{t−1}+b_{t−1}),  b_t = β(ℓ_t−ℓ_{t−1}) + (1−β)b_{t−1}
+    // with α=0.5, β=0.25, ℓ₁=y₁, b₁=0, h-step forecast ℓ_T + h·b_T. The
+    // recurrence is inherently sequential IN TIME but the series is
+    // per-priority monthly revenue — a frame bounded by the CALENDAR
+    // (≤|months| rows per series at any corpus size), so each group's
+    // fold runs map-side as one `aggregate` higher-order fold over its
+    // sorted (month, revenue) array: the corpus reduces in one
+    // partial-aggregated scan, arrays never exceed the month count, and
+    // no window or driver loop appears anywhere. The oracle re-runs the
+    // identical recurrence as a recursive CTE — independent mechanics,
+    // same fold ORDER and the same double expression tree, so values
+    // match bit-for-bit; outputs go through [[fl6]]'s deterministic
+    // floor-rounding (plain round(6) flipped a final digit cross-engine
+    // when one fold landed at a decimal midpoint).
+    Q("q220_holt_trend",
+      """WITH RECURSIVE m0 AS (
+        |  SELECT o_orderpriority AS prio,
+        |         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT prio, rev,
+        |         row_number() OVER (PARTITION BY prio ORDER BY ym) AS i
+        |  FROM m0),
+        |rec AS (
+        |  SELECT prio, i, CAST(rev AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM m WHERE i = 1
+        |  UNION ALL
+        |  SELECT m.prio, m.i,
+        |         0.5 * m.rev + 0.5 * (r.l + r.b),
+        |         0.25 * ((0.5 * m.rev + 0.5 * (r.l + r.b)) - r.l)
+        |           + 0.75 * r.b
+        |  FROM rec r JOIN m ON m.prio = r.prio AND m.i = r.i + 1),
+        |last AS (
+        |  SELECT prio, i AS n_months, l, b FROM rec
+        |  QUALIFY row_number() OVER (PARTITION BY prio ORDER BY i DESC) = 1)
+        |SELECT prio, CAST(n_months AS BIGINT) AS n_months,
+        |       floor(l * 1000000 + 0.5) / 1000000 AS level_cents,
+        |       floor(b * 1000000 + 0.5) / 1000000 AS trend_cents,
+        |       floor((l + 1 * b) * 1000000 + 0.5) / 1000000 AS fc1,
+        |       floor((l + 2 * b) * 1000000 + 0.5) / 1000000 AS fc2,
+        |       floor((l + 3 * b) * 1000000 + 0.5) / 1000000 AS fc3
+        |FROM last ORDER BY prio""".stripMargin) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("ym"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .cast("long").as("rev"))
+      m.groupBy(col("prio"))
+        .agg(sort_array(collect_list(struct(col("ym"), col("rev"))))
+          .as("arr"))
+        .withColumn("acc", expr(
+          """aggregate(arr,
+            |  named_struct('l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+            |               'init', false),
+            |  (acc, x) -> IF(NOT acc.init,
+            |    named_struct('l', CAST(x.rev AS DOUBLE),
+            |                 'b', CAST(0 AS DOUBLE), 'init', true),
+            |    named_struct(
+            |      'l', 0.5 * x.rev + 0.5 * (acc.l + acc.b),
+            |      'b', 0.25 * ((0.5 * x.rev + 0.5 * (acc.l + acc.b)) - acc.l)
+            |             + 0.75 * acc.b,
+            |      'init', true)))""".stripMargin))
+        .select(col("prio"), size(col("arr")).cast("long").as("n_months"),
+          fl6(col("acc.l")).as("level_cents"),
+          fl6(col("acc.b")).as("trend_cents"),
+          fl6(col("acc.l") + lit(1) * col("acc.b")).as("fc1"),
+          fl6(col("acc.l") + lit(2) * col("acc.b")).as("fc2"),
+          fl6(col("acc.l") + lit(3) * col("acc.b")).as("fc3"))
+        .orderBy(col("prio"))
+    },
+
+    // Order-backlog waterline (Lindley recursion) — queueing's answer to
+    // "how far behind does each supplier fall if they can fulfil a fixed
+    // daily quantity?": backlog_t = max(0, backlog_{t−1} + demand_t − cap).
+    // The clamp-at-zero makes the recursion look sequential, but the
+    // one-sided clamp has an exact closed form over prefix sums
+    // (the Lindley/Skorokhod reflection):  b_t = P_t − min(0, min_{k≤t} P_k),
+    // P = running Σ(demand − cap) — so the whole computation is two
+    // per-supplier ordered windows (running sum, running min) that
+    // partition BY SUPPLIER and parallelize across them; no iteration, no
+    // unbounded state. Capacity is the supplier's ceiling-average daily
+    // demand over its active days (exact integer ⌈tot/nd⌉), demand is
+    // exact BIGINT quantity, so every backlog value is an exact integer in
+    // both engines; the peak row ties break to the earliest day.
+    Q("q222_backlog_waterline",
+      """WITH dd AS (
+        |  SELECT l_suppkey AS sk, CAST(l_shipdate AS DATE) AS day,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS dem
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT sk, CAST(sum(dem) AS BIGINT) AS tot, count(*) AS nd
+        |  FROM dd GROUP BY 1),
+        |cap AS (SELECT sk, nd, (tot + nd - 1) // nd AS cap FROM c),
+        |p AS (
+        |  SELECT dd.sk, dd.day, cap.cap, cap.nd,
+        |         sum(dd.dem - cap.cap) OVER (PARTITION BY dd.sk
+        |           ORDER BY dd.day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+        |  FROM dd JOIN cap USING (sk)),
+        |b AS (
+        |  SELECT sk, day, cap, nd,
+        |         pf - least(min(pf) OVER (PARTITION BY sk ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |           AS bl
+        |  FROM p),
+        |r AS (
+        |  SELECT sk, day, cap, nd, bl,
+        |         row_number() OVER (PARTITION BY sk
+        |                            ORDER BY bl DESC, day) AS rn,
+        |         sum(CASE WHEN bl > 0 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY sk) AS nbk
+        |  FROM b)
+        |SELECT CAST(sk AS BIGINT) AS s_suppkey,
+        |       CAST(nd AS BIGINT) AS n_days, CAST(cap AS BIGINT) AS cap_qty,
+        |       CAST(bl AS BIGINT) AS peak_backlog, day AS peak_day,
+        |       CAST(nbk AS BIGINT) AS days_backlogged
+        |FROM r WHERE rn = 1 ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dd = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("sk"),
+          col("l_shipdate").cast("date").as("day"))
+        .agg(sum(col("l_quantity").cast("long")).cast("long").as("dem"))
+      val cap = dd.groupBy(col("sk"))
+        .agg(sum(col("dem")).cast("long").as("tot"),
+          count(lit(1)).as("nd"))
+        .select(col("sk"), col("nd"),
+          expr("CAST((tot + nd - 1) div nd AS BIGINT)").as("cap"))
+      val wRun = Window.partitionBy(col("sk")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val b = dd.join(broadcast(cap), "sk")
+        .withColumn("pf", sum(col("dem") - col("cap")).over(wRun))
+        .withColumn("bl",
+          col("pf") - least(min(col("pf")).over(wRun), lit(0L)))
+      val wPeak = Window.partitionBy(col("sk"))
+        .orderBy(desc("bl"), asc("day"))
+      b.withColumn("rn", row_number().over(wPeak))
+        .withColumn("nbk", sum(when(col("bl") > 0, 1L).otherwise(0L))
+          .over(Window.partitionBy(col("sk"))))
+        .filter(col("rn") === 1)
+        .select(col("sk").cast("long").as("s_suppkey"),
+          col("nd").cast("long").as("n_days"),
+          col("cap").cast("long").as("cap_qty"),
+          col("bl").cast("long").as("peak_backlog"),
+          col("day").as("peak_day"),
+          col("nbk").cast("long").as("days_backlogged"))
+        .orderBy(col("s_suppkey"))
     }
   )
 }

