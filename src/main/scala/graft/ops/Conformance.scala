@@ -392,6 +392,45 @@ object Conformance {
           |  ORDER BY cents DESC, o_orderkey LIMIT 3
           |) t
           |ORDER BY p.prio, t.cents DESC, t.o_orderkey""".stripMargin)
+    },
+
+    // ISO-8601 calendar conformance at the year boundary — the zone where
+    // calendar intuition silently breaks reports: Dec 29-31 can belong to
+    // ISO week 1 of the NEXT iso-year, Jan 1-3 to week 52/53 of the
+    // PREVIOUS. Spark ships `weekofyear` (ISO week) but NO isoyear
+    // function, so the engine derives it by the ISO definition itself —
+    // the year of the week's Thursday (Monday-truncated week + 3 days) —
+    // and the oracle pins that derivation against DuckDB's native
+    // isoyear()/week() over every boundary order. n_cal_years = 2 marks
+    // the straddling weeks. One filtered scan (the date predicate pushes
+    // down), one bounded-domain aggregate.
+    Q("q224_iso_week_boundary",
+      """WITH d0 AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+        |  WHERE (month(o_orderdate) = 12 AND day(o_orderdate) >= 26)
+        |     OR (month(o_orderdate) = 1 AND day(o_orderdate) <= 7))
+        |SELECT CAST(isoyear(d) AS INT) AS iso_year,
+        |       CAST(week(d) AS INT) AS iso_week,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+        |       CAST(min(date_trunc('week', d)) AS DATE) AS wk_monday,
+        |       CAST(count(DISTINCT year(d)) AS BIGINT) AS n_cal_years
+        |FROM d0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val dd = Tables.orders(s, d)
+        .filter((month(col("o_orderdate")) === 12 &&
+            dayofmonth(col("o_orderdate")) >= 26) ||
+          (month(col("o_orderdate")) === 1 &&
+            dayofmonth(col("o_orderdate")) <= 7))
+        .select(col("o_orderdate").cast("date").as("d"))
+        .withColumn("monday", date_trunc("week", col("d")).cast("date"))
+      dd.groupBy(
+          year(date_add(col("monday"), 3)).cast("int").as("iso_year"),
+          weekofyear(col("d")).cast("int").as("iso_week"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          countDistinct(col("d")).cast("long").as("n_days"),
+          min(col("monday")).as("wk_monday"),
+          countDistinct(year(col("d"))).cast("long").as("n_cal_years"))
+        .orderBy(col("iso_year"), col("iso_week"))
     }
   )
 }

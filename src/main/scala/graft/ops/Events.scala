@@ -1428,6 +1428,49 @@ object Events {
           .as("day_start"), col("n_events"),
           lit(dropped > 0 && dropped <= nLate).as("late_dropped_ok"))
         .orderBy(col("day_start"))
+    },
+
+    // Longest consecutive-active-day streak per user, as a streak-length
+    // histogram — the engagement metric behind every "N-day streak" badge,
+    // and the canonical gaps-and-islands exercise: on each user's distinct
+    // active days, (day − row_number) is constant exactly along runs of
+    // consecutive days, so one per-user window + two aggregates find every
+    // island. Scale shape: the corpus reduces to distinct (user, day)
+    // first (partial map-side), the only window partitions BY USER (fully
+    // parallel, bounded by a user's active days), and the output is a
+    // histogram bounded by the calendar span. All integers end to end.
+    Q("q226_activity_streaks",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (
+        |  SELECT user_id,
+        |         CAST(day - DATE '1970-01-01' AS BIGINT)
+        |           - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |           AS grp
+        |  FROM days),
+        |s AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2),
+        |l AS (SELECT user_id, max(len) AS streak FROM s GROUP BY 1)
+        |SELECT CAST(streak AS BIGINT) AS streak_days,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(user_id) AS BIGINT) AS user_checksum
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("grp",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+            - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("streak"))
+        .groupBy(col("streak").cast("long").as("streak_days"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(col("user_id")).cast("long").as("user_checksum"))
+        .orderBy(col("streak_days"))
     }
   )
 }

@@ -377,6 +377,81 @@ object Profiling {
         |ORDER BY n_tri DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       localClustering(TextOps.exactJaccardPairs(s, d, 0.5)
         .select(col("doc_a").as("a"), col("doc_b").as("b")), 20)
+    },
+
+    // Zipf's-law fit of the corpus vocabulary — the one-number sanity
+    // check of a training corpus' token distribution (natural text slopes
+    // ≈ −1; a slope near 0 flags boilerplate/duplication, steeper than
+    // −1.5 flags a collapsed vocabulary): OLS of ln(freq) on ln(rank)
+    // over the full rank-frequency curve. The frequency-descending rank
+    // is GLOBAL, so it runs through the q130/q223 block-offset topology
+    // (range-repartition on (freq DESC, tok), parallel per-partition
+    // row_numbers, ≤32-row offset broadcast) — no vocabulary-sized
+    // SinglePartition sort; the OLS reduces to four double power sums in
+    // the same pass (q173's sufficient-statistics shape). The slope/r²
+    // divisions happen once, on near-identical accumulations, rounded
+    // at 6.
+    Q("q225_zipf_fit",
+      """WITH v AS (
+        |  SELECT tok, count(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |               AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |r AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok)
+        |               AS DOUBLE)) AS x,
+        |         ln(CAST(freq AS DOUBLE)) AS y,
+        |         freq
+        |  FROM v),
+        |m AS (
+        |  SELECT count(*) AS n, CAST(sum(freq) AS BIGINT) AS n_tokens,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |         sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_types, n_tokens,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |         AS zipf_slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+        |             / n, 6) AS intercept,
+        |       round(pow(n * sxy - sx * sy, 2)
+        |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |         AS r2
+        |FROM m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val parted = v.repartitionByRange(32, col("freq").desc, col("tok"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select(col("pid"), col("off"))
+      val wLoc = Window.partitionBy(col("pid"))
+        .orderBy(col("freq").desc, col("tok"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      parted.join(broadcast(offsets), "pid")
+        .select(
+          log((col("off") + row_number().over(wLoc)).cast("double")).as("x"),
+          log(col("freq").cast("double")).as("y"), col("freq"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("freq")).cast("long").as("n_tokens"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n").cast("long").as("n_types"), col("n_tokens"),
+          round(slope, 6).as("zipf_slope"),
+          round((col("sy") - slope * col("sx")) / col("n"), 6)
+            .as("intercept"),
+          round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
     }
   )
 

@@ -734,6 +734,75 @@ object Retail {
           col("day").as("peak_day"),
           col("nbk").cast("long").as("days_backlogged"))
         .orderBy(col("s_suppkey"))
+    },
+
+    // ABC inventory classification (Pareto analysis): class A = the parts
+    // whose revenue accumulates the first 80% (before their own
+    // contribution), B the next 15%, C the tail — the planner's standard
+    // triage of which SKUs deserve tight stock control. Needs a GLOBAL
+    // cumulative sum in revenue-descending order, which the naive window
+    // plans as one Exchange SinglePartition over EVERY part — the q148
+    // ntile scale-killer. Instead the q130 block-offset topology, revenue-
+    // descending: range-repartition on (rev DESC, pk), per-partition
+    // running sums in a fully parallel pid-partitioned window, and a ≤32-
+    // row running block-offset table broadcast back (the only
+    // SinglePartition in the plan carries 32 aggregate rows). Class
+    // boundaries compare in EXACT integers (cumb·5 < tot·4 ⇔ share < 0.8),
+    // so no float sits anywhere near the classification decision.
+    Q("q223_abc_classes",
+      """WITH per AS (
+        |  SELECT l_partkey AS pk,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM per),
+        |c AS (
+        |  SELECT pk, rev,
+        |         sum(rev) OVER (ORDER BY rev DESC, pk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rev
+        |           AS cumb
+        |  FROM per),
+        |k AS (
+        |  SELECT CASE WHEN cumb * 5 < tot * 4 THEN 'A'
+        |              WHEN cumb * 20 < tot * 19 THEN 'B'
+        |              ELSE 'C' END AS abc_class, rev, tot
+        |  FROM c, t)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev) AS BIGINT) AS class_rev_cents,
+        |       round(sum(rev) / CAST(min(tot) AS DOUBLE), 6) AS rev_share
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .cast("long").as("rev"))
+      val parted = per.repartitionByRange(32, col("rev").desc, col("pk"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true) // offsets + cumsum consumers share a shuffle
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parted.groupBy(col("pid"))
+        .agg(sum(col("rev")).as("s"))
+        .withColumn("off", coalesce(sum(col("s")).over(wOff), lit(0L)))
+        .select(col("pid"), col("off"))
+      val tot = per.agg(sum(col("rev")).cast("long").as("tot"))
+      val wLoc = Window.partitionBy(col("pid"))
+        .orderBy(col("rev").desc, col("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parted.join(broadcast(offsets), "pid")
+        .withColumn("cumb",
+          col("off") + sum(col("rev")).over(wLoc) - col("rev"))
+        .join(broadcast(tot), lit(true))
+        .withColumn("abc_class",
+          when(col("cumb") * 5 < col("tot") * 4, "A")
+            .when(col("cumb") * 20 < col("tot") * 19, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).cast("long").as("n_parts"),
+          sum(col("rev")).cast("long").as("class_rev_cents"),
+          round(sum(col("rev")) / min(col("tot")).cast("double"), 6)
+            .as("rev_share"))
+        .orderBy(col("abc_class"))
     }
   )
 }

@@ -104,4 +104,28 @@ class ConformanceSpec extends SparkSpec {
       assert(r.getAs[Long]("pk_min") <= r.getAs[Long]("pk_max"))
     }
   }
+
+  test("iso-year derivation (Thursday rule) pins known boundary dates") {
+    import spark.implicits._
+    // published ISO-8601 edge cases: calendar year ≠ ISO year
+    val cases = Seq(
+      ("1996-12-30", 1997, 1),  // Mon of 1997-W01
+      ("1997-01-01", 1997, 1),
+      ("1999-01-01", 1998, 53), // Fri of 1998-W53
+      ("1995-01-01", 1994, 52), // Sun of 1994-W52
+      ("2000-12-31", 2000, 52), // Sun of 2000-W52
+      ("2001-01-01", 2001, 1))  // Mon of 2001-W01
+    val got = cases.map(_._1).toDF("s")
+      .withColumn("d", col("s").cast("date"))
+      .withColumn("monday", date_trunc("week", col("d")).cast("date"))
+      .select(col("s"),
+        year(date_add(col("monday"), 3)).as("iso_year"),
+        weekofyear(col("d")).as("iso_week"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    cases.foreach { case (s, ey, ew) =>
+      assert(got(s) == (ey, ew),
+        s"$s: expected ISO $ey-W$ew, got ${got(s)}")
+    }
+  }
 }

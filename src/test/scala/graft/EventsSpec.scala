@@ -451,4 +451,31 @@ class EventsSpec extends SparkSpec {
       assert(d.getDayOfMonth > 5, "no late-window may be emitted")
     }
   }
+
+  test("activity streaks: histogram accounts for every user, synthetic runs") {
+    val rows = graft.SparkEntry.queries("q226_activity_streaks")(spark, sf0001)
+      .collect()
+    val nUsers = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    assert(rows.forall(_.getAs[Long]("streak_days") >= 1))
+    // synthetic: 3 consecutive days, gap, 2 consecutive → longest = 3;
+    // duplicate events on one day must not split or extend a run
+    val ev = Seq(
+      (7L, ts("2024-03-01 10:00:00")), (7L, ts("2024-03-01 22:00:00")),
+      (7L, ts("2024-03-02 01:00:00")), (7L, ts("2024-03-03 23:59:59")),
+      (7L, ts("2024-03-06 12:00:00")), (7L, ts("2024-03-07 12:00:00")))
+      .toDF("user_id", "ts")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streak = ev.select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id")).agg(max(col("len")).as("streak"))
+      .head().getAs[Long]("streak")
+    assert(streak == 3L)
+  }
 }

@@ -236,4 +236,18 @@ class ProfilingSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSeq
     assert(top2 == Seq(1L, 2L))
   }
+
+  test("zipf fit: natural-text slope, valid r2, totals recompute") {
+    val r = run("q225_zipf_fit").head()
+    val slope = r.getAs[Double]("zipf_slope")
+    assert(slope < -0.1 && slope > -3.0, s"implausible zipf slope $slope")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 > 0.0 && r2 <= 1.0)
+    // type/token totals recompute from a direct aggregation
+    val v = Tables.documents(spark, sf0001)
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    assert(r.getAs[Long]("n_types") == v.distinct().count())
+    assert(r.getAs[Long]("n_tokens") == v.count())
+  }
 }

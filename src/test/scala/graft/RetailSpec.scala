@@ -309,4 +309,23 @@ class RetailSpec extends SparkSpec {
       assert(r.getAs[Long]("n_days") == dems.length)
     }
   }
+
+  test("abc classes: partition all parts, Pareto boundaries hold") {
+    val rows = run("q223_abc_classes").collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("class_rev_cents"),
+          r.getAs[Double]("rev_share"))).toMap
+    val nParts = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.values.map(_._1).sum == nParts, "classes partition the parts")
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 2e-6)
+    // A opens the curve: its cumulative share must cover at least 80%
+    // MINUS one part's share (the boundary part belongs to A by the
+    // strict cumb < 0.8·tot rule)
+    assert(rows("A")._3 >= 0.79, s"A share ${rows("A")._3}")
+    // B covers (80, 95]: its share is bounded by the definition window
+    // plus one boundary part (this corpus' revenue is near-uniform across
+    // parts, so class sizes track the share windows, not a heavy tail)
+    rows.get("B").foreach { case (_, _, share) => assert(share <= 0.16) }
+  }
 }
