@@ -1471,6 +1471,122 @@ object Events {
         .agg(count(lit(1)).cast("long").as("n_users"),
           sum(col("user_id")).cast("long").as("user_checksum"))
         .orderBy(col("streak_days"))
+    },
+
+    // Top session PATHS — product analytics' "what do users actually do":
+    // each 30-min-gap session becomes its ordered event-type sequence
+    // ("view>click>purchase"), counted corpus-wide, top 10. Extends q94's
+    // pairwise transitions to whole trajectories and q203's session
+    // STATISTICS to session CONTENT. Scale shape: the lag/cumsum
+    // sessionizer runs in per-user windows (parallel, bounded by a user's
+    // events); each session reduces to ONE path string via a sorted
+    // in-group array (never a cross-row shuffle of raw events beyond the
+    // user partitioning); the final count-and-top-10 aggregates path
+    // strings, whose distinct count is bounded by observed behavior, not
+    // rows. Tie order everywhere is (ts, event_id) — total and identical
+    // in both engines.
+    Q("q227_session_paths",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |p AS (
+        |  SELECT user_id, sid,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        // µs-exact gap test: an integer-seconds cast would truncate
+        // sub-second parts and split a 1799.2s gap that straddles two
+        // whole-second boundaries (off-by-one vs the oracle's INTERVAL
+        // comparison, caught at sf0.1)
+        .withColumn("ns", when(col("prev").isNull ||
+          unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(col("prev").cast("timestamp")) >= 1800L * 1000000L,
+          1L).otherwise(0L))
+        .withColumn("sid", sum(col("ns"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path"))
+        .limit(10)
+    },
+
+    // Error-burst detection with a Wilson lower confidence bound — the
+    // alerting rule that doesn't page on a 1-of-2 blip: a 6-hour bucket
+    // alerts only when even the CONSERVATIVE end of its error-rate CI
+    // (Wilson score interval, z = 1.96) still exceeds the corpus-wide
+    // baseline rate. Scale shape: one partial-aggregated scan to
+    // calendar-bounded buckets; the baseline is a single-row aggregate
+    // broadcast back; the Wilson algebra is the same double formula over
+    // exact BIGINT (k, n) in both engines, so the alert comparison is
+    // bit-deterministic.
+    Q("q229_error_bursts",
+      """WITH b AS (
+        |  SELECT CAST(CAST(epoch(ts) AS BIGINT) // 21600 * 21600
+        |              AS BIGINT) AS bucket,
+        |         count(*) AS n,
+        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS k
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(k) / CAST(sum(n) AS DOUBLE) AS p0 FROM b),
+        |w AS (
+        |  SELECT bucket, n, k, p0,
+        |         CAST(k AS DOUBLE) / n AS ph,
+        |         1.96 * 1.96 AS z2
+        |  FROM b, t),
+        |l AS (
+        |  SELECT bucket, n, k, p0,
+        |         (ph + z2 / (2 * n)
+        |          - 1.96 * sqrt(ph * (1 - ph) / n + z2 / (4.0 * n * n)))
+        |           / (1 + z2 / n) AS lb
+        |  FROM w)
+        |SELECT bucket, CAST(n AS BIGINT) AS n_events,
+        |       CAST(k AS BIGINT) AS n_errors,
+        |       round(CAST(k AS DOUBLE) / n, 6) AS err_rate,
+        |       round(lb, 6) AS wilson_lb
+        |FROM l WHERE lb > p0 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val z2 = lit(1.96 * 1.96)
+      val b = Tables.events(s, d)
+        .groupBy(expr(
+          "CAST(CAST(CAST(ts AS TIMESTAMP) AS LONG) div 21600 * 21600" +
+            " AS BIGINT)").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("k"))
+      val t = b.agg((sum(col("k")) / sum(col("n")).cast("double")).as("p0"))
+      val ph = col("k").cast("double") / col("n")
+      val lb = (ph + z2 / (lit(2) * col("n"))
+        - lit(1.96) * sqrt(ph * (lit(1) - ph) / col("n")
+          + z2 / (lit(4.0) * col("n") * col("n"))))
+        ./(lit(1) + z2 / col("n"))
+      b.join(broadcast(t), lit(true))
+        .withColumn("lb", lb)
+        .filter(col("lb") > col("p0"))
+        .select(col("bucket"), col("n").cast("long").as("n_events"),
+          col("k").cast("long").as("n_errors"),
+          round(ph, 6).as("err_rate"),
+          round(col("lb"), 6).as("wilson_lb"))
+        .orderBy(col("bucket"))
     }
   )
 }

@@ -866,6 +866,98 @@ object Stats {
           round((col("k") + col("mu") * col("s0")) / (col("n") + col("s0")), 6)
             .as("eb_rate"))
         .orderBy(col("s_suppkey"))
+    },
+
+    // Optimal 1-D segmentation (Fisher 1958 exact partition / Jenks
+    // natural breaks): split the quantity domain into 3 contiguous classes
+    // minimizing total within-class weighted SSE — the principled version
+    // of the arbitrary histogram buckets every dashboard hard-codes.
+    // For k = 3 the DP collapses to exhaustive split-pair enumeration:
+    // with per-interval costs  sse(a,b) = Σnq² − (Σnq)²/Σn  precomputed
+    // over all O(|domain|²) intervals, the optimum is the (s1, s2) pair
+    // minimizing sse(lo,s1) + sse(s1+1,s2) + sse(s2+1,hi). Everything runs
+    // on the ≤50-row distinct-quantity frame (the q185 bounded-domain
+    // interval algebra): one partial-aggregated corpus scan, then
+    // broadcast joins over domain-bounded frames — independent of row
+    // count. SSE terms are BIGINT-ratio doubles built identically in both
+    // engines, so the argmin picks the same split (ties to the lower
+    // (s1, s2)); only the emitted sse/mean are rounded.
+    Q("q228_natural_breaks",
+      """WITH cells AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (
+        |  SELECT a.q AS lo, b.q AS hi,
+        |         sum(c.n * c.q * c.q)
+        |           - CAST(sum(c.n * c.q) AS DOUBLE) * sum(c.n * c.q)
+        |             / sum(c.n) AS sse,
+        |         CAST(sum(c.n) AS BIGINT) AS nn,
+        |         CAST(sum(c.n * c.q) AS BIGINT) AS sq
+        |  FROM cells a JOIN cells b ON a.q <= b.q
+        |  JOIN cells c ON c.q BETWEEN a.q AND b.q
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT min(q) AS mn, max(q) AS mx FROM cells),
+        |splits AS (
+        |  SELECT i1.hi AS s1, i2.hi AS s2,
+        |         i1.sse + i2.sse + i3.sse AS total
+        |  FROM bounds, iv i1, iv i2, iv i3
+        |  WHERE i1.lo = mn AND i2.lo = i1.hi + 1 AND i3.lo = i2.hi + 1
+        |    AND i3.hi = mx),
+        |best AS (
+        |  SELECT s1, s2, total FROM splits
+        |  ORDER BY total, s1, s2 LIMIT 1),
+        |seg AS (
+        |  SELECT 1 AS segment, mn AS lo, s1 AS hi FROM best, bounds
+        |  UNION ALL SELECT 2, s1 + 1, s2 FROM best
+        |  UNION ALL SELECT 3, s2 + 1, mx FROM best, bounds)
+        |SELECT seg.segment, CAST(seg.lo AS BIGINT) AS q_lo,
+        |       CAST(seg.hi AS BIGINT) AS q_hi, iv.nn AS n_rows,
+        |       round(CAST(iv.sq AS DOUBLE) / iv.nn, 6) AS mean_q,
+        |       round(iv.sse, 6) AS sse
+        |FROM seg JOIN iv ON iv.lo = seg.lo AND iv.hi = seg.hi
+        |ORDER BY segment""".stripMargin) { (s, d) =>
+      val cells = Tables.lineitem(s, d)
+        .groupBy(col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // every interval stage re-reads the frame
+      val xs = cells.select(col("q"))
+      val iv = xs.toDF("lo")
+        .join(broadcast(xs.toDF("hi")), col("lo") <= col("hi"))
+        .join(broadcast(cells), col("q") >= col("lo") && col("q") <= col("hi"))
+        .groupBy(col("lo"), col("hi"))
+        .agg((sum(col("n") * col("q") * col("q"))
+          - sum(col("n") * col("q")).cast("double")
+            * sum(col("n") * col("q")) / sum(col("n"))).as("sse"),
+          sum(col("n")).cast("long").as("nn"),
+          sum(col("n") * col("q")).cast("long").as("sq"))
+        .localCheckpoint(true)
+      val bounds = cells.agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+      val i1 = iv.select(col("lo").as("lo1"), col("hi").as("s1"),
+        col("sse").as("c1"))
+      val i2 = iv.select(col("lo").as("lo2"), col("hi").as("s2"),
+        col("sse").as("c2"))
+      val i3 = iv.select(col("lo").as("lo3"), col("hi").as("hi3"),
+        col("sse").as("c3"))
+      val best = i1.join(broadcast(bounds), col("lo1") === col("mn"))
+        .join(broadcast(i2), col("lo2") === col("s1") + 1)
+        .join(broadcast(i3),
+          col("lo3") === col("s2") + 1 && col("hi3") === col("mx"))
+        .select(col("s1"), col("s2"), col("mn"), col("mx"),
+          (col("c1") + col("c2") + col("c3")).as("total"))
+        .orderBy(col("total"), col("s1"), col("s2"))
+        .limit(1)
+      val seg = best.select(lit(1).as("segment"), col("mn").as("lo"),
+          col("s1").as("hi"))
+        .unionByName(best.select(lit(2).as("segment"),
+          (col("s1") + 1).as("lo"), col("s2").as("hi")))
+        .unionByName(best.select(lit(3).as("segment"),
+          (col("s2") + 1).as("lo"), col("mx").as("hi")))
+      seg.join(broadcast(iv), Seq("lo", "hi"))
+        .select(col("segment"), col("lo").cast("long").as("q_lo"),
+          col("hi").cast("long").as("q_hi"), col("nn").as("n_rows"),
+          round(col("sq").cast("double") / col("nn"), 6).as("mean_q"),
+          round(col("sse"), 6).as("sse"))
+        .orderBy(col("segment"))
     }
   )
 }

@@ -478,4 +478,34 @@ class EventsSpec extends SparkSpec {
       .head().getAs[Long]("streak")
     assert(streak == 3L)
   }
+
+  test("session paths: totals account for every event; wilson bound sane") {
+    val paths = graft.SparkEntry.queries("q227_session_paths")(spark, sf0001)
+      .collect()
+    assert(paths.length == 10)
+    // counts are descending with path tie-break
+    val ns = paths.map(_.getAs[Long]("n_sessions")).toSeq
+    assert(ns == ns.sorted.reverse)
+    // every path is a '>' join of known event types
+    val types = Set("view", "click", "purchase", "signup", "error")
+    paths.foreach { p =>
+      assert(p.getAs[String]("path").split(">").forall(types.contains))
+    }
+    val bursts = graft.SparkEntry.queries("q229_error_bursts")(spark, sf0001)
+      .collect()
+    val p0 = {
+      val t = Tables.events(spark, sf0001)
+        .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("k"), count(lit(1)).as("n")).head()
+      t.getAs[Long]("k").toDouble / t.getAs[Long]("n")
+    }
+    bursts.foreach { b =>
+      val rate = b.getAs[Double]("err_rate")
+      val lb = b.getAs[Double]("wilson_lb")
+      assert(lb <= rate, "lower bound may never exceed the point estimate")
+      assert(lb > p0, "alerting buckets must clear the baseline at the LB")
+      assert(b.getAs[Long]("n_errors") <= b.getAs[Long]("n_events"))
+      assert(b.getAs[Long]("bucket") % 21600 == 0)
+    }
+  }
 }

@@ -309,4 +309,39 @@ class StatsSpec extends SparkSpec {
         (eb <= math.max(raw, mu) + 1e-6))
     }
   }
+
+  test("natural breaks: contiguous cover + optimal vs naive splits") {
+    val segs = run("q228_natural_breaks").collect()
+    assert(segs.length == 3)
+    val (lo, hi) = (segs.map(_.getAs[Long]("q_lo")),
+      segs.map(_.getAs[Long]("q_hi")))
+    assert(lo(1) == hi(0) + 1 && lo(2) == hi(1) + 1, "segments contiguous")
+    segs.foreach { s0 =>
+      val m = s0.getAs[Double]("mean_q")
+      assert(m >= s0.getAs[Long]("q_lo") && m <= s0.getAs[Long]("q_hi"))
+      assert(s0.getAs[Double]("sse") >= -1e-6)
+    }
+    // optimality: the chosen split's total SSE beats naive equal-width
+    // thirds computed directly from the corpus
+    val cells = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_quantity").cast("long").as("q"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("q") -> r.getAs[Long]("n")).toMap
+    def sse(a: Long, b: Long): Double = {
+      val xs = cells.filter { case (q, _) => q >= a && q <= b }
+      val n = xs.values.sum.toDouble
+      if (n == 0) 0.0
+      else {
+        val s = xs.map { case (q, c) => q.toDouble * c }.sum
+        xs.map { case (q, c) => c * q.toDouble * q }.sum - s * s / n
+      }
+    }
+    val (mn, mx) = (cells.keys.min, cells.keys.max)
+    val w = (mx - mn) / 3
+    val naive = sse(mn, mn + w) + sse(mn + w + 1, mn + 2 * w) +
+      sse(mn + 2 * w + 1, mx)
+    val opt = segs.map(_.getAs[Double]("sse")).sum
+    assert(opt <= naive + 1e-6,
+      s"optimal split $opt must not lose to equal-width thirds $naive")
+  }
 }
