@@ -958,6 +958,81 @@ object Stats {
           round(col("sq").cast("double") / col("nn"), 6).as("mean_q"),
           round(col("sse"), 6).as("sse"))
         .orderBy(col("segment"))
+    },
+
+    // Exponential goodness-of-fit for inter-order gaps — "is reorder
+    // timing memoryless?" decides whether a marketer can model reorders
+    // as a Poisson process or needs habit/periodicity terms. Gaps =
+    // consecutive same-customer order intervals in whole days (same-day
+    // repeats excluded: a zero gap is an artifact of date-grain
+    // truncation, not a waiting time). MLE λ̂ = n/Σg; the one-sample
+    // Kolmogorov-Smirnov statistic compares the empirical step CDF to
+    // 1 − e^{−λg} from BOTH sides of each step (the sup is attained at a
+    // jump). Scale shape: gaps come from per-customer lag windows
+    // (parallel, bounded per customer); distinct gap values are a
+    // DOMAIN-bounded frame whose cumulative counts run through the same
+    // block-offset machinery as the q167 two-sample KS ([[withCumBelow]]
+    // — the b-sample is simply empty); one row out.
+    Q("q231_exp_gap_fit",
+      """WITH g0 AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |         lag(CAST(o_orderdate AS DATE)) OVER (
+        |           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |           AS pd
+        |  FROM orders),
+        |g AS (
+        |  SELECT CAST(d - pd AS BIGINT) AS v FROM g0
+        |  WHERE pd IS NOT NULL AND d - pd > 0),
+        |c AS (SELECT v, count(*) AS a FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS n,
+        |             CAST(sum(a * v) AS BIGINT) AS sg FROM c),
+        |w AS (
+        |  SELECT v, a,
+        |         coalesce(sum(a) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS ca
+        |  FROM c),
+        |k AS (
+        |  SELECT max(greatest(
+        |           abs((ca + a) / CAST(n AS DOUBLE)
+        |               - (1 - exp(-(CAST(n AS DOUBLE) / sg) * v))),
+        |           abs(ca / CAST(n AS DOUBLE)
+        |               - (1 - exp(-(CAST(n AS DOUBLE) / sg) * v))))) AS d
+        |  FROM w, t)
+        |SELECT CAST(t.n AS BIGINT) AS n_gaps,
+        |       CAST(t.sg AS BIGINT) AS sum_days,
+        |       round(CAST(t.n AS DOUBLE) / t.sg, 6) AS lambda_hat,
+        |       round(k.d, 6) AS ks_d,
+        |       k.d > 1.358 / sqrt(CAST(t.n AS DOUBLE)) AS reject_exp
+        |FROM t, k""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("pd", lag(col("o_orderdate").cast("date"), 1).over(w))
+        .filter(col("pd").isNotNull)
+        .select(datediff(col("o_orderdate").cast("date"), col("pd"))
+          .cast("long").as("v"))
+        .filter(col("v") > 0)
+      val c = gaps.groupBy(col("v")).agg(count(lit(1)).as("a"))
+        .withColumn("b", lit(0L))
+      val t = c.agg(sum(col("a")).cast("long").as("n"),
+        sum(col("a") * col("v")).cast("long").as("sg"))
+      val lam = col("n").cast("double") / col("sg")
+      val fexp = lit(1) - exp(-lam * col("v"))
+      val kd = withCumBelow(c)
+        .join(broadcast(t), lit(true))
+        .select(greatest(
+          abs((col("ca") + col("a")) / col("n").cast("double") - fexp),
+          abs(col("ca") / col("n").cast("double") - fexp)).as("dd"))
+        .agg(max(col("dd")).as("d"))
+      t.join(broadcast(kd), lit(true))
+        .select(col("n").as("n_gaps"), col("sg").as("sum_days"),
+          round(col("n").cast("double") / col("sg"), 6).as("lambda_hat"),
+          round(col("d"), 6).as("ks_d"),
+          (col("d") > lit(1.358) / sqrt(col("n").cast("double")))
+            .as("reject_exp"))
     }
   )
 }

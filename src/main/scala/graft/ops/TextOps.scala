@@ -1593,6 +1593,69 @@ object TextOps {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("node")).cast("long").as("id_checksum"))
         .orderBy(col("hop"))
+    },
+
+    // Canonical-representative selection — the step q79 only COUNTS:
+    // materialize which document each near-dup cluster KEEPS. Policy:
+    // longest document wins, ties to the smallest doc_id (the "best
+    // exemplar" rule a curation pipeline actually ships, not "arbitrary
+    // first"). Per cluster: the representative, its length, the cluster
+    // size, and a checksum of the dropped ids — so the oracle pins the
+    // exact keep/drop partition, not just counts. Scale shape: components
+    // come from the pointer-jumping iteration (ops.Graph); the doc-length
+    // attribute joins onto the (node, component) frame by doc_id (ids and
+    // lengths shuffle, text never does); the per-cluster argmax is a
+    // partial-aggregated max-struct, one row per cluster out.
+    Q("q230_dedup_keep_set",
+      s"""WITH RECURSIVE $jaccardCtes,
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |root AS (
+        |  SELECT a AS node, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |m AS (
+        |  SELECT root.component, root.node, d.n_chars
+        |  FROM root JOIN documents d ON root.node = d.doc_id),
+        |rep AS (
+        |  SELECT component, node AS rep_doc, n_chars AS rep_chars,
+        |         row_number() OVER (PARTITION BY component
+        |                            ORDER BY n_chars DESC, node) AS rn
+        |  FROM m)
+        |SELECT CAST(m.component AS BIGINT) AS component,
+        |       CAST(count(*) AS BIGINT) AS sz,
+        |       CAST(min(rep.rep_doc) AS BIGINT) AS rep_doc,
+        |       CAST(min(rep.rep_chars) AS BIGINT) AS rep_chars,
+        |       CAST(sum(m.node) - min(rep.rep_doc) AS BIGINT)
+        |         AS dropped_checksum
+        |FROM m JOIN rep ON m.component = rep.component AND rep.rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val pairs = exactJaccardPairs(s, d, minJac = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val cc = Graph.connectedComponents(pairs)
+      val m = cc.join(Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars")),
+        cc("node") === col("doc_id"))
+        .select(col("component"), col("node"), col("n_chars"))
+      m.groupBy(col("component"))
+        .agg(count(lit(1)).cast("long").as("sz"),
+          max(struct(col("n_chars").as("nc"), (-col("node")).as("negid")))
+            .as("best"),
+          sum(col("node")).as("idsum"))
+        .select(col("component").cast("long").as("component"), col("sz"),
+          (-col("best.negid")).cast("long").as("rep_doc"),
+          col("best.nc").cast("long").as("rep_chars"),
+          (col("idsum") + col("best.negid")).cast("long")
+            .as("dropped_checksum"))
+        .orderBy(col("component"))
     }
   )
 

