@@ -431,6 +431,38 @@ object Conformance {
           min(col("monday")).as("wk_monday"),
           countDistinct(year(col("d"))).cast("long").as("n_cal_years"))
         .orderBy(col("iso_year"), col("iso_week"))
+    },
+
+    // Correlated scalar-subquery decorrelation (the TPC-H Q17 shape):
+    // lineitems whose quantity falls below 20% of THEIR part's average
+    // quantity — per-row predicates referencing a per-group aggregate of
+    // the same table. Spark rewrites the correlated scalar subquery into
+    // an aggregate-then-join (one lineitem re-scan, never a per-row
+    // subquery execution); the conformance point is that the rewrite's
+    // join/aggregation semantics (including parts whose average divides
+    // exactly) agree with DuckDB's dependent-subquery execution. Both
+    // engines run the same text; the 0.2·avg comparison uses the same
+    // double ratio from exact integer sums on both sides. Revenue is
+    // emitted in exact cents.
+    Q("q233_q17_small_qty",
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(round(l1.l_extendedprice * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS rev_cents,
+        |       CAST(count(DISTINCT l1.l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem l1
+        |WHERE l1.l_quantity < (
+        |  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q233")
+      s.sql(
+        """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+          |       CAST(sum(CAST(round(l1.l_extendedprice * 100, 0) AS BIGINT))
+          |            AS BIGINT) AS rev_cents,
+          |       CAST(count(DISTINCT l1.l_partkey) AS BIGINT) AS n_parts
+          |FROM lineitem_q233 l1
+          |WHERE l1.l_quantity < (
+          |  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem_q233 l2
+          |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
     }
   )
 }

@@ -364,6 +364,87 @@ object Ml {
           // finally below has dropped the cache
           .localCheckpoint()
       } finally vecs.unpersist(blocking = false)
+    },
+
+    // AFT (accelerated failure time) survival regression — the PARAMETRIC
+    // companion to q215's nonparametric Kaplan-Meier: a Weibull AFT model
+    // of customer lifetime (same subjects, durations and 180-day censoring
+    // as q215) on behavioral covariates (order count, log spend, account
+    // balance). This is MLlib's one censoring-aware estimator — exactly
+    // what the naive q40-style regression cannot do (it would treat
+    // censored lifetimes as observed and bias the model short).
+    // Oracle-checked via the q40/q41 property pattern: subject/event/
+    // censored counts are real aggregates DuckDB recomputes from orders;
+    // model internals grade in-engine — a positive Weibull scale, strictly
+    // positive predicted lifetimes, and monotone predicted quantiles
+    // (p25 ≤ p50 ≤ p75 for every customer — the property any valid
+    // survival distribution must satisfy).
+    Q("q234_aft_survival",
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+        |c AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', min(CAST(o_orderdate AS DATE)),
+        |                   max(CAST(o_orderdate AS DATE))) AS t,
+        |         CASE WHEN max(CAST(o_orderdate AS DATE))
+        |                   < (SELECT mxd FROM mx) - 180
+        |              THEN 1 ELSE 0 END AS ev
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+        |       CAST(sum(ev) AS BIGINT) AS n_events,
+        |       CAST(1 AS BOOLEAN) AS scale_ok,
+        |       CAST(1 AS BOOLEAN) AS quantiles_ok
+        |FROM c WHERE t > 0""".stripMargin) { (s, d) =>
+      import org.apache.spark.ml.feature.VectorAssembler
+      import org.apache.spark.ml.regression.AFTSurvivalRegression
+      val od = col("o_orderdate").cast("date")
+      val mx = Tables.orders(s, d).agg(max(od).as("mxd"))
+      val subj = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(datediff(max(od), min(od)).cast("double").as("label"),
+          max(od).as("last"), count(lit(1)).cast("double").as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("spend"))
+        .join(broadcast(mx), lit(true))
+        .filter(col("label") > 0) // AFT needs strictly positive durations
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("label"),
+          when(col("last") < date_sub(col("mxd"), 180), 1.0).otherwise(0.0)
+            .as("censor"), // MLlib: 1.0 = event observed, 0.0 = censored
+          col("n_orders"), log1p(col("spend").cast("double")).as("lspend"),
+          // covariates kept at comparable magnitudes (≈1-30): raw cent
+          // balances next to single-digit counts condition the AFT
+          // log-likelihood badly enough that L-BFGS line searches fail
+          (col("c_acctbal") / 1000.0).as("bal_k"))
+      val assembled = new VectorAssembler()
+        .setInputCols(Array("n_orders", "lspend", "bal_k"))
+        .setOutputCol("features")
+        .transform(subj)
+        .cache()
+      try {
+        val model = new AFTSurvivalRegression()
+          .setCensorCol("censor")
+          .setQuantileProbabilities(Array(0.25, 0.5, 0.75))
+          .setQuantilesCol("q")
+          .fit(assembled)
+        val scored = model.transform(assembled)
+          .select(col("censor"), col("prediction"),
+            element_at(org.apache.spark.ml.functions
+              .vector_to_array(col("q")), 1).as("q25"),
+            element_at(org.apache.spark.ml.functions
+              .vector_to_array(col("q")), 2).as("q50"),
+            element_at(org.apache.spark.ml.functions
+              .vector_to_array(col("q")), 3).as("q75"))
+        scored.agg(count(lit(1)).cast("long").as("n_subjects"),
+            sum(col("censor")).cast("long").as("n_events"),
+            min(col("prediction")).as("min_pred"),
+            max(when(col("q25") > col("q50") || col("q50") > col("q75"),
+              1).otherwise(0)).as("bad_q"))
+          .select(col("n_subjects"), col("n_events"),
+            lit(model.scale > 0 && !model.scale.isNaN).as("scale_ok"),
+            (col("min_pred") > 0 && col("bad_q") === 0).as("quantiles_ok"))
+          .localCheckpoint() // materialize before the cache drops
+      } finally assembled.unpersist(blocking = false)
     }
   )
 }

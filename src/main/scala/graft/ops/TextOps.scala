@@ -1656,6 +1656,53 @@ object TextOps {
           (col("idsum") + col("best.negid")).cast("long")
             .as("dropped_checksum"))
         .orderBy(col("component"))
+    },
+
+    // Dedup-threshold calibration sweep — the tuning table behind q27's
+    // hard-coded 0.5: pair counts at every candidate Jaccard cutoff
+    // {0.3 … 0.9}, from ONE pair enumeration (the curve that shows where
+    // the near-dup population falls off, so the pipeline owner picks a
+    // threshold from data instead of folklore). The threshold comparison
+    // is EXACT integer cross-multiplication (100·inter ≥ thr·(union)) —
+    // no rational ever materializes, so the bucket boundaries cannot
+    // drift between engines. Scale shape: the shingle self-join and pair
+    // aggregate run once at the LOWEST threshold's selectivity; the
+    // 7-row threshold list broadcasts onto the bounded pair set.
+    Q("q232_threshold_sweep",
+      s"""WITH $jaccardCtes,
+        |j AS (
+        |  SELECT p.doc_a, p.doc_b, p.inter,
+        |         ca.n_sh + cb.n_sh - p.inter AS uni
+        |  FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id),
+        |t AS (SELECT unnest([30, 40, 50, 60, 70, 80, 90]) AS thr)
+        |SELECT CAST(t.thr AS INT) AS threshold_pct,
+        |       CAST(sum(CASE WHEN 100 * j.inter >= t.thr * j.uni
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CASE WHEN 100 * j.inter >= t.thr * j.uni
+        |                     THEN j.doc_a + j.doc_b ELSE 0 END) AS BIGINT)
+        |         AS pair_checksum
+        |FROM j, t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sh = shingles(Tables.documents(s, d), "text", 3)
+        .localCheckpoint(true)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.toDF("doc_a", "shingle")
+        .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .join(cnt.toDF("doc_a", "na"), "doc_a")
+        .join(cnt.toDF("doc_b", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("uni"))
+      val thr = s.range(3, 10).select((col("id") * 10).cast("int").as("thr"))
+      val hit = lit(100) * col("inter") >= col("thr") * col("uni")
+      pairs.join(broadcast(thr), lit(true))
+        .groupBy(col("thr").as("threshold_pct"))
+        .agg(sum(when(hit, 1L).otherwise(0L)).cast("long").as("n_pairs"),
+          sum(when(hit, col("doc_a") + col("doc_b")).otherwise(0L))
+            .cast("long").as("pair_checksum"))
+        .orderBy(col("threshold_pct"))
     }
   )
 

@@ -128,4 +128,20 @@ class ConformanceSpec extends SparkSpec {
         s"$s: expected ISO $ey-W$ew, got ${got(s)}")
     }
   }
+
+  test("q17-shape decorrelation equals an explicit aggregate-then-join") {
+    val r = run("q233_q17_small_qty").head()
+    val avgper = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("ak"))
+    val manual = Tables.lineitem(spark, sf0001)
+      .join(avgper, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("ak"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("c"),
+        countDistinct(col("l_partkey")).as("p")).head()
+    assert(r.getAs[Long]("n_lines") == manual.getAs[Long]("n"))
+    assert(r.getAs[Long]("rev_cents") == manual.getAs[Long]("c"))
+    assert(r.getAs[Long]("n_parts") == manual.getAs[Long]("p"))
+  }
 }

@@ -98,4 +98,17 @@ class MlSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("aft survival: subject accounting matches the KM framing") {
+    val r = graft.SparkEntry.queries("q234_aft_survival")(spark, sf0001)
+      .head()
+    // subjects = customers with ≥ 2 distinct order dates (duration > 0)
+    val expected = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderdate").cast("date")).as("nd"))
+      .filter(col("nd") >= 2).count()
+    assert(r.getAs[Long]("n_subjects") == expected)
+    assert(r.getAs[Long]("n_events") <= r.getAs[Long]("n_subjects"))
+    assert(r.getAs[Boolean]("scale_ok") && r.getAs[Boolean]("quantiles_ok"))
+  }
 }

@@ -327,4 +327,20 @@ class TextOpsSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("threshold sweep: monotone curve, 50%-cell equals q27's pair set") {
+    val rows = SparkEntry.queries("q232_threshold_sweep")(spark, sf0001)
+      .collect()
+    assert(rows.length == 7)
+    val byThr = rows.map(r => r.getAs[Int]("threshold_pct") ->
+      r.getAs[Long]("n_pairs")).toMap
+    // raising the cutoff can only shrink the pair set
+    val counts = rows.sortBy(_.getAs[Int]("threshold_pct"))
+      .map(_.getAs[Long]("n_pairs")).toSeq
+    assert(counts == counts.sorted.reverse)
+    // the 50% cell must equal the q27 ground-truth pair count exactly
+    // (same >= rule, same shingle pipeline)
+    val q27 = graft.ops.TextOps.exactJaccardPairs(spark, sf0001, 0.5).count()
+    assert(byThr(50) == q27, s"50% cell ${byThr(50)} vs q27 $q27")
+  }
 }
