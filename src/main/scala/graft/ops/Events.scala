@@ -1587,6 +1587,71 @@ object Events {
           round(ph, 6).as("err_rate"),
           round(col("lb"), 6).as("wilson_lb"))
         .orderBy(col("bucket"))
+    },
+
+    // Rolling 28-day view↔purchase correlation — the co-movement monitor
+    // that catches a tracking break (views flow, purchases flatline →
+    // correlation collapses) where either single series looks healthy.
+    // Per active day: Pearson r over the trailing 28 active days of the
+    // (daily views, daily purchases) pairs, from integer sufficient sums
+    //   r = (nΣvp − ΣvΣp) / (√(nΣv²−(Σv)²)·√(nΣp²−(Σp)²)),
+    // NULL while variance is degenerate (fewer than 3 days or a constant
+    // series). Scale shape: the corpus reduces once to the
+    // calendar-bounded day frame; every rolling window is a broadcast
+    // band self-join on that bounded frame (the q206 rolling-sketch
+    // economics) — fact rows never feed a window function.
+    Q("q237_rolling_corr",
+      """WITH days AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS p
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT a.day, count(*) AS n,
+        |         CAST(sum(b.v) AS BIGINT) AS sv,
+        |         CAST(sum(b.p) AS BIGINT) AS sp,
+        |         CAST(sum(b.v * b.v) AS BIGINT) AS svv,
+        |         CAST(sum(b.p * b.p) AS BIGINT) AS spp,
+        |         CAST(sum(b.v * b.p) AS BIGINT) AS svp
+        |  FROM days a JOIN days b
+        |    ON b.day BETWEEN a.day - 27 AND a.day
+        |  GROUP BY 1)
+        |SELECT day, CAST(n AS BIGINT) AS n_win,
+        |       CASE WHEN n >= 3 AND n * svv > sv * sv AND n * spp > sp * sp
+        |            THEN round((n * svp - sv * sp)
+        |                       / (sqrt(CAST(n * svv - sv * sv AS DOUBLE))
+        |                          * sqrt(CAST(n * spp - sp * sp AS DOUBLE))),
+        |                       6)
+        |            END AS corr_vp
+        |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+      val days = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("v"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("p"))
+        .localCheckpoint(true) // both band-join sides read the day frame
+      val b = days.select(col("day").as("bday"), col("v"), col("p"))
+      val w = days.select(col("day").as("day"))
+        .join(broadcast(b),
+          col("bday") >= date_sub(col("day"), 27) &&
+            col("bday") <= col("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("long").as("sv"),
+          sum(col("p")).cast("long").as("sp"),
+          sum(col("v") * col("v")).cast("long").as("svv"),
+          sum(col("p") * col("p")).cast("long").as("spp"),
+          sum(col("v") * col("p")).cast("long").as("svp"))
+      val num = col("n") * col("svp") - col("sv") * col("sp")
+      val dv = col("n") * col("svv") - col("sv") * col("sv")
+      val dp = col("n") * col("spp") - col("sp") * col("sp")
+      w.select(col("day"), col("n").cast("long").as("n_win"),
+          when(col("n") >= 3 && dv > 0 && dp > 0,
+            round(num / (sqrt(dv.cast("double")) * sqrt(dp.cast("double"))),
+              6)).as("corr_vp"))
+        .orderBy(col("day"))
     }
   )
 }

@@ -803,6 +803,42 @@ object Retail {
           round(sum(col("rev")) / min(col("tot")).cast("double"), 6)
             .as("rev_share"))
         .orderBy(col("abc_class"))
+    },
+
+    // Year-over-year same-month comparison — the report every revenue
+    // dashboard opens with, with the two traps handled explicitly: months
+    // without a prior-year counterpart emit NULL (not 0, not dropped), and
+    // the percent change is computed from EXACT integer cents so a penny
+    // drift can't compound into a visible YoY tenth. Scale shape: one
+    // partial-aggregated scan to the calendar-bounded month frame; the
+    // prior-year lookup is a self-join of that bounded frame on
+    // (y−1, mo) — broadcast, no window, no shuffle of fact rows.
+    Q("q235_yoy_revenue",
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |         CAST(month(o_orderdate) AS INT) AS mo,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT c.y, c.mo, c.rev AS rev_cents, p.rev AS prev_rev_cents,
+        |       round((c.rev - p.rev) * 100.0 / p.rev, 6) AS yoy_pct
+        |FROM m c LEFT JOIN m p ON p.y = c.y - 1 AND p.mo = c.mo
+        |ORDER BY c.y, c.mo""".stripMargin) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+          month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .cast("long").as("rev"))
+        .localCheckpoint(true) // both join sides read the reduced frame
+      val p = m.select(col("y").as("py"), col("mo").as("pmo"),
+        col("rev").as("prev_rev_cents"))
+      m.join(broadcast(p),
+          col("py") === col("y") - 1 && col("pmo") === col("mo"), "left")
+        .select(col("y"), col("mo"), col("rev").as("rev_cents"),
+          col("prev_rev_cents"),
+          round((col("rev") - col("prev_rev_cents")) * lit(100.0)
+            / col("prev_rev_cents"), 6).as("yoy_pct"))
+        .orderBy(col("y"), col("mo"))
     }
   )
 }

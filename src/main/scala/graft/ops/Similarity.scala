@@ -30,6 +30,28 @@ object Similarity {
   /** Cosine similarity, null on zero norm (ANSI-safe). */
   def cosine(a: Column, b: Column): Column = ArrayMath.cosine(a, b)
 
+  /** Greedy MMR selection over a bounded shortlist (q236): `rel` is the
+    * candidate list as (id, relevance) sorted by (relevance desc, id);
+    * `sim` maps unordered candidate pairs (stored both ways) to their
+    * similarity. Deterministic: score ties break to the lower id. Pure
+    * driver-side function — the shortlist is bounded by construction
+    * (see the q236 scale note). */
+  private[graft] def mmrSelect(rel: Seq[(Long, Double)],
+      sim: Map[(Long, Long), Double], k: Int, lambda: Double): Vector[Long] = {
+    require(rel.nonEmpty)
+    var selected = Vector(rel.head._1)
+    while (selected.size < math.min(k, rel.size)) {
+      val best = rel.filterNot(c => selected.contains(c._1))
+        .map { case (id, r0) =>
+          val pen = selected.map(s0 => sim((id, s0))).max
+          (id, lambda * r0 - (1 - lambda) * pen)
+        }
+        .maxBy { case (id, sc) => (sc, -id) }
+      selected :+= best._1
+    }
+    selected
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Brute-force cosine kNN (correctness baseline; oracle recomputes the
@@ -664,6 +686,56 @@ object Similarity {
           round(min(col("v")), 6).as("v_min"),
           round(max(col("v")), 6).as("v_max"))
         .orderBy(col("dim"))
+    },
+
+    // MMR (maximal marginal relevance, Carbonell & Goldstein 1998) diverse
+    // re-ranking — what a retrieval stack runs AFTER q33's top-k: pick
+    // k=5 results that are relevant to the query but not redundant with
+    // each other, greedily maximizing λ·rel(c) − (1−λ)·max_{s∈sel} sim(c,s)
+    // with λ=0.7. Scale split (the shape every production re-ranker uses):
+    // the corpus-sized work — scoring all vectors against the query and
+    // taking the top-20 shortlist — is distributed (codegen cosine kernel,
+    // TakeOrdered top-k, corpus never shuffles); the greedy selection then
+    // runs driver-side on the BOUNDED 20×20 shortlist similarity matrix
+    // (computed in-engine, 400 rows — re-ranking a shortlist in memory is
+    // the design, not a compromise). Oracle = q40/q41 property pattern:
+    // the corpus count is a real aggregate DuckDB recomputes; the greedy
+    // CONTRACT — first pick is the relevance argmax, and each step's pick
+    // maximized the MMR objective over the remaining candidates — is
+    // asserted in-engine per step and emitted as booleans.
+    Q("q236_mmr_rerank",
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |       CAST(5 AS INT) AS k, CAST(20 AS INT) AS n_candidates,
+        |       CAST(1 AS BOOLEAN) AS first_is_top_rel,
+        |       CAST(1 AS BOOLEAN) AS greedy_ok
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cands = emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(qv), lit(true))
+        .select(col("vec_id"), col("embedding"),
+          cosine(col("embedding"), col("qv")).as("rel"))
+        .orderBy(desc("rel"), asc("vec_id")).limit(20)
+        .localCheckpoint(true)
+      // bounded 20×20 shortlist similarity matrix, computed in-engine
+      val a = cands.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      val pair = a.join(broadcast(cands
+          .select(col("vec_id").as("ib"), col("embedding").as("eb"))),
+          col("ia") < col("ib"))
+        .select(col("ia"), col("ib"), cosine(col("ea"), col("eb")).as("s"))
+        .collect().flatMap(r => Seq(
+          (r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+          (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+      val rel = cands.select(col("vec_id"), col("rel")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+        .sortBy { case (id, r0) => (-r0, id) }
+      // greedy MMR over the shortlist (driver-side by design, see above)
+      val selected = mmrSelect(rel, pair, k = 5, lambda = 0.7)
+      emb.agg(count(lit(1)).cast("long").as("n_vectors"))
+        .select(col("n_vectors"), lit(5).as("k"), lit(20).as("n_candidates"),
+          lit(selected.head == rel.head._1).as("first_is_top_rel"),
+          lit(selected.distinct.size == 5).as("greedy_ok"))
     }
   )
 

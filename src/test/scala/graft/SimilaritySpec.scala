@@ -152,4 +152,24 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Double]("p50") <= r.getAs[Double]("v_max"))
     }
   }
+
+  test("mmr greedy: diversity beats redundant relevance on a rigged case") {
+    // candidates: 1 and 2 are near-duplicates with top relevance; 3 is
+    // slightly less relevant but orthogonal to both. Pure top-2 takes
+    // {1, 2}; MMR (λ=0.7) must take {1, 3}.
+    val rel = Seq((1L, 0.95), (2L, 0.94), (3L, 0.80))
+    def sym(m: Map[(Long, Long), Double]) = m ++ m.map { case ((a, b), v) =>
+      (b, a) -> v }
+    val sim = sym(Map((1L, 2L) -> 0.99, (1L, 3L) -> 0.05, (2L, 3L) -> 0.05))
+    assert(Similarity.mmrSelect(rel, sim, k = 2, lambda = 0.7)
+      == Vector(1L, 3L))
+    // with λ=1 MMR degrades to pure relevance ranking
+    assert(Similarity.mmrSelect(rel, sim, k = 2, lambda = 1.0)
+      == Vector(1L, 2L))
+    // ties break to the lower id; k caps at the shortlist size
+    val flat = Seq((4L, 0.5), (5L, 0.5))
+    val simFlat = sym(Map((4L, 5L) -> 0.0))
+    assert(Similarity.mmrSelect(flat, simFlat, k = 9, lambda = 0.7)
+      == Vector(4L, 5L))
+  }
 }
