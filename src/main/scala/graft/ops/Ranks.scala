@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared rank→statistic arithmetic for the scale-safe ranking topology
@@ -41,4 +42,30 @@ object Ranks {
   /** `cume_dist()` of rank r among n rows under a TOTAL order: r/n. */
   def cumeDistExpr(r: Column, n: Column): Column =
     r.cast("double") / n
+
+  /** Global 1-based `row_number() OVER (ORDER BY sortExprs…)` WITHOUT the
+    * single-task global sort — the q130 block-offset topology packaged:
+    * range-repartition on the sort expressions (range partitions are
+    * ordered by construction, so `spark_partition_id` IS the block
+    * order), rank per-partition in a fully parallel pid-partitioned
+    * window, and broadcast the ≤`parts`-row running block-offset table
+    * back. The only SinglePartition in the plan carries `parts` aggregate
+    * rows. `sortExprs` must be a TOTAL order (add a key tie-breaker) or
+    * ranks at range boundaries become nondeterministic. Returns the input
+    * plus an `idx` column; the input is localCheckpointed (offsets and
+    * rank consumers share one shuffle). */
+  def globalIndex(df: DataFrame, parts: Int, sortExprs: Column*): DataFrame = {
+    val parted = df.repartitionByRange(parts, sortExprs: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val wLoc = Window.partitionBy(col("pid")).orderBy(sortExprs: _*)
+    parted.join(broadcast(offsets), "pid")
+      .withColumn("idx", col("off") + row_number().over(wLoc))
+      .drop("pid", "off")
+  }
 }

@@ -1703,6 +1703,139 @@ object TextOps {
           sum(when(hit, col("doc_a") + col("doc_b")).otherwise(0L))
             .cast("long").as("pair_checksum"))
         .orderBy(col("threshold_pct"))
+    },
+
+    // Quantile normalization across sources — the batch-effect remover
+    // (classic in bioinformatics, equally apt for multi-source corpora):
+    // each source's doc-length distribution is mapped ONTO the pooled
+    // distribution by rank, so after normalization every source draws
+    // from the same length profile and a length-based quality filter
+    // can't systematically favor one ingest source. Protocol (exact
+    // integers end-to-end): doc with within-source rank r of n_s maps to
+    // the pooled value at global rank ⌈r·N/n_s⌉. Scale shape: the
+    // within-source rank is a source-partitioned window (parallel); the
+    // POOLED rank uses [[Ranks.globalIndex]] (block-offset topology — no
+    // corpus-wide SinglePartition sort); the mapping is one equi join on
+    // the target rank. Output sums are BIGINT checksums of the full
+    // mapping, so the oracle pins every mapped value.
+    Q("q238_quantile_normalize",
+      """WITH pooled AS (
+        |  SELECT n_chars,
+        |         row_number() OVER (ORDER BY n_chars, doc_id) AS g
+        |  FROM documents),
+        |n AS (SELECT count(*) AS nn FROM documents),
+        |src AS (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS r,
+        |         count(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents),
+        |mapped AS (
+        |  SELECT s.source, s.n_chars AS before_v, p.n_chars AS after_v
+        |  FROM src s JOIN n ON true
+        |  JOIN pooled p ON p.g = (s.r * n.nn + s.ns - 1) // s.ns)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(before_v) AS BIGINT) AS sum_before,
+        |       CAST(sum(after_v) AS BIGINT) AS sum_after,
+        |       CAST(min(after_v) AS BIGINT) AS min_after,
+        |       CAST(max(after_v) AS BIGINT) AS max_after
+        |FROM mapped GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .localCheckpoint(true) // pooled rank + per-source rank share it
+      val pooled = Ranks.globalIndex(docs, 32, col("n_chars"), col("doc_id"))
+        .select(col("idx").as("g"), col("n_chars").as("after_v"))
+      val nn = docs.agg(count(lit(1)).as("nn"))
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val src = docs
+        .withColumn("r", row_number().over(wSrc))
+        .withColumn("ns", count(lit(1))
+          .over(Window.partitionBy(col("source"))))
+        .join(broadcast(nn), lit(true))
+        .withColumn("g", expr("CAST((r * nn + ns - 1) div ns AS BIGINT)"))
+      src.join(pooled, "g")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_before"),
+          sum(col("after_v")).cast("long").as("sum_after"),
+          min(col("after_v")).cast("long").as("min_after"),
+          max(col("after_v")).cast("long").as("max_after"))
+        .orderBy(col("source"))
+    },
+
+    // Cluster-aware train/val/test split — the split that PREVENTS what
+    // q137 only audits: near-duplicate documents must land in the SAME
+    // split (a train/test near-dup pair is leakage; random splits create
+    // them in proportion to the dup rate). Split key = the doc's q79
+    // component representative (min id) when it is clustered, else the
+    // doc itself; the 12/2/2-sixteenths assignment hashes the KEY (q68's
+    // portable md5-hex protocol), so cluster cohesion holds by
+    // construction — and the emitted n_straddling column RECOMPUTES the
+    // cohesion claim from the raw splits in both engines instead of
+    // trusting it. Scale shape: components from the pointer-jumping
+    // iteration; one left join keys every doc; the hash is map-side.
+    Q("q239_cluster_split",
+      s"""WITH RECURSIVE $jaccardCtes,
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |root AS (
+        |  SELECT a AS node, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |keyed AS (
+        |  SELECT d.doc_id, coalesce(root.component, d.doc_id) AS k
+        |  FROM documents d LEFT JOIN root ON d.doc_id = root.node),
+        |sp AS (
+        |  SELECT doc_id, k,
+        |         CASE WHEN substr(md5(CAST(k AS VARCHAR)), 1, 1) < 'c'
+        |              THEN 'train'
+        |              WHEN substr(md5(CAST(k AS VARCHAR)), 1, 1) < 'e'
+        |              THEN 'val' ELSE 'test' END AS split
+        |  FROM keyed),
+        |str AS (
+        |  SELECT count(*) AS n_straddling FROM (
+        |    SELECT root.component FROM root
+        |    JOIN sp ON root.node = sp.doc_id
+        |    GROUP BY 1 HAVING count(DISTINCT sp.split) > 1))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |       (SELECT CAST(n_straddling AS BIGINT) FROM str)
+        |         AS n_straddling
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val pairs = exactJaccardPairs(s, d, minJac = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val cc = Graph.connectedComponents(pairs).localCheckpoint(true)
+      val keyed = Tables.documents(s, d).select(col("doc_id"))
+        .join(cc, col("doc_id") === cc("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("k"))
+      val hex = substring(md5(col("k").cast("string").cast("binary")), 1, 1)
+      val sp = keyed
+        .withColumn("split", when(hex < "c", "train")
+          .when(hex < "e", "val").otherwise("test"))
+        .localCheckpoint(true) // split table + straddle audit share it
+      val straddle = cc.join(sp, cc("node") === sp("doc_id"))
+        .groupBy(col("component"))
+        .agg(countDistinct(col("split")).as("nsp"))
+        .filter(col("nsp") > 1)
+        .agg(count(lit(1)).cast("long").as("n_straddling"))
+      sp.groupBy(col("split"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("k")).cast("long").as("n_keys"))
+        .join(broadcast(straddle), lit(true))
+        .select(col("split"), col("n_docs"), col("n_keys"),
+          col("n_straddling"))
+        .orderBy(col("split"))
     }
   )
 

@@ -343,4 +343,38 @@ class TextOpsSpec extends SparkSpec {
     val q27 = graft.ops.TextOps.exactJaccardPairs(spark, sf0001, 0.5).count()
     assert(byThr(50) == q27, s"50% cell ${byThr(50)} vs q27 $q27")
   }
+
+  test("quantile normalization: every source maps onto the pooled range") {
+    val rows = SparkEntry.queries("q238_quantile_normalize")(spark, sf0001)
+      .collect()
+    val pooled = Tables.documents(spark, sf0001)
+      .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+        count(lit(1)).as("n")).head()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == pooled.getAs[Long]("n"))
+    rows.foreach { r =>
+      // the top-ranked doc of EVERY source maps to global rank N exactly
+      // (⌈n_s·N/n_s⌉ = N), so max_after is the pooled maximum everywhere
+      assert(r.getAs[Long]("max_after") == pooled.getAs[Long]("mx"),
+        s"${r.getAs[String]("source")} max_after")
+      assert(r.getAs[Long]("min_after") >= pooled.getAs[Long]("mn"))
+    }
+  }
+
+  test("cluster-aware split: partition complete, zero straddling clusters") {
+    val rows = SparkEntry.queries("q239_cluster_split")(spark, sf0001)
+      .collect()
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_straddling") == 0L,
+        "cohesion must hold by construction and by audit")
+      assert(r.getAs[Long]("n_keys") <= r.getAs[Long]("n_docs"))
+    }
+    assert(rows.map(_.getAs[String]("split")).toSet ==
+      Set("train", "val", "test"))
+    // train must dominate (12/16 of hash space)
+    val byName = rows.map(r => r.getAs[String]("split") ->
+      r.getAs[Long]("n_docs")).toMap
+    assert(byName("train") > byName("val") + byName("test"))
+  }
 }
