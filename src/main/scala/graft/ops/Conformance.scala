@@ -463,6 +463,72 @@ object Conformance {
           |WHERE l1.l_quantity < (
           |  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem_q233 l2
           |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    },
+
+    // GROUP BY ALL / ORDER BY ALL dialect conformance — the 2022-era SQL
+    // ergonomics DuckDB introduced and Spark adopted (3.4/4.0): every
+    // non-aggregate select item becomes a grouping key, and the full
+    // select list becomes the sort order, inferred left-to-right. Both
+    // engines run the IDENTICAL text; the conformance point is that the
+    // two inference rules pick the same keys and the same sort — a silent
+    // divergence here would reorder or regroup every query a user ports.
+    Q("q241_group_by_all",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS rev_cents
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q241")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+          |            AS BIGINT) AS rev_cents
+          |FROM lineitem_q241 GROUP BY ALL ORDER BY ALL""".stripMargin)
+    },
+
+    // Surrogate-key continuity audit — the data-quality check a warehouse
+    // runs after every load: are the order keys dense, and if not, where
+    // does the first hole open and how much is missing? Computed WITHOUT
+    // a global ordered window: total missing = (max−min+1) − n (exact
+    // arithmetic), gap RUNS = keys whose successor k+1 is absent (a
+    // key-shifted LEFT ANTI self-join — each run of consecutive missing
+    // values has exactly one such predecessor), first hole = min such
+    // k+1. Every step is an equi/anti hash join on the key column; no
+    // sort, no SinglePartition, no per-row window at any scale.
+    Q("q242_key_gap_audit",
+      """WITH k AS (SELECT o_orderkey AS key FROM orders),
+        |b AS (SELECT min(key) AS mn, max(key) AS mx,
+        |             CAST(count(*) AS BIGINT) AS n FROM k),
+        |runs AS (
+        |  SELECT a.key FROM k a LEFT JOIN k b2 ON b2.key = a.key + 1
+        |  WHERE b2.key IS NULL),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS raw_runs,
+        |             min(key) AS first_pred FROM runs)
+        |SELECT b.n AS n_keys, CAST(b.mn AS BIGINT) AS key_min,
+        |       CAST(b.mx AS BIGINT) AS key_max,
+        |       CAST(b.mx - b.mn + 1 - b.n AS BIGINT) AS n_missing,
+        |       CAST(r.raw_runs - 1 AS BIGINT) AS n_gap_runs,
+        |       CAST(CASE WHEN r.raw_runs > 1 THEN r.first_pred + 1
+        |            END AS BIGINT) AS first_missing
+        |FROM b, r""".stripMargin) { (s, d) =>
+      val k = Tables.orders(s, d).select(col("o_orderkey").as("key"))
+        .localCheckpoint(true) // bounds + both self-join sides share it
+      val b = k.agg(min(col("key")).as("mn"), max(col("key")).as("mx"),
+        count(lit(1)).cast("long").as("n"))
+      // keys with an absent successor: the max key always qualifies, so
+      // real gap runs = raw_runs − 1 and the max-key row is excluded
+      // from first_missing by the raw_runs > 1 guard matching min order
+      val runs = k.join(k.select((col("key") - 1).as("key")),
+          Seq("key"), "left_anti")
+      val r = runs.agg(count(lit(1)).cast("long").as("raw_runs"),
+        min(col("key")).as("first_pred"))
+      b.join(broadcast(r), lit(true))
+        .select(col("n").as("n_keys"), col("mn").cast("long").as("key_min"),
+          col("mx").cast("long").as("key_max"),
+          (col("mx") - col("mn") + 1 - col("n")).cast("long")
+            .as("n_missing"),
+          (col("raw_runs") - 1).cast("long").as("n_gap_runs"),
+          when(col("raw_runs") > 1, col("first_pred") + 1).cast("long")
+            .as("first_missing"))
     }
   )
 }

@@ -452,6 +452,55 @@ object Profiling {
           round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
             ((col("n") * col("sxx") - col("sx") * col("sx")) *
               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+    },
+
+    // Unseen-mass estimation — "how much vocabulary has this corpus NOT
+    // shown us yet?", the question behind dedup/coverage budgeting and
+    // the classic smoothing constants: Good-Turing unseen probability
+    // P₀ = n₁/N (mass of singletons) and the bias-corrected Chao1
+    // richness bound S + n₁(n₁−1)/(2(n₂+1)) — both pure functions of the
+    // frequency-of-frequencies table. Scale shape: tokenize → (token,
+    // freq) → (freq, n_types) is two partial-aggregated reductions; the
+    // second frame is bounded by the MAX FREQUENCY, not the vocabulary,
+    // and the estimators are one-row arithmetic over exact BIGINTs.
+    Q("q243_unseen_mass",
+      """WITH v AS (
+        |  SELECT tok, count(*) AS f
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |               AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |fof AS (SELECT f, count(*) AS nf FROM v GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(f * nf) AS BIGINT) AS n_tokens,
+        |         CAST(sum(nf) AS BIGINT) AS n_types,
+        |         CAST(coalesce(sum(CASE WHEN f = 1 THEN nf END), 0)
+        |              AS BIGINT) AS n1,
+        |         CAST(coalesce(sum(CASE WHEN f = 2 THEN nf END), 0)
+        |              AS BIGINT) AS n2
+        |  FROM fof)
+        |SELECT n_types, n_tokens, n1 AS n_singletons, n2 AS n_doubletons,
+        |       round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS p0_unseen,
+        |       round(n_types + CAST(n1 AS DOUBLE) * (n1 - 1)
+        |             / (2.0 * (n2 + 1)), 6) AS chao1_richness
+        |FROM t""".stripMargin) { (s, d) =>
+      val fof = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("nf"))
+      fof.agg(sum(col("f") * col("nf")).cast("long").as("n_tokens"),
+          sum(col("nf")).cast("long").as("n_types"),
+          coalesce(sum(when(col("f") === 1, col("nf"))), lit(0L))
+            .cast("long").as("n1"),
+          coalesce(sum(when(col("f") === 2, col("nf"))), lit(0L))
+            .cast("long").as("n2"))
+        .select(col("n_types"), col("n_tokens"),
+          col("n1").as("n_singletons"), col("n2").as("n_doubletons"),
+          round(col("n1").cast("double") / col("n_tokens"), 6)
+            .as("p0_unseen"),
+          round(col("n_types") + col("n1").cast("double") * (col("n1") - 1)
+            / (lit(2.0) * (col("n2") + 1)), 6).as("chao1_richness"))
     }
   )
 

@@ -1033,6 +1033,68 @@ object Stats {
           round(col("d"), 6).as("ks_d"),
           (col("d") > lit(1.358) / sqrt(col("n").cast("double")))
             .as("reject_exp"))
+    },
+
+    // Coarsened exact matching (CEM, Iacus-King-Porro 2012) — the causal
+    // estimate q189's diff-in-diff can't give when there is no time
+    // dimension: the ATT of discounting (≥5%) on line revenue, comparing
+    // treated and control lines ONLY within exactly-matching
+    // (part, quantity) strata, so the part's price level and the ordered
+    // quantity are held fixed by construction. Strata with no control (or
+    // no treated) rows drop out — and the DROPPED treated count is
+    // emitted, because silently shrinking the estimand is how matching
+    // studies lie. ATT = Σ_s n_t,s·(ȳ_t,s − ȳ_c,s) / Σ_s n_t,s. Scale
+    // shape: ONE partial-aggregated scan to the strata frame (bounded by
+    // |parts|×|quantities|); everything after is arithmetic on that
+    // frame. Cell sums are exact cents; the two divisions happen at the
+    // final rounded step.
+    Q("q240_cem_att",
+      """WITH s AS (
+        |  SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_t,
+        |         CAST(sum(CASE WHEN l_discount >= 0.05
+        |                  THEN CAST(round(l_extendedprice * 100, 0)
+        |                            AS BIGINT) ELSE 0 END) AS BIGINT)
+        |           AS s_t,
+        |         CAST(sum(CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_c,
+        |         CAST(sum(CASE WHEN l_discount < 0.05
+        |                  THEN CAST(round(l_extendedprice * 100, 0)
+        |                            AS BIGINT) ELSE 0 END) AS BIGINT)
+        |           AS s_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT * FROM s WHERE n_t > 0 AND n_c > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |       CAST(sum(n_t) AS BIGINT) AS n_treated_matched,
+        |       (SELECT CAST(coalesce(sum(n_t), 0) AS BIGINT) FROM s
+        |        WHERE n_t > 0 AND n_c = 0) AS n_treated_dropped,
+        |       round(sum(n_t * (CAST(s_t AS DOUBLE) / n_t
+        |                        - CAST(s_c AS DOUBLE) / n_c))
+        |             / sum(n_t), 6) AS att_cents
+        |FROM m""".stripMargin) { (s, d) =>
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val treated = col("l_discount") >= 0.05
+      val strata = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"),
+          col("l_quantity").cast("long").as("q"))
+        .agg(sum(when(treated, 1L).otherwise(0L)).as("n_t"),
+          sum(when(treated, cents).otherwise(0L)).as("s_t"),
+          sum(when(!treated, 1L).otherwise(0L)).as("n_c"),
+          sum(when(!treated, cents).otherwise(0L)).as("s_c"))
+        .localCheckpoint(true) // matched estimate + dropped audit share it
+      val dropped = strata.filter(col("n_t") > 0 && col("n_c") === 0)
+        .agg(coalesce(sum(col("n_t")), lit(0L)).cast("long")
+          .as("n_treated_dropped"))
+      strata.filter(col("n_t") > 0 && col("n_c") > 0)
+        .agg(count(lit(1)).cast("long").as("n_strata"),
+          sum(col("n_t")).cast("long").as("n_treated_matched"),
+          round(sum(col("n_t") * (col("s_t").cast("double") / col("n_t")
+            - col("s_c").cast("double") / col("n_c"))) / sum(col("n_t")), 6)
+            .as("att_cents"))
+        .join(broadcast(dropped), lit(true))
+        .select(col("n_strata"), col("n_treated_matched"),
+          col("n_treated_dropped"), col("att_cents"))
     }
   )
 }

@@ -144,4 +144,27 @@ class ConformanceSpec extends SparkSpec {
     assert(r.getAs[Long]("rev_cents") == manual.getAs[Long]("c"))
     assert(r.getAs[Long]("n_parts") == manual.getAs[Long]("p"))
   }
+
+  test("key gap audit: anti-join gap arithmetic on rigged key sets") {
+    import spark.implicits._
+    // keys 1-3, 7, 9-10: missing {4,5,6,8} → 4 missing, 2 runs, first 4
+    def audit(keys: Seq[Long]) = {
+      val k = keys.toDF("key")
+      val b = k.agg(min(col("key")).as("mn"), max(col("key")).as("mx"),
+        count(lit(1)).as("n")).head()
+      val runs = k.join(k.select((col("key") - 1).as("key")),
+        Seq("key"), "left_anti").count()
+      (b.getLong(1) - b.getLong(0) + 1 - b.getLong(2), runs - 1)
+    }
+    assert(audit(Seq(1L, 2L, 3L, 7L, 9L, 10L)) == ((4L, 2L)))
+    assert(audit(Seq(5L, 6L, 7L)) == ((0L, 0L)))
+    // and the registered query is self-consistent on real data
+    val r = run("q242_key_gap_audit").head()
+    assert(r.getAs[Long]("n_missing") >= r.getAs[Long]("n_gap_runs"))
+    if (r.getAs[Long]("n_gap_runs") == 0) {
+      assert(r.getAs[Long]("n_missing") == 0 && r.isNullAt(5))
+    } else {
+      assert(r.getAs[Long]("first_missing") > r.getAs[Long]("key_min"))
+    }
+  }
 }

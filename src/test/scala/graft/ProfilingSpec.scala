@@ -250,4 +250,16 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_types") == v.distinct().count())
     assert(r.getAs[Long]("n_tokens") == v.count())
   }
+
+  test("unseen mass: estimator bounds and totals") {
+    val r = run("q243_unseen_mass").head()
+    val (types, tokens) = (r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"))
+    assert(r.getAs[Long]("n_singletons") <= types)
+    assert(r.getAs[Long]("n_doubletons") <= types)
+    val p0 = r.getAs[Double]("p0_unseen")
+    assert(p0 >= 0.0 && p0 <= 1.0)
+    // Chao1 lower-bounds nothing below the observed richness
+    assert(r.getAs[Double]("chao1_richness") >= types.toDouble)
+    assert(tokens >= types)
+  }
 }

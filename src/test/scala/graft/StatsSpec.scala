@@ -356,4 +356,15 @@ class StatsSpec extends SparkSpec {
       (d > 1.358 / math.sqrt(n.toDouble)) ||
       math.abs(d - 1.358 / math.sqrt(n.toDouble)) < 1e-6)
   }
+
+  test("cem att: treated accounting is complete, estimate is finite") {
+    val r = run("q240_cem_att").head()
+    val totalTreated = Tables.lineitem(spark, sf0001)
+      .filter(col("l_discount") >= 0.05).count()
+    assert(r.getAs[Long]("n_treated_matched")
+      + r.getAs[Long]("n_treated_dropped") == totalTreated,
+      "every treated line is either matched or reported dropped")
+    assert(r.getAs[Long]("n_strata") > 0)
+    assert(!r.getAs[Double]("att_cents").isNaN)
+  }
 }
