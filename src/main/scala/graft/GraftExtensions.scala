@@ -26,6 +26,11 @@ import graft.functions.{CosineSim, DotProduct, HyperplaneBands, JaroWinklerSim, 
   *  - `graft_hyperplane_bands(array, bands, bits, dim): array<bigint>`
   *  - `graft_jaro_winkler(string, string): double`
   *
+  * Beyond functions, the injector also installs the whole-plan surface:
+  * the [[graft.plans.BoundLevenshtein]] optimizer rule and the
+  * [[graft.plans.TopKStrategy]] planner strategy (map-side partial
+  * top-k-per-key — custom logical + physical operator).
+  *
   * For sessions built without the conf, [[GraftExtensions.register]] installs
   * the same functions on a live session.
   */
@@ -35,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan rewrites (the (c) tier of the extension ladder): bounded
     // edit-distance predicates — see graft.plans.BoundLevenshtein
     ext.injectOptimizerRule(_ => graft.plans.BoundLevenshtein)
+    // custom operator: map-side partial top-k-per-key (logical node +
+    // strategy + physical operator) — see graft.plans.TopKPerKey
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
@@ -95,5 +103,6 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundLevenshtein))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BoundLevenshtein
+    graft.plans.TopKPerKey.register(spark)
   }
 }

@@ -1201,6 +1201,48 @@ object Advanced {
           round(sum(when(isOut, 1L).otherwise(0L))
             / count(lit(1)).cast("double"), 6).as("outlier_frac"))
         .orderBy(col("event_type"))
+    },
+
+    // Grouped top-k through the CUSTOM OPERATOR (graft.plans.TopKPerKey):
+    // the two highest-value lineitems per (returnflag, linestatus), with
+    // the map-side partial top-k-per-key exec pruning each scan partition
+    // to ≤ k rows per key BEFORE the exchange — the per-key analogue of
+    // TakeOrderedAndProject, which Spark has only for global top-k. The
+    // rank window downstream sees ≤ k·|keys|·|partitions| survivor rows
+    // instead of the corpus; at 100 TB with 6 flag/status cells that is
+    // the difference between shuffling 6×k×partitions rows and shuffling
+    // everything. The DuckDB oracle runs the plain window form — the
+    // operator must be EXACTLY invisible in the result, ties
+    // (cents, orderkey, linenumber) included; TopKPerKeySpec separately
+    // pins the plan shape and the overflow valve.
+    Q("q244_native_grouped_topk",
+      """WITH x AS (
+        |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |         row_number() OVER (
+        |           PARTITION BY l_returnflag, l_linestatus
+        |           ORDER BY CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |                      DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, CAST(rn AS INT) AS rn,
+        |       CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |       CAST(l_linenumber AS INT) AS l_linenumber, cents
+        |FROM x WHERE rn <= 2
+        |ORDER BY l_returnflag, l_linestatus, rn""".stripMargin) { (s, d) =>
+      graft.plans.TopKPerKey.register(s)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      graft.plans.TopKPerKey.topK(li,
+          Seq("l_returnflag", "l_linestatus"),
+          Seq("cents" -> false, "l_orderkey" -> true,
+            "l_linenumber" -> true), 2)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("rn").cast("int").as("rn"),
+          col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("int").as("l_linenumber"), col("cents"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"), col("rn"))
     }
   )
 

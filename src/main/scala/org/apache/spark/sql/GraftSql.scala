@@ -24,4 +24,18 @@ object GraftSql {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState
       .functionRegistry.registerFunction(id, info, builder)
+
+  /** Wrap a (possibly unresolved) LogicalPlan as a DataFrame —
+    * `Dataset.ofRows` is private[sql]; custom logical operators
+    * (graft.plans.*) need it to re-enter the public Dataset API. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame (queryExecution is on
+    * the classic Dataset). */
+  def analyzedPlan(df: DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 }
