@@ -1243,6 +1243,44 @@ object Advanced {
           col("l_orderkey").cast("long").as("l_orderkey"),
           col("l_linenumber").cast("int").as("l_linenumber"), col("cents"))
         .orderBy(col("l_returnflag"), col("l_linestatus"), col("rn"))
+    },
+
+    // Decile dependence grid — the empirical copula a pricing analyst
+    // reads before trusting any single correlation number: rank price
+    // and quantity into global deciles and count the 10×10 joint cells
+    // (independence ⇒ flat grid; q14's Pearson r compresses this whole
+    // surface into one number). BOTH decile rankings run through
+    // [[Ranks.globalIndex]] + [[Ranks.ntileExpr]] (block-offset rank +
+    // closed-form ntile arithmetic) — two distributed rankings of the
+    // fact table with NO corpus-wide SinglePartition sort; the tie order
+    // (value, orderkey, linenumber) is total, so both engines bucket
+    // identically. Output is the bounded 100-cell grid.
+    Q("q245_decile_grid",
+      """WITH x AS (
+        |  SELECT ntile(10) OVER (ORDER BY
+        |           CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+        |           l_orderkey, l_linenumber) AS dp,
+        |         ntile(10) OVER (ORDER BY CAST(l_quantity AS BIGINT),
+        |           l_orderkey, l_linenumber) AS dq
+        |  FROM lineitem)
+        |SELECT CAST(dp AS INT) AS price_decile,
+        |       CAST(dq AS INT) AS qty_decile,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val base = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+      val n = base.count() // one scalar; both ntile expressions reuse it
+      val p = Ranks.globalIndex(base, 32, col("cents"), col("ok"), col("ln"))
+        .withColumn("dp", Ranks.ntileExpr(col("idx"), lit(n), 10))
+        .drop("idx")
+      val both = Ranks.globalIndex(p, 32, col("qty"), col("ok"), col("ln"))
+        .withColumn("dq", Ranks.ntileExpr(col("idx"), lit(n), 10))
+      both.groupBy(col("dp").cast("int").as("price_decile"),
+          col("dq").cast("int").as("qty_decile"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("price_decile"), col("qty_decile"))
     }
   )
 

@@ -1652,6 +1652,62 @@ object Events {
             round(num / (sqrt(dv.cast("double")) * sqrt(dp.cast("double"))),
               6)).as("corr_vp"))
         .orderBy(col("day"))
+    },
+
+    // Funnel step hazards — the discrete-time cousin of q215's survival
+    // curve applied to the view→click→purchase funnel: at each step, what
+    // fraction of the users still "at risk" drops out? Step membership is
+    // ORDERED (a click counts only after the user's first view, a
+    // purchase only after that click), so the three flags come from one
+    // per-user min-timestamp aggregate — one partial-aggregated scan, no
+    // window, no join; hazards are exact-count ratios rounded at 6.
+    Q("q247_funnel_hazard",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS tc0,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp0
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT user_id, tv,
+        |         CASE WHEN tc0 >= tv THEN tc0 END AS tc,
+        |         CASE WHEN tp0 >= tv AND tp0 >= tc0 AND tc0 >= tv
+        |              THEN tp0 END AS tp
+        |  FROM u WHERE tv IS NOT NULL),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n1,
+        |         CAST(count(tc) AS BIGINT) AS n2,
+        |         CAST(count(tp) AS BIGINT) AS n3
+        |  FROM f)
+        |SELECT step, n_at_risk, n_converted,
+        |       round(1 - CAST(n_converted AS DOUBLE) / n_at_risk, 6)
+        |         AS hazard
+        |FROM (
+        |  SELECT 1 AS step, n1 AS n_at_risk, n2 AS n_converted FROM s
+        |  UNION ALL SELECT 2, n2, n3 FROM s)
+        |ORDER BY step""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp0"))
+        .filter(col("tv").isNotNull)
+        .select(col("tv"),
+          when(col("tc0") >= col("tv"), col("tc0")).as("tc"),
+          when(col("tp0") >= col("tv") && col("tp0") >= col("tc0") &&
+            col("tc0") >= col("tv"), col("tp0")).as("tp"))
+      val t = u.agg(count(lit(1)).cast("long").as("n1"),
+        count(col("tc")).cast("long").as("n2"),
+        count(col("tp")).cast("long").as("n3"))
+      val s1 = t.select(lit(1).as("step"), col("n1").as("n_at_risk"),
+        col("n2").as("n_converted"))
+      val s2 = t.select(lit(2).as("step"), col("n2").as("n_at_risk"),
+        col("n3").as("n_converted"))
+      s1.unionByName(s2)
+        .select(col("step"), col("n_at_risk"), col("n_converted"),
+          round(lit(1) - col("n_converted").cast("double")
+            / col("n_at_risk"), 6).as("hazard"))
+        .orderBy(col("step"))
     }
   )
 }

@@ -1095,6 +1095,87 @@ object Stats {
         .join(broadcast(dropped), lit(true))
         .select(col("n_strata"), col("n_treated_matched"),
           col("n_treated_dropped"), col("att_cents"))
+    },
+
+    // Two-way variance decomposition of daily order value by day-of-week
+    // and month — "is revenue seasonality a weekday effect, a monthly
+    // effect, or their interaction?" For each factor F, the
+    // between-groups sum of squares SS_F = Σ_g n_g(ȳ_g − ȳ)² expands to
+    // Σ_g S_g²/n_g − S²/N over exact integer (n, Σcents) cells, so the
+    // whole decomposition — dow, month, the dow×month cells, and total —
+    // comes from ONE partial-aggregated scan to the ≤84-cell frame, with
+    // the interaction read off as SS_cells − SS_dow − SS_month. η² ratios
+    // (variance explained) are the same double divisions in both
+    // engines, rounded at 6; SS magnitudes (~1e21 cent²) round at the
+    // integer-cent² grain via their exact-ratio construction and are
+    // emitted ÷10⁹ at round-3 to sit safely inside double precision.
+    Q("q246_variance_decomp",
+      """WITH c AS (
+        |  SELECT CAST(dayofweek(o_orderdate) AS INT) AS dw,
+        |         CAST(month(o_orderdate) AS INT) AS mo,
+        |         count(*) AS n,
+        |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s,
+        |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |             * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s2
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |         CAST(sum(s) AS BIGINT) AS ss,
+        |         sum(CAST(s2 AS DOUBLE)) AS sq FROM c),
+        |f AS (
+        |  SELECT
+        |    (SELECT sum(CAST(s AS DOUBLE) * s / n)
+        |     FROM (SELECT sum(n) AS n, sum(s) AS s FROM c GROUP BY dw))
+        |      AS fit_dw,
+        |    (SELECT sum(CAST(s AS DOUBLE) * s / n)
+        |     FROM (SELECT sum(n) AS n, sum(s) AS s FROM c GROUP BY mo))
+        |      AS fit_mo,
+        |    (SELECT sum(CAST(s AS DOUBLE) * s / n) FROM c) AS fit_cell)
+        |SELECT t.nn AS n_orders,
+        |       round((t.sq - CAST(t.ss AS DOUBLE) * t.ss / t.nn) / 1e9, 3)
+        |         AS ss_total_b,
+        |       round((f.fit_dw - CAST(t.ss AS DOUBLE) * t.ss / t.nn) / 1e9,
+        |             3) AS ss_dow_b,
+        |       round((f.fit_mo - CAST(t.ss AS DOUBLE) * t.ss / t.nn) / 1e9,
+        |             3) AS ss_month_b,
+        |       round((f.fit_cell - f.fit_dw - f.fit_mo
+        |              + CAST(t.ss AS DOUBLE) * t.ss / t.nn) / 1e9, 3)
+        |         AS ss_interact_b,
+        |       round((f.fit_dw - CAST(t.ss AS DOUBLE) * t.ss / t.nn)
+        |             / (t.sq - CAST(t.ss AS DOUBLE) * t.ss / t.nn), 6)
+        |         AS eta2_dow,
+        |       round((f.fit_mo - CAST(t.ss AS DOUBLE) * t.ss / t.nn)
+        |             / (t.sq - CAST(t.ss AS DOUBLE) * t.ss / t.nn), 6)
+        |         AS eta2_month
+        |FROM t, f""".stripMargin) { (s, d) =>
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val c = Tables.orders(s, d)
+        .groupBy(dayofweek(col("o_orderdate")).cast("int").as("dw"),
+          month(col("o_orderdate")).cast("int").as("mo"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+          sum(cents * cents).as("s2"))
+        .localCheckpoint(true) // totals + three fits share the cell frame
+      def fit(df: org.apache.spark.sql.DataFrame) =
+        df.agg(sum(col("s").cast("double") * col("s") / col("n")))
+          .head().getDouble(0)
+      val fitDw = fit(c.groupBy(col("dw"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s")))
+      val fitMo = fit(c.groupBy(col("mo"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s")))
+      val fitCell = fit(c)
+      val t = c.agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("s")).cast("long").as("ss"),
+        sum(col("s2").cast("double")).as("sq"))
+      val grand = col("ss").cast("double") * col("ss") / col("nn")
+      val ssTot = col("sq") - grand
+      t.select(col("nn").as("n_orders"),
+        round(ssTot / 1e9, 3).as("ss_total_b"),
+        round((lit(fitDw) - grand) / 1e9, 3).as("ss_dow_b"),
+        round((lit(fitMo) - grand) / 1e9, 3).as("ss_month_b"),
+        round((lit(fitCell) - lit(fitDw) - lit(fitMo) + grand) / 1e9, 3)
+          .as("ss_interact_b"),
+        round((lit(fitDw) - grand) / ssTot, 6).as("eta2_dow"),
+        round((lit(fitMo) - grand) / ssTot, 6).as("eta2_month"))
     }
   )
 }

@@ -508,4 +508,25 @@ class EventsSpec extends SparkSpec {
       assert(b.getAs[Long]("bucket") % 21600 == 0)
     }
   }
+
+  test("funnel hazards: nested risk sets, step-2 risk = step-1 converts") {
+    val rows = graft.SparkEntry.queries("q247_funnel_hazard")(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("step"))
+    assert(rows.length == 2)
+    val (s1, s2) = (rows(0), rows(1))
+    assert(s1.getAs[Long]("n_converted") == s2.getAs[Long]("n_at_risk"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_at_risk"))
+      val h = r.getAs[Double]("hazard")
+      assert(h >= 0.0 && h <= 1.0)
+    }
+    // decile grid: cells partition the corpus, deciles are near-equal
+    val grid = graft.SparkEntry.queries("q245_decile_grid")(spark, sf0001)
+      .collect()
+    val total = Tables.lineitem(spark, sf0001).count()
+    assert(grid.map(_.getAs[Long]("n")).sum == total)
+    val perP = grid.groupBy(_.getAs[Int]("price_decile"))
+      .map(_._2.map(_.getAs[Long]("n")).sum)
+    assert(perP.max - perP.min <= 1, "ntile marginals must be near-equal")
+  }
 }

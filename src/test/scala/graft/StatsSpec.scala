@@ -367,4 +367,18 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_strata") > 0)
     assert(!r.getAs[Double]("att_cents").isNaN)
   }
+
+  test("variance decomposition: non-negative components inside the total") {
+    val r = run("q246_variance_decomp").head()
+    val tot = r.getAs[Double]("ss_total_b")
+    assert(tot > 0)
+    assert(r.getAs[Double]("ss_dow_b") >= 0)
+    assert(r.getAs[Double]("ss_month_b") >= 0)
+    // the cell fit must explain at least each main effect alone
+    assert(r.getAs[Double]("ss_interact_b") >= -1e-3)
+    val (ed, em) = (r.getAs[Double]("eta2_dow"), r.getAs[Double]("eta2_month"))
+    assert(ed >= 0 && ed <= 1 && em >= 0 && em <= 1)
+    assert(r.getAs[Double]("ss_dow_b") + r.getAs[Double]("ss_month_b")
+      + r.getAs[Double]("ss_interact_b") <= tot + 1e-3)
+  }
 }
