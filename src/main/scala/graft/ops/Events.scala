@@ -1708,6 +1708,98 @@ object Events {
           round(lit(1) - col("n_converted").cast("double")
             / col("n_at_risk"), 6).as("hazard"))
         .orderBy(col("step"))
+    },
+
+    // Double-charge detection — the payments-ops twin-transaction screen:
+    // two purchases by the SAME user for the SAME exact amount within 10
+    // minutes are a refund case waiting to happen (retry storms, double
+    // clicks, replayed webhooks). The join keys on (user, exact cents) —
+    // a hash join whose key carries the shuffle — and the 10-minute
+    // predicate rides as a residual band filter inside each joined
+    // group; event-id ordering dedups the pair orientation. At 100 TB
+    // this is the bucketable q58 shape: amounts and user ids co-partition
+    // both sides, no near-cartesian anywhere.
+    Q("q249_double_charges",
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (
+        |  SELECT a.user_id, a.cents, a.event_id AS id_a, b.event_id AS id_b
+        |  FROM p a JOIN p b
+        |    ON a.user_id = b.user_id AND a.cents = b.cents
+        |   AND a.event_id < b.event_id
+        |   AND abs(epoch(b.ts) - epoch(a.ts)) <= 600)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS at_risk_cents,
+        |       CAST(coalesce(sum(id_a + id_b), 0) AS BIGINT)
+        |         AS pair_checksum
+        |FROM d""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").cast("long").as("sec"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .localCheckpoint(true) // both self-join sides share the reduction
+      val a = p.toDF("user_id", "id_a", "sec_a", "cents")
+      val b = p.toDF("user_id", "id_b", "sec_b", "cents")
+      a.join(b, Seq("user_id", "cents"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("sec_b") - col("sec_a")) <= 600)
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct(col("user_id")).cast("long").as("n_users"),
+          coalesce(sum(col("cents")), lit(0L)).cast("long")
+            .as("at_risk_cents"),
+          coalesce(sum(col("id_a") + col("id_b")), lit(0L)).cast("long")
+            .as("pair_checksum"))
+    },
+
+    // DAU/MAU stickiness — the growth metric every product review opens
+    // with: per month, how much of the monthly audience shows up on an
+    // average day? avg(DAU)/MAU in exact counts (Σ daily distinct users ÷
+    // active days ÷ monthly distinct users), with the subtlety handled
+    // explicitly: the DAU numerator double-counts multi-day users BY
+    // DESIGN — that is what makes the ratio a frequency measure. Two
+    // partial-aggregated reductions (per-day, per-month distincts) over
+    // calendar-bounded frames; no window.
+    Q("q251_stickiness",
+      """WITH dau AS (
+        |  SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo,
+        |         CAST(ts AS DATE) AS day,
+        |         count(DISTINCT user_id) AS dau
+        |  FROM events GROUP BY 1, 2, 3),
+        |mau AS (
+        |  SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo,
+        |         count(DISTINCT user_id) AS mau
+        |  FROM events GROUP BY 1, 2),
+        |da AS (
+        |  SELECT y, mo, CAST(sum(dau) AS BIGINT) AS dau_sum,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |  FROM dau GROUP BY 1, 2)
+        |SELECT da.y, da.mo, da.n_days, da.dau_sum,
+        |       CAST(mau.mau AS BIGINT) AS mau,
+        |       round(CAST(da.dau_sum AS DOUBLE) / da.n_days / mau.mau, 6)
+        |         AS stickiness
+        |FROM da JOIN mau ON da.y = mau.y AND da.mo = mau.mo
+        |ORDER BY da.y, da.mo""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(year(col("ts")).cast("int").as("y"),
+          month(col("ts")).cast("int").as("mo"),
+          col("ts").cast("date").as("day"), col("user_id"))
+      val dau = ev.groupBy(col("y"), col("mo"), col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .groupBy(col("y"), col("mo"))
+        .agg(sum(col("dau")).cast("long").as("dau_sum"),
+          count(lit(1)).cast("long").as("n_days"))
+      val mau = ev.groupBy(col("y"), col("mo"))
+        .agg(countDistinct(col("user_id")).cast("long").as("mau"))
+      dau.join(broadcast(mau), Seq("y", "mo"))
+        .select(col("y"), col("mo"), col("n_days"), col("dau_sum"),
+          col("mau"),
+          round(col("dau_sum").cast("double") / col("n_days") / col("mau"),
+            6).as("stickiness"))
+        .orderBy(col("y"), col("mo"))
     }
   )
 }

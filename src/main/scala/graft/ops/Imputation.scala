@@ -102,6 +102,58 @@ object Imputation {
           round(sum(col("roll4")), 2).as("sum_roll4"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // LOCF (last observation carried forward) — the time-series fill
+    // q37/q38's constant fills can't do: a missing reading takes the
+    // key's most recent PRIOR value, never a global constant and never a
+    // future leak. Missingness is injected deterministically (click
+    // events lose their value), then filled with
+    // `last(value, ignoreNulls)` over a per-user ordered running frame —
+    // which also pins Spark's ignoreNulls flag against DuckDB's
+    // `IGNORE NULLS` window syntax, a classic dialect-drift corner. The
+    // window partitions BY USER (parallel, bounded per key); output is a
+    // per-user accounting of filled vs unfillable rows with an exact-cent
+    // checksum of every value the fill produced.
+    Q("q252_locf_fill",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'click' THEN NULL
+        |              ELSE CAST(round(value * 100, 0) AS BIGINT) END AS v
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, v,
+        |         last_value(v IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS filled
+        |  FROM x)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_missing,
+        |       CAST(sum(CASE WHEN v IS NULL AND filled IS NOT NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |       CAST(coalesce(sum(CASE WHEN v IS NULL THEN filled END), 0)
+        |            AS BIGINT) AS filled_checksum
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "click", lit(null))
+            .otherwise(round(col("value") * 100, 0).cast("long")).as("v"))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .groupBy(col("user_id").cast("long").as("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_missing"),
+          sum(when(col("v").isNull && col("filled").isNotNull, 1L)
+            .otherwise(0L)).cast("long").as("n_filled"),
+          coalesce(sum(when(col("v").isNull, col("filled"))), lit(0L))
+            .cast("long").as("filled_checksum"))
+        .orderBy(col("user_id"))
     }
   )
 }

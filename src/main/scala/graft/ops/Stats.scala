@@ -1176,6 +1176,67 @@ object Stats {
           .as("ss_interact_b"),
         round((lit(fitDw) - grand) / ssTot, 6).as("eta2_dow"),
         round((lit(fitMo) - grand) / ssTot, 6).as("eta2_month"))
+    },
+
+    // Neyman allocation (optimal stratified sample design, Neyman 1934):
+    // a 1000-document sampling budget split across sources proportional
+    // to N_h·σ_h — variable strata deserve more samples than uniform
+    // proportional allocation gives them. σ_h is the exact population sd
+    // from integer power sums; fractional allocations round by LARGEST
+    // REMAINDER (the q178 protocol: ⌊·⌋ first, the leftover units to the
+    // biggest remainders, ties to the lexicographically first source) so
+    // the allocations sum EXACTLY to the budget. Scale shape: one
+    // partial-aggregated scan to the |sources| strata frame; every
+    // window below runs on that bounded frame.
+    Q("q248_neyman_allocation",
+      """WITH s AS (
+        |  SELECT source, count(*) AS n,
+        |         sum(CAST(n_chars AS DOUBLE)) AS s1,
+        |         sum(CAST(n_chars AS DOUBLE) * n_chars) AS s2
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd
+        |  FROM s),
+        |t AS (SELECT sum(n * sd) AS tot FROM w),
+        |r AS (
+        |  SELECT source, n, sd, 1000 * n * sd / tot AS raw,
+        |         floor(1000 * n * sd / tot) AS base,
+        |         1000 * n * sd / tot - floor(1000 * n * sd / tot) AS rem
+        |  FROM w, t),
+        |lr AS (
+        |  SELECT source, n, sd, base, rem,
+        |         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |         (SELECT 1000 - sum(base) FROM r) AS leftover
+        |  FROM r)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs, round(sd, 6) AS sd_chars,
+        |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |            AS BIGINT) AS alloc
+        |FROM lr ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("double")).as("s1"),
+          sum(col("n_chars").cast("double") * col("n_chars")).as("s2"))
+        .withColumn("sd", sqrt(col("s2") / col("n")
+          - (col("s1") / col("n")) * (col("s1") / col("n"))))
+        .localCheckpoint(true) // totals + allocation share the frame
+      val tot = st.agg(sum(col("n") * col("sd")).as("tot"))
+      val r = st.join(broadcast(tot), lit(true))
+        .withColumn("raw", lit(1000) * col("n") * col("sd") / col("tot"))
+        .withColumn("base", floor(col("raw")))
+        .withColumn("rem", col("raw") - col("base"))
+        .localCheckpoint(true)
+      val leftover = r.agg((lit(1000) - sum(col("base"))).as("leftover"))
+      // bounded |sources| frame: the remainder-rank window is domain-sized
+      val rk = Window.orderBy(desc("rem"), asc("source"))
+      r.withColumn("rk", row_number().over(rk))
+        .join(broadcast(leftover), lit(true))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          round(col("sd"), 6).as("sd_chars"),
+          (col("base") + when(col("rk") <= col("leftover"), 1).otherwise(0))
+            .cast("long").as("alloc"))
+        .orderBy(col("source"))
     }
   )
 }

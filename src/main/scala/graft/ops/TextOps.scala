@@ -1705,6 +1705,62 @@ object TextOps {
         .orderBy(col("threshold_pct"))
     },
 
+    // Cross-source vocabulary overlap — corpus-composition diligence at
+    // the SOURCE grain (q27 works per document): pairwise Jaccard of the
+    // distinct-token sets of every source pair, with each side's type
+    // count alongside. High overlap between two sources predicts
+    // near-dup pressure BEFORE any pair enumeration runs. Scale shape: the corpus reduces to a (source, token)
+    // distinct frame once; the pair intersections come from a token-key
+    // self-join of that frame (token carries the shuffle, text never
+    // moves); per-source type counts broadcast back. Jaccard stays in
+    // exact integers until the final rounded ratio.
+    Q("q250_source_vocab_overlap",
+      """WITH st AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source,
+        |           unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |             AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |c AS (SELECT source, count(*) AS n_types FROM st GROUP BY 1),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |  FROM st a JOIN st b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b,
+        |       CAST(ca.n_types AS BIGINT) AS types_a,
+        |       CAST(cb.n_types AS BIGINT) AS types_b,
+        |       CAST(p.inter AS BIGINT) AS inter,
+        |       round(CAST(p.inter AS DOUBLE)
+        |             / (ca.n_types + cb.n_types - p.inter), 6) AS jaccard
+        |FROM p JOIN c ca ON p.src_a = ca.source
+        |JOIN c cb ON p.src_b = cb.source
+        |ORDER BY jaccard DESC, src_a, src_b LIMIT 20""".stripMargin) {
+      (s, d) =>
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .distinct()
+        .localCheckpoint(true) // counts + both join sides share it
+      val c = st.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+      val p = st.toDF("src_a", "tok")
+        .join(st.toDF("src_b", "tok"), Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      p.join(broadcast(c.toDF("src_a", "ta")), "src_a")
+        .join(broadcast(c.toDF("src_b", "tb")), "src_b")
+        .select(col("src_a"), col("src_b"),
+          col("ta").cast("long").as("types_a"),
+          col("tb").cast("long").as("types_b"),
+          col("inter").cast("long").as("inter"),
+          round(col("inter").cast("double")
+            / (col("ta") + col("tb") - col("inter")), 6).as("jaccard"))
+        .orderBy(desc("jaccard"), col("src_a"), col("src_b"))
+        .limit(20)
+    },
+
     // Quantile normalization across sources — the batch-effect remover
     // (classic in bioinformatics, equally apt for multi-source corpora):
     // each source's doc-length distribution is mapped ONTO the pooled

@@ -529,4 +529,26 @@ class EventsSpec extends SparkSpec {
       .map(_._2.map(_.getAs[Long]("n")).sum)
     assert(perP.max - perP.min <= 1, "ntile marginals must be near-equal")
   }
+
+  test("locf accounting + stickiness bounds") {
+    val locf = graft.SparkEntry.queries("q252_locf_fill")(spark, sf0001)
+      .collect()
+    val ev = Tables.events(spark, sf0001)
+    assert(locf.map(_.getAs[Long]("n_events")).sum == ev.count())
+    assert(locf.map(_.getAs[Long]("n_missing")).sum ==
+      ev.filter(col("event_type") === "click").count())
+    locf.foreach { r =>
+      assert(r.getAs[Long]("n_filled") <= r.getAs[Long]("n_missing"))
+      // filled values only exist where a fill happened
+      if (r.getAs[Long]("n_filled") == 0)
+        assert(r.getAs[Long]("filled_checksum") == 0L)
+    }
+    val st = graft.SparkEntry.queries("q251_stickiness")(spark, sf0001)
+      .collect()
+    st.foreach { r =>
+      val s0 = r.getAs[Double]("stickiness")
+      assert(s0 > 0.0 && s0 <= 1.0)
+      assert(r.getAs[Long]("dau_sum") >= r.getAs[Long]("mau"))
+    }
+  }
 }

@@ -381,4 +381,20 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("ss_dow_b") + r.getAs[Double]("ss_month_b")
       + r.getAs[Double]("ss_interact_b") <= tot + 1e-3)
   }
+
+  test("neyman allocation: sums exactly to budget, tracks N_h*sd_h") {
+    val rows = run("q248_neyman_allocation").collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000L,
+      "largest-remainder must land exactly on the budget")
+    val weights = rows.map(r =>
+      r.getAs[Long]("n_docs") * r.getAs[Double]("sd_chars"))
+    val tot = weights.sum
+    rows.zip(weights).foreach { case (r, w) =>
+      // base-or-base+1 of the exact share
+      val raw = 1000.0 * w / tot
+      val a = r.getAs[Long]("alloc")
+      assert(a >= math.floor(raw) - 1e-9 && a <= math.floor(raw) + 1,
+        s"${r.getAs[String]("source")}: alloc $a vs raw $raw")
+    }
+  }
 }
