@@ -529,6 +529,32 @@ object Conformance {
           (col("raw_runs") - 1).cast("long").as("n_gap_runs"),
           when(col("raw_runs") > 1, col("first_pred") + 1).cast("long")
             .as("first_missing"))
+    },
+
+    // Timezone-conversion conformance on a fixed-offset zone: Spark's
+    // `convert_timezone('UTC', 'Asia/Kolkata', ntz)` must equal plain
+    // +05:30 interval arithmetic (Kolkata has carried that offset, with
+    // no DST, throughout the corpus' date range) — the oracle computes
+    // the shift WITHOUT any timezone machinery, so a tzdata regression
+    // or an LTZ/NTZ mix-up in the engine shows up as a shifted-hour
+    // histogram. Calendar-bounded 24-row output, one partial-aggregated
+    // scan; the half-hour offset makes off-by-∆ errors land in the WRONG
+    // bucket rather than cancel.
+    Q("q253_timezone_shift",
+      """SELECT CAST(hour(ts + INTERVAL 330 MINUTE) AS INT) AS local_hour,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN minute(ts + INTERVAL 330 MINUTE) >= 30
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_back_half
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val local = expr("convert_timezone('UTC', 'Asia/Kolkata', ts)")
+      Tables.events(s, d)
+        .select(hour(local).cast("int").as("local_hour"),
+          minute(local).as("mi"))
+        .groupBy(col("local_hour"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("mi") >= 30, 1L).otherwise(0L)).cast("long")
+            .as("n_back_half"))
+        .orderBy(col("local_hour"))
     }
   )
 }

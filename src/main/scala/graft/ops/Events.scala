@@ -1800,6 +1800,89 @@ object Events {
           round(col("dau_sum").cast("double") / col("n_days") / col("mau"),
             6).as("stickiness"))
         .orderBy(col("y"), col("mo"))
+    },
+
+    // Retention decay-rate fit — the one number a growth model needs from
+    // the q93 cohort triangle: weekly retention r_k for offsets 1..8 over
+    // OBSERVABLE cohorts only (a user counts toward week k's base only if
+    // the corpus actually extends k weeks past their first day — the
+    // right-censoring correction naive retention curves skip), then a
+    // log-linear OLS fit ln r = a + b·k whose fitted curve is emitted per
+    // row. Scale shape: the corpus reduces to per-user first-day and
+    // distinct (user, day) frames once; the 8-row offset spine broadcasts
+    // onto both; the fit is a single-row aggregate over 8 rows.
+    Q("q256_retention_decay",
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM events),
+        |f AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd
+        |      FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |        FROM events),
+        |ks AS (SELECT CAST(unnest(range(1, 9)) AS INT) AS k),
+        |base AS (
+        |  SELECT k, count(*) AS n_base FROM f, ks, mx
+        |  WHERE fd <= mxd - 7 * k GROUP BY 1),
+        |a AS (
+        |  SELECT ks.k, count(DISTINCT act.user_id) AS n_active
+        |  FROM act JOIN f USING (user_id), ks, mx
+        |  WHERE fd <= mxd - 7 * k
+        |    AND day >= fd + 7 * k AND day < fd + 7 * k + 7
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT base.k, n_base, coalesce(n_active, 0) AS n_active,
+        |         coalesce(n_active, 0) / CAST(n_base AS DOUBLE) AS rr
+        |  FROM base LEFT JOIN a ON base.k = a.k),
+        |fit AS (
+        |  SELECT count(*) AS n, sum(k) AS sk, sum(ln(rr)) AS sy,
+        |         sum(CAST(k AS DOUBLE) * k) AS skk,
+        |         sum(k * ln(rr)) AS sky
+        |  FROM r WHERE n_active > 0)
+        |SELECT r.k, CAST(n_base AS BIGINT) AS n_base,
+        |       CAST(n_active AS BIGINT) AS n_active,
+        |       round(rr, 6) AS retention,
+        |       round(CASE WHEN n_active > 0 THEN exp(
+        |         (sy - (n * sky - sk * sy) / (n * skk - sk * sk) * sk) / n
+        |         + (n * sky - sk * sy) / (n * skk - sk * sk) * r.k) END, 6)
+        |         AS fitted
+        |FROM r, fit ORDER BY r.k""".stripMargin) { (s, d) =>
+      val mx = Tables.events(s, d)
+        .agg(max(col("ts").cast("date")).as("mxd"))
+      val f = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("fd"))
+        .localCheckpoint(true) // base + active both read it
+      val act = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val ks = s.range(1, 9).select(col("id").cast("int").as("k"))
+      val fk = f.join(broadcast(mx), lit(true))
+        .join(broadcast(ks), lit(true))
+        .filter(col("fd") <= date_sub(col("mxd"), lit(7) * col("k")))
+      val base = fk.groupBy(col("k")).agg(count(lit(1)).as("n_base"))
+      val active = act.join(fk.select(col("user_id"), col("fd"), col("k")),
+          Seq("user_id"))
+        .filter(col("day") >= date_add(col("fd"), lit(7) * col("k")) &&
+          col("day") < date_add(col("fd"), lit(7) * col("k") + 7))
+        .groupBy(col("k"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val r = base.join(active, Seq("k"), "left")
+        .select(col("k"), col("n_base"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"))
+        .withColumn("rr",
+          col("n_active") / col("n_base").cast("double"))
+        .localCheckpoint(true) // fit + output rows share it
+      val fit = r.filter(col("n_active") > 0)
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          sum(log(col("rr"))).as("sy"),
+          sum(col("k").cast("double") * col("k")).as("skk"),
+          sum(col("k") * log(col("rr"))).as("sky"))
+      val slope = (col("n") * col("sky") - col("sk") * col("sy")) /
+        (col("n") * col("skk") - col("sk") * col("sk"))
+      r.join(broadcast(fit), lit(true))
+        .select(col("k"), col("n_base").cast("long").as("n_base"),
+          col("n_active").cast("long").as("n_active"),
+          round(col("rr"), 6).as("retention"),
+          round(when(col("n_active") > 0,
+            exp((col("sy") - slope * col("sk")) / col("n")
+              + slope * col("k"))), 6).as("fitted"))
+        .orderBy(col("k"))
     }
   )
 }

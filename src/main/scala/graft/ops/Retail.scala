@@ -839,6 +839,99 @@ object Retail {
           round((col("rev") - col("prev_rev_cents")) * lit(100.0)
             / col("prev_rev_cents"), 6).as("yoy_pct"))
         .orderBy(col("y"), col("mo"))
+    },
+
+    // Growth-share (BCG) portfolio matrix at the brand grain: 1998 revenue
+    // share (vs the median brand — the relative-share axis) × YoY growth
+    // sign classify each brand as star / cash_cow / question_mark / dog.
+    // Exact-cent revenue cells from one star-join scan; the median share
+    // threshold is an exact interpolating percentile over the ≤|brands|
+    // frame, broadcast back; share comparisons happen on identical
+    // BIGINT-ratio doubles in both engines. The classic portfolio review,
+    // derived end-to-end from the fact table.
+    Q("q254_growth_share",
+      """WITH b AS (
+        |  SELECT p_brand AS brand,
+        |         CAST(sum(CASE WHEN year(l_shipdate) = 1997
+        |                  THEN CAST(round(l_extendedprice * 100, 0)
+        |                            AS BIGINT) ELSE 0 END) AS BIGINT)
+        |           AS rev97,
+        |         CAST(sum(CASE WHEN year(l_shipdate) = 1998
+        |                  THEN CAST(round(l_extendedprice * 100, 0)
+        |                            AS BIGINT) ELSE 0 END) AS BIGINT)
+        |           AS rev98
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |m AS (SELECT quantile_cont(rev98, 0.5) AS med FROM b)
+        |SELECT brand, rev97 AS rev97_cents, rev98 AS rev98_cents,
+        |       CASE WHEN rev98 >= med AND rev98 > rev97 THEN 'star'
+        |            WHEN rev98 >= med THEN 'cash_cow'
+        |            WHEN rev98 > rev97 THEN 'question_mark'
+        |            ELSE 'dog' END AS quadrant
+        |FROM b, m ORDER BY brand""".stripMargin) { (s, d) =>
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val b = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(when(year(col("l_shipdate")) === 1997, cents)
+          .otherwise(0L)).cast("long").as("rev97"),
+          sum(when(year(col("l_shipdate")) === 1998, cents)
+            .otherwise(0L)).cast("long").as("rev98"))
+        .localCheckpoint(true) // median + classification share the frame
+      val m = b.agg(expr("percentile(rev98, 0.5)").as("med"))
+      b.join(broadcast(m), lit(true))
+        .select(col("brand"), col("rev97").as("rev97_cents"),
+          col("rev98").as("rev98_cents"),
+          when(col("rev98") >= col("med") && col("rev98") > col("rev97"),
+            "star")
+            .when(col("rev98") >= col("med"), "cash_cow")
+            .when(col("rev98") > col("rev97"), "question_mark")
+            .otherwise("dog").as("quadrant"))
+        .orderBy(col("brand"))
+    },
+
+    // Dead-stock screen — the inventory writedown candidate list: parts
+    // with purchase history but NO shipment in the final year of the
+    // corpus, with the revenue base they historically carried. One
+    // per-part max-shipdate reduction (partial map-side), a broadcast of
+    // the single max-date row, and exact-cent totals; at 100 TB this is
+    // a scan + one |parts|-row frame, no window, no second fact pass.
+    Q("q255_dead_stock",
+      """WITH mx AS (SELECT max(CAST(l_shipdate AS DATE)) AS mxd
+        |            FROM lineitem),
+        |p AS (
+        |  SELECT l_partkey,
+        |         max(CAST(l_shipdate AS DATE)) AS last_ship,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT p.*, (SELECT mxd FROM mx) AS mxd FROM p)
+        |SELECT CAST(sum(CASE WHEN last_ship < mxd - 365 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dead,
+        |       CAST(sum(CASE WHEN last_ship < mxd - 365 THEN 0 ELSE 1 END)
+        |            AS BIGINT) AS n_active,
+        |       CAST(sum(CASE WHEN last_ship < mxd - 365 THEN rev
+        |                ELSE 0 END) AS BIGINT) AS dead_rev_cents,
+        |       round(sum(CASE WHEN last_ship < mxd - 365 THEN rev
+        |                 ELSE 0 END)
+        |             / CAST(sum(rev) AS DOUBLE), 6) AS dead_rev_share
+        |FROM f""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val mx = li.agg(max(col("l_shipdate").cast("date")).as("mxd"))
+      val dead = col("last_ship") < date_sub(col("mxd"), 365)
+      li.groupBy(col("l_partkey"))
+        .agg(max(col("l_shipdate").cast("date")).as("last_ship"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long").as("rev"))
+        .join(broadcast(mx), lit(true))
+        .agg(sum(when(dead, 1L).otherwise(0L)).cast("long").as("n_dead"),
+          sum(when(dead, 0L).otherwise(1L)).cast("long").as("n_active"),
+          sum(when(dead, col("rev")).otherwise(0L)).cast("long")
+            .as("dead_rev_cents"),
+          round(sum(when(dead, col("rev")).otherwise(0L))
+            / sum(col("rev")).cast("double"), 6).as("dead_rev_share"))
     }
   )
 }

@@ -1237,6 +1237,118 @@ object Stats {
           (col("base") + when(col("rk") <= col("leftover"), 1).otherwise(0))
             .cast("long").as("alloc"))
         .orderBy(col("source"))
+    },
+
+    // Group-sequential A/B monitoring (O'Brien-Fleming-style boundaries):
+    // three interim looks at thirds of the experiment calendar, each
+    // comparing user-level FAST ACTIVATION (first purchase within 7 days
+    // of the user's first event — plain "ever purchased" saturates near
+    // 100% on this corpus and the z degenerates) between the two hash
+    // variants (user_id parity) with a pooled two-proportion z — and each
+    // look held to its own DESCENDING significance boundary (3.471 /
+    // 2.454 / 2.004: strict early, nominal-ish late), the discipline that
+    // stops "peek until significant" from inflating false positives.
+    // Scale shape: the event corpus reduces ONCE to per-user (first day,
+    // first purchase day); the 3-row look spine broadcasts on; every
+    // look's counts are conditional sums of that reduction. All counts
+    // exact; z is the same double formula both engines.
+    Q("q257_sequential_ab",
+      """WITH b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id % 2 AS v, min(CAST(ts AS DATE)) AS fd,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(ts AS DATE) END) AS pd
+        |  FROM events GROUP BY user_id),
+        |looks AS (
+        |  SELECT 1 AS look, mn + CAST((mx - mn) // 3 AS INTEGER) AS cut,
+        |         CAST(3.471 AS DOUBLE) AS bound
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 2, mn + CAST(2 * (mx - mn) // 3 AS INTEGER),
+        |         CAST(2.454 AS DOUBLE) FROM b
+        |  UNION ALL SELECT 3, mx, CAST(2.004 AS DOUBLE) FROM b),
+        |c AS (
+        |  SELECT look, cut, bound,
+        |         sum(CASE WHEN v = 0 AND fd <= cut THEN 1 ELSE 0 END) AS n0,
+        |         sum(CASE WHEN v = 0 AND pd <= cut AND pd <= fd + 7
+        |                  THEN 1 ELSE 0 END) AS x0,
+        |         sum(CASE WHEN v = 1 AND fd <= cut THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN v = 1 AND pd <= cut AND pd <= fd + 7
+        |                  THEN 1 ELSE 0 END) AS x1
+        |  FROM u, looks GROUP BY 1, 2, 3),
+        |z AS (
+        |  SELECT look, cut, bound, n0, x0, n1, x1,
+        |         CASE WHEN n0 > 0 AND n1 > 0
+        |               AND x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+        |           (CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
+        |           / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+        |                  * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+        |                  * (1.0 / n0 + 1.0 / n1)) END AS zv
+        |  FROM c)
+        |SELECT CAST(look AS INT) AS look, cut AS look_end,
+        |       CAST(n0 AS BIGINT) AS n_control,
+        |       CAST(x0 AS BIGINT) AS conv_control,
+        |       CAST(n1 AS BIGINT) AS n_variant,
+        |       CAST(x1 AS BIGINT) AS conv_variant,
+        |       round(zv, 6) AS z, bound AS boundary,
+        |       coalesce(abs(zv) > bound, false) AS significant
+        |FROM z ORDER BY look""".stripMargin) { (s, d) =>
+      val b = Tables.events(s, d)
+        .agg(min(col("ts").cast("date")).as("mn"),
+          max(col("ts").cast("date")).as("mx"))
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("fd"),
+          min(when(col("event_type") === "purchase",
+            col("ts").cast("date"))).as("pd"))
+        .select((col("user_id") % 2).as("v"), col("fd"), col("pd"))
+      val span = datediff(col("mx"), col("mn"))
+      val looks = b.select(lit(1).as("look"),
+          date_add(col("mn"), expr("CAST(datediff(mx, mn) div 3 AS INT)"))
+            .as("cut"), lit(3.471).as("bound"))
+        .unionByName(b.select(lit(2).as("look"),
+          date_add(col("mn"),
+            expr("CAST(2 * datediff(mx, mn) div 3 AS INT)")).as("cut"),
+          lit(2.454).as("bound")))
+        .unionByName(b.select(lit(3).as("look"), col("mx").as("cut"),
+          lit(2.004).as("bound")))
+      val c = u.join(broadcast(looks), lit(true))
+        .groupBy(col("look"), col("cut"), col("bound"))
+        .agg(
+          sum(when(col("v") === 0 && col("fd") <= col("cut"), 1L)
+            .otherwise(0L)).as("n0"),
+          sum(when(col("v") === 0 && col("pd") <= col("cut") &&
+            col("pd") <= date_add(col("fd"), 7), 1L)
+            .otherwise(0L)).as("x0"),
+          sum(when(col("v") === 1 && col("fd") <= col("cut"), 1L)
+            .otherwise(0L)).as("n1"),
+          sum(when(col("v") === 1 && col("pd") <= col("cut") &&
+            col("pd") <= date_add(col("fd"), 7), 1L)
+            .otherwise(0L)).as("x1"))
+      val pool = (col("x0") + col("x1")).cast("double") /
+        (col("n0") + col("n1"))
+      // degenerate looks (no conversions yet, or unanimous conversion)
+      // have zero pooled variance — z undefined, never "significant"
+      val zv = when(col("n0") > 0 && col("n1") > 0 &&
+        col("x0") + col("x1") > 0 &&
+        col("x0") + col("x1") < col("n0") + col("n1"),
+        (col("x0").cast("double") / col("n0")
+          - col("x1").cast("double") / col("n1")) /
+          sqrt(pool * (lit(1) - pool) *
+            (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+      c.withColumn("zv", zv)
+        .select(col("look").cast("int").as("look"),
+          col("cut").as("look_end"),
+          col("n0").cast("long").as("n_control"),
+          col("x0").cast("long").as("conv_control"),
+          col("n1").cast("long").as("n_variant"),
+          col("x1").cast("long").as("conv_variant"),
+          round(col("zv"), 6).as("z"), col("bound").as("boundary"),
+          coalesce(abs(col("zv")) > col("bound"), lit(false))
+            .as("significant"))
+        .orderBy(col("look"))
     }
   )
 }

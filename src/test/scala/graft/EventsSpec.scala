@@ -551,4 +551,23 @@ class EventsSpec extends SparkSpec {
       assert(r.getAs[Long]("dau_sum") >= r.getAs[Long]("mau"))
     }
   }
+
+  test("retention decay: observable bases shrink, rates in [0,1]") {
+    val rows = graft.SparkEntry.queries("q256_retention_decay")(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("k"))
+    assert(rows.nonEmpty)
+    var lastBase = Long.MaxValue
+    rows.foreach { r =>
+      val base = r.getAs[Long]("n_base")
+      assert(base <= lastBase, "later offsets can only have smaller bases")
+      lastBase = base
+      assert(r.getAs[Long]("n_active") <= base)
+      val ret = r.getAs[Double]("retention")
+      assert(ret >= 0.0 && ret <= 1.0)
+      if (!r.isNullAt(4)) {
+        val fitted = r.getAs[Double]("fitted")
+        assert(fitted > 0.0 && fitted <= 1.5)
+      }
+    }
+  }
 }

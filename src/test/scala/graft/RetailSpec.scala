@@ -328,4 +328,30 @@ class RetailSpec extends SparkSpec {
     // parts, so class sizes track the share windows, not a heavy tail)
     rows.get("B").foreach { case (_, _, share) => assert(share <= 0.16) }
   }
+
+  test("growth-share quadrants + dead stock partition their domains") {
+    val brands = run("q254_growth_share").collect()
+    val nBrands = Tables.part(spark, sf0001)
+      .select(col("p_brand")).distinct().count()
+    assert(brands.length == nBrands)
+    val med = {
+      val r98 = brands.map(_.getAs[Long]("rev98_cents")).sorted
+      if (r98.length % 2 == 1) r98(r98.length / 2).toDouble
+      else (r98(r98.length / 2 - 1) + r98(r98.length / 2)) / 2.0
+    }
+    brands.foreach { b =>
+      val (r97, r98) = (b.getAs[Long]("rev97_cents"), b.getAs[Long]("rev98_cents"))
+      val expect =
+        if (r98 >= med && r98 > r97) "star"
+        else if (r98 >= med) "cash_cow"
+        else if (r98 > r97) "question_mark" else "dog"
+      assert(b.getAs[String]("quadrant") == expect)
+    }
+    val ds = run("q255_dead_stock").head()
+    val nParts = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey")).distinct().count()
+    assert(ds.getAs[Long]("n_dead") + ds.getAs[Long]("n_active") == nParts)
+    val share = ds.getAs[Double]("dead_rev_share")
+    assert(share >= 0.0 && share <= 1.0)
+  }
 }

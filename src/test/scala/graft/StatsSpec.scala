@@ -397,4 +397,22 @@ class StatsSpec extends SparkSpec {
         s"${r.getAs[String]("source")}: alloc $a vs raw $raw")
     }
   }
+
+  test("sequential ab: looks nest, boundaries descend, counts monotone") {
+    val rows = run("q257_sequential_ab").collect()
+      .sortBy(_.getAs[Int]("look"))
+    assert(rows.length == 3)
+    val bounds = rows.map(_.getAs[Double]("boundary")).toSeq
+    assert(bounds == bounds.sorted.reverse,
+      "O'Brien-Fleming boundaries must descend across looks")
+    var (pn0, px0, pn1, px1) = (0L, 0L, 0L, 0L)
+    rows.foreach { r =>
+      val (n0, x0) = (r.getAs[Long]("n_control"), r.getAs[Long]("conv_control"))
+      val (n1, x1) = (r.getAs[Long]("n_variant"), r.getAs[Long]("conv_variant"))
+      assert(n0 >= pn0 && x0 >= px0 && n1 >= pn1 && x1 >= px1,
+        "cumulative looks can only grow")
+      assert(x0 <= n0 && x1 <= n1)
+      pn0 = n0; px0 = x0; pn1 = n1; px1 = x1
+    }
+  }
 }
