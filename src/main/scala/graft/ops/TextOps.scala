@@ -1761,6 +1761,128 @@ object TextOps {
         .limit(20)
     },
 
+    // Positional phrase search — the inverted-index structure BM25 (q132)
+    // doesn't need but phrase queries do: token postings WITH POSITIONS,
+    // where the phrase "sort merge" matches exactly when a 'sort' posting
+    // and a 'merge' posting sit at adjacent positions of the same doc.
+    // Scale shape: the posting build FILTERS to the query's two terms
+    // BEFORE anything shuffles (term-selective pushdown — the corpus
+    // contributes only its postings for those terms, the IR equivalent
+    // of partition pruning); adjacency is an equi join on
+    // (doc, position+1). Top-10 matching docs by occurrence count,
+    // TakeOrdered — no window.
+    Q("q258_phrase_search",
+      """WITH pos AS (
+        |  SELECT doc_id, unnest(w) AS tok,
+        |         unnest(range(1, len(w) + 1)) AS p
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+        |               AS w
+        |        FROM documents)),
+        |a AS (SELECT doc_id, p FROM pos WHERE tok = 'sort'),
+        |b AS (SELECT doc_id, p FROM pos WHERE tok = 'merge'),
+        |m AS (
+        |  SELECT a.doc_id, count(*) AS n_occ
+        |  FROM a JOIN b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |  GROUP BY 1)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(n_occ AS BIGINT) AS n_occ
+        |FROM m ORDER BY n_occ DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+      val pos = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
+        .filter(col("tok").isin("sort", "merge")) // postings pruned early
+        .select(col("doc_id"), col("tok"), (col("p0") + 1).as("p"))
+        .localCheckpoint(true) // both phrase sides read the pruned frame
+      val a = pos.filter(col("tok") === "sort")
+        .select(col("doc_id"), col("p"))
+      val b = pos.filter(col("tok") === "merge")
+        .select(col("doc_id"), (col("p") - 1).as("p"))
+      a.join(b, Seq("doc_id", "p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_occ"))
+        .orderBy(desc("n_occ"), asc("doc_id"))
+        .limit(10)
+    },
+
+    // Bipartiteness audit of the near-dup graph — does the pair stream
+    // form two-sided structures (template A ↔ filled-in B: a mirror/
+    // translation corpus) or does it close odd cycles (mutual paraphrase
+    // clusters)? BFS parity from each component's root (q217's bfsHops,
+    // multi-seeded with every component representative — frontiers can't
+    // cross components, so each node's hop is measured from its own
+    // root); a graph is bipartite iff NO edge joins two same-parity
+    // hops. The oracle recomputes root-distance parity with a bounded
+    // recursive walk — independent mechanics, same classification.
+    // all_reached pins the hop bound: if any component out-ran 16 hops
+    // the row hash breaks loudly instead of silently misclassifying.
+    Q("q259_bipartite_audit",
+      s"""WITH RECURSIVE $jaccardCtes,
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |root AS (
+        |  SELECT a AS node, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |walk(node, hop) AS (
+        |  SELECT DISTINCT component, 0 FROM root
+        |  UNION ALL
+        |  SELECT e.b, w.hop + 1 FROM walk w JOIN e ON w.node = e.a
+        |  WHERE w.hop < 16),
+        |h AS (SELECT node, min(hop) AS hop FROM walk GROUP BY 1),
+        |oddc AS (
+        |  SELECT DISTINCT root.component
+        |  FROM e JOIN h ha ON e.a = ha.node JOIN h hb ON e.b = hb.node
+        |  JOIN root ON e.a = root.node
+        |  WHERE (ha.hop + hb.hop) % 2 = 0)
+        |SELECT CAST((SELECT count(DISTINCT component) FROM root)
+        |            AS BIGINT) AS n_components,
+        |       CAST((SELECT count(*) FROM root) AS BIGINT) AS n_nodes,
+        |       CAST((SELECT count(*) FROM oddc) AS BIGINT)
+        |         AS n_odd_cycle,
+        |       CAST((SELECT count(DISTINCT component) FROM root)
+        |            - (SELECT count(*) FROM oddc) AS BIGINT)
+        |         AS n_bipartite,
+        |       (SELECT count(*) FROM root)
+        |         = (SELECT count(*) FROM h) AS all_reached""".stripMargin) {
+      (s, d) =>
+      val pairs = exactJaccardPairs(s, d, minJac = 0.5)
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      val cc = Graph.connectedComponents(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .localCheckpoint(true)
+      val roots = cc.select(col("component").as("node")).distinct()
+      val hops = Graph.bfsHops(edges, roots, maxHop = 16)
+        .localCheckpoint(true)
+      val oddEdges = edges
+        .join(hops.toDF("a", "ha"), Seq("a"))
+        .join(hops.toDF("b", "hb"), Seq("b"))
+        .filter((col("ha") + col("hb")) % 2 === 0)
+        .join(cc, col("a") === cc("node"))
+        .select(col("component")).distinct()
+      val counts = cc.agg(
+        countDistinct(col("component")).cast("long").as("n_components"),
+        count(lit(1)).cast("long").as("n_nodes"))
+      val odd = oddEdges.agg(count(lit(1)).cast("long").as("n_odd_cycle"))
+      val reached = hops.agg(count(lit(1)).as("n_hops"))
+      counts.join(broadcast(odd), lit(true))
+        .join(broadcast(reached), lit(true))
+        .select(col("n_components"), col("n_nodes"), col("n_odd_cycle"),
+          (col("n_components") - col("n_odd_cycle")).as("n_bipartite"),
+          (col("n_nodes") === col("n_hops")).as("all_reached"))
+    },
+
     // Quantile normalization across sources — the batch-effect remover
     // (classic in bioinformatics, equally apt for multi-source corpora):
     // each source's doc-length distribution is mapped ONTO the pooled

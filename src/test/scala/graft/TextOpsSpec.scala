@@ -377,4 +377,57 @@ class TextOpsSpec extends SparkSpec {
       r.getAs[Long]("n_docs")).toMap
     assert(byName("train") > byName("val") + byName("test"))
   }
+
+  test("phrase search: positional counts equal a token-walk recount") {
+    val rows = SparkEntry.queries("q258_phrase_search")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).trim.toLowerCase
+        .split("\\s+")
+      val direct = toks.sliding(2)
+        .count(p => p.length == 2 && p(0) == "sort" && p(1) == "merge")
+      assert(r.getAs[Long]("n_occ") == direct,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("bipartite audit agrees with driver-side 2-coloring") {
+    val r = SparkEntry.queries("q259_bipartite_audit")(spark, sf0001)
+      .head()
+    assert(r.getAs[Boolean]("all_reached"))
+    // brute-force 2-coloring of the collected (tiny at sf0.001) graph
+    val edges = graft.ops.TextOps.exactJaccardPairs(spark, sf0001, 0.5)
+      .collect().map(e => (e.getAs[Long]("doc_a"), e.getAs[Long]("doc_b")))
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val color = scala.collection.mutable.Map[Long, Int]()
+    var nOdd = 0
+    var nComp = 0
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!color.contains(start)) {
+        nComp += 1
+        var odd = false
+        var frontier = List(start)
+        color(start) = 0
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap { n =>
+            adj(n).flatMap { m =>
+              if (!color.contains(m)) { color(m) = 1 - color(n); Some(m) }
+              else { if (color(m) == color(n)) odd = true; None }
+            }
+          }
+          frontier = next
+        }
+        if (odd) nOdd += 1
+      }
+    }
+    assert(r.getAs[Long]("n_components") == nComp)
+    assert(r.getAs[Long]("n_odd_cycle") == nOdd)
+    assert(r.getAs[Long]("n_bipartite") == nComp - nOdd)
+    assert(r.getAs[Long]("n_nodes") == adj.size)
+  }
 }
