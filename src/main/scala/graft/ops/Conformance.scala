@@ -555,6 +555,54 @@ object Conformance {
           sum(when(col("mi") >= 30, 1L).otherwise(0L)).cast("long")
             .as("n_back_half"))
         .orderBy(col("local_hour"))
+    },
+
+    // Luhn mod-10 validation — the checksum behind card/IMEI/account
+    // numbers, run as a data-quality screen over synthetic account
+    // numbers derived from order keys: from the RIGHT, double every
+    // second digit (subtracting 9 past 9) and require the total ≡ 0
+    // (mod 10). Both engines fold the digit string with their own
+    // higher-order array machinery (aggregate vs list_sum/list_transform)
+    // over the identical per-position arithmetic — a pure map-side pass;
+    // ~1 in 10 random numbers validates, and the exact count is the
+    // cross-engine pin.
+    Q("q261_luhn_audit",
+      """WITH a AS (
+        |  SELECT CAST(o_orderkey * 7919 + o_custkey AS VARCHAR) AS acct
+        |  FROM orders),
+        |v AS (
+        |  SELECT acct,
+        |         list_sum(list_transform(range(1, len(acct) + 1), i ->
+        |           CASE WHEN (len(acct) - i) % 2 = 1
+        |                THEN CASE WHEN 2 * CAST(acct[i] AS INTEGER) > 9
+        |                          THEN 2 * CAST(acct[i] AS INTEGER) - 9
+        |                          ELSE 2 * CAST(acct[i] AS INTEGER) END
+        |                ELSE CAST(acct[i] AS INTEGER) END)) % 10 = 0
+        |           AS ok
+        |  FROM a)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_valid,
+        |       round(sum(CASE WHEN ok THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE), 6) AS valid_share
+        |FROM v""".stripMargin) { (s, d) =>
+      val luhnOk = expr(
+        """aggregate(
+          |  transform(sequence(1, length(acct)), i ->
+          |    IF((length(acct) - i) % 2 = 1,
+          |       IF(2 * CAST(substring(acct, i, 1) AS INT) > 9,
+          |          2 * CAST(substring(acct, i, 1) AS INT) - 9,
+          |          2 * CAST(substring(acct, i, 1) AS INT)),
+          |       CAST(substring(acct, i, 1) AS INT))),
+          |  0, (acc, x) -> acc + x) % 10 = 0""".stripMargin)
+      Tables.orders(s, d)
+        .select((col("o_orderkey") * 7919 + col("o_custkey")).cast("string")
+          .as("acct"))
+        .withColumn("ok", luhnOk)
+        .agg(count(lit(1)).cast("long").as("n_total"),
+          sum(when(col("ok"), 1L).otherwise(0L)).cast("long").as("n_valid"),
+          round(sum(when(col("ok"), 1L).otherwise(0L))
+            / count(lit(1)).cast("double"), 6).as("valid_share"))
     }
   )
 }

@@ -1883,6 +1883,88 @@ object Events {
             exp((col("sy") - slope * col("sk")) / col("n")
               + slope * col("k"))), 6).as("fitted"))
         .orderBy(col("k"))
+    },
+
+    // Shapley-value channel attribution (the game-theoretic successor to
+    // q146's last-touch accounting): each converting user's PRE-PURCHASE
+    // exposure set over the three assist channels {view, click, signup}
+    // becomes a coalition; with v(S) = number of converters whose
+    // exposure ⊆ S, the 3-player Shapley value has the closed form
+    //   φ_i = Σ_S w(|S|)·[v(S∪{i}) − v(S)],  w(0)=w(2)=2/6, w(1)=1/6,
+    // which expands over the exposure-mask histogram to
+    //   6·φ_view = 6n₁ + 3n₃ + 3n₅ + 2n₇   (symmetric for click/signup),
+    // so every φ is an EXACT integer count of sixths — emitted as a
+    // BIGINT numerator next to the rounded value, and the three φ sum to
+    // v(C) − v(∅) exactly (efficiency axiom, spec-pinned). Scale: ONE
+    // per-user reduction to an 8-way exposure bitmask histogram (a
+    // single conditional-sum row), then pure arithmetic — the corpus
+    // never moves twice.
+    Q("q260_shapley_attribution",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS tsg
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CASE WHEN tv < tp THEN 1 ELSE 0 END
+        |         + CASE WHEN tc < tp THEN 2 ELSE 0 END
+        |         + CASE WHEN tsg < tp THEN 4 ELSE 0 END AS mask
+        |  FROM u WHERE tp IS NOT NULL),
+        |h AS (
+        |  SELECT CAST(sum(CASE WHEN mask = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN mask = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN mask = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN mask = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |         CAST(sum(CASE WHEN mask = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |         CAST(sum(CASE WHEN mask = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        |         CAST(sum(CASE WHEN mask = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n6,
+        |         CAST(sum(CASE WHEN mask = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n7
+        |  FROM m),
+        |phi AS (
+        |  SELECT 'view' AS channel,
+        |         6 * n1 + 3 * n3 + 3 * n5 + 2 * n7 AS sixths,
+        |         n1 + n2 + n3 + n4 + n5 + n6 + n7 + n0 AS n_conv FROM h
+        |  UNION ALL
+        |  SELECT 'click', 6 * n2 + 3 * n3 + 3 * n6 + 2 * n7,
+        |         n1 + n2 + n3 + n4 + n5 + n6 + n7 + n0 FROM h
+        |  UNION ALL
+        |  SELECT 'signup', 6 * n4 + 3 * n5 + 3 * n6 + 2 * n7,
+        |         n1 + n2 + n3 + n4 + n5 + n6 + n7 + n0 FROM h)
+        |SELECT channel, CAST(sixths AS BIGINT) AS phi_sixths,
+        |       round(sixths / 6.0, 6) AS phi,
+        |       CAST(n_conv AS BIGINT) AS n_converters
+        |FROM phi ORDER BY channel""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "signup", col("ts"))).as("tsg"))
+        .filter(col("tp").isNotNull)
+        .select((when(col("tv") < col("tp"), 1).otherwise(0)
+          + when(col("tc") < col("tp"), 2).otherwise(0)
+          + when(col("tsg") < col("tp"), 4).otherwise(0)).as("mask"))
+      def nm(i: Int) =
+        sum(when(col("mask") === i, 1L).otherwise(0L)).cast("long").as(s"n$i")
+      val h = u.agg(nm(0), nm(1), nm(2), nm(3), nm(4), nm(5), nm(6), nm(7))
+        .localCheckpoint(true) // three channel rows read the one-row frame
+      val nConv = (col("n0") + col("n1") + col("n2") + col("n3") + col("n4")
+        + col("n5") + col("n6") + col("n7")).as("n_conv")
+      def row(name: String, sixths: org.apache.spark.sql.Column) =
+        h.select(lit(name).as("channel"), sixths.as("sixths"), nConv)
+      val view = row("view", lit(6) * col("n1") + lit(3) * col("n3")
+        + lit(3) * col("n5") + lit(2) * col("n7"))
+      val click = row("click", lit(6) * col("n2") + lit(3) * col("n3")
+        + lit(3) * col("n6") + lit(2) * col("n7"))
+      val signup = row("signup", lit(6) * col("n4") + lit(3) * col("n5")
+        + lit(3) * col("n6") + lit(2) * col("n7"))
+      view.unionByName(click).unionByName(signup)
+        .select(col("channel"), col("sixths").cast("long").as("phi_sixths"),
+          round(col("sixths") / 6.0, 6).as("phi"),
+          col("n_conv").cast("long").as("n_converters"))
+        .orderBy(col("channel"))
     }
   )
 }

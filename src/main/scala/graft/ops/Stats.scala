@@ -1349,6 +1349,72 @@ object Stats {
           coalesce(abs(col("zv")) > col("bound"), lit(false))
             .as("significant"))
         .orderBy(col("look"))
+    },
+
+    // Odds ratios with Woolf confidence intervals by market segment —
+    // the epidemiologist's 2×2 read applied to retail: does segment X
+    // convert to 1998 activity at different ODDS than the rest of the
+    // base? OR = ad/bc over the segment-vs-rest 2×2, CI via
+    // exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)) — the large-sample Woolf
+    // interval, meaningful exactly because every cell is an exact count.
+    // ONE customer⋈orders reduction to per-segment (active, inactive)
+    // cells; the complement cells come from broadcast totals, no second
+    // pass. A CI straddling 1.0 reads "no evidence of segment effect".
+    Q("q262_segment_odds",
+      """WITH act AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1998),
+        |seg AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |         CAST(sum(CASE WHEN a.o_custkey IS NOT NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN a.o_custkey IS NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM customer c LEFT JOIN act a ON c.c_custkey = a.o_custkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+        |             CAST(sum(b) AS BIGINT) AS tb FROM seg)
+        |SELECT segment, a AS n_active, b AS n_inactive,
+        |       CAST(ta - a AS BIGINT) AS rest_active,
+        |       CAST(tb - b AS BIGINT) AS rest_inactive,
+        |       round(CAST(a AS DOUBLE) * (tb - b)
+        |             / (CAST(b AS DOUBLE) * (ta - a)), 6) AS odds_ratio,
+        |       round(exp(ln(CAST(a AS DOUBLE) * (tb - b)
+        |                    / (CAST(b AS DOUBLE) * (ta - a)))
+        |                 - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/(ta - a)
+        |                               + 1.0/(tb - b))), 6) AS ci_lo,
+        |       round(exp(ln(CAST(a AS DOUBLE) * (tb - b)
+        |                    / (CAST(b AS DOUBLE) * (ta - a)))
+        |                 + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/(ta - a)
+        |                               + 1.0/(tb - b))), 6) AS ci_hi
+        |FROM seg, t ORDER BY segment""".stripMargin) { (s, d) =>
+      val act = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === 1998)
+        .select(col("o_custkey")).distinct()
+      val seg = Tables.customer(s, d)
+        .join(act, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("a"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .cast("long").as("b"))
+        .localCheckpoint(true) // totals + OR rows share the cell frame
+      val t = seg.agg(sum(col("a")).cast("long").as("ta"),
+        sum(col("b")).cast("long").as("tb"))
+      val orv = col("a").cast("double") * (col("tb") - col("b")) /
+        (col("b").cast("double") * (col("ta") - col("a")))
+      val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+        + lit(1.0) / (col("ta") - col("a"))
+        + lit(1.0) / (col("tb") - col("b")))
+      seg.join(broadcast(t), lit(true))
+        .select(col("segment"), col("a").as("n_active"),
+          col("b").as("n_inactive"),
+          (col("ta") - col("a")).cast("long").as("rest_active"),
+          (col("tb") - col("b")).cast("long").as("rest_inactive"),
+          round(orv, 6).as("odds_ratio"),
+          round(exp(log(orv) - lit(1.96) * se), 6).as("ci_lo"),
+          round(exp(log(orv) + lit(1.96) * se), 6).as("ci_hi"))
+        .orderBy(col("segment"))
     }
   )
 }

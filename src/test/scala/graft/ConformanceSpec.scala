@@ -145,6 +145,35 @@ class ConformanceSpec extends SparkSpec {
     assert(r.getAs[Long]("n_parts") == manual.getAs[Long]("p"))
   }
 
+  test("luhn audit matches a reference implementation on the same numbers") {
+    def luhn(s: String): Boolean = {
+      val digits = s.map(_ - '0')
+      val total = digits.zipWithIndex.map { case (d0, i) =>
+        if ((s.length - 1 - i) % 2 == 1) { val d2 = 2 * d0; if (d2 > 9) d2 - 9 else d2 }
+        else d0
+      }.sum
+      total % 10 == 0
+    }
+    val r = run("q261_luhn_audit").head()
+    val expected = Tables.orders(spark, sf0001)
+      .select((col("o_orderkey") * 7919 + col("o_custkey")).cast("string")
+        .as("acct")).collect()
+      .count(row => luhn(row.getString(0)))
+    assert(r.getAs[Long]("n_valid") == expected)
+    assert(r.getAs[Double]("valid_share") > 0.02 &&
+      r.getAs[Double]("valid_share") < 0.3, "mod-10 share near 1/10")
+    // odds ratios: CI brackets the point estimate, cells recompose
+    val odds = graft.SparkEntry.queries("q262_segment_odds")(spark, sf0001)
+      .collect()
+    val nCust = Tables.customer(spark, sf0001).count()
+    assert(odds.map(r2 => r2.getAs[Long]("n_active")
+      + r2.getAs[Long]("n_inactive")).sum == nCust)
+    odds.foreach { o =>
+      val or = o.getAs[Double]("odds_ratio")
+      assert(o.getAs[Double]("ci_lo") <= or && or <= o.getAs[Double]("ci_hi"))
+    }
+  }
+
   test("key gap audit: anti-join gap arithmetic on rigged key sets") {
     import spark.implicits._
     // keys 1-3, 7, 9-10: missing {4,5,6,8} → 4 missing, 2 runs, first 4

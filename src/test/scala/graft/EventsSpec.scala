@@ -552,6 +552,41 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("shapley attribution: efficiency axiom + brute-force permutations") {
+    val rows = graft.SparkEntry.queries("q260_shapley_attribution")(
+      spark, sf0001).collect()
+    assert(rows.length == 3)
+    // rebuild the mask histogram directly
+    val u = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+        min(when(col("event_type") === "view", col("ts"))).as("tv"),
+        min(when(col("event_type") === "click", col("ts"))).as("tc"),
+        min(when(col("event_type") === "signup", col("ts"))).as("tsg"))
+      .filter(col("tp").isNotNull)
+      .select((when(col("tv") < col("tp"), 1).otherwise(0)
+        + when(col("tc") < col("tp"), 2).otherwise(0)
+        + when(col("tsg") < col("tp"), 4).otherwise(0)).as("mask"))
+      .groupBy("mask").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    def v(s: Int): Long = (0 to 7).filter(m => (m & ~s) == 0).map(u).sum
+    // brute force over all 6 orderings of the 3 channels
+    val perms = Seq(1, 2, 4).permutations.toSeq
+    val brute = Seq(1, 2, 4).map { ch =>
+      ch -> perms.map { p =>
+        val before = p.takeWhile(_ != ch).foldLeft(0)(_ | _)
+        v(before | ch) - v(before)
+      }.sum // Σ over 6 perms = 6·φ
+    }.toMap
+    val got = rows.map(r => r.getAs[String]("channel") ->
+      r.getAs[Long]("phi_sixths")).toMap
+    assert(got("view") == brute(1) && got("click") == brute(2) &&
+      got("signup") == brute(4),
+      s"closed form $got vs permutation sum $brute")
+    // efficiency: Σφ·6 = 6·(v(C) − v(∅))
+    assert(got.values.sum == 6 * (v(7) - v(0)))
+  }
+
   test("retention decay: observable bases shrink, rates in [0,1]") {
     val rows = graft.SparkEntry.queries("q256_retention_decay")(spark, sf0001)
       .collect().sortBy(_.getAs[Int]("k"))
