@@ -1281,6 +1281,78 @@ object Advanced {
           col("dq").cast("int").as("qty_decile"))
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("price_decile"), col("qty_decile"))
+    },
+
+    // Join-cardinality estimation audit — the System-R selectivity
+    // formula graded against ground truth: both q114-join sides (views
+    // and purchases per user) are summarized into 16 equal-width key-
+    // range buckets of (rows, ndv), the optimizer's estimate per bucket
+    // is rows_a·rows_b / max(ndv_a, ndv_b), and the total is compared to
+    // the EXACT output cardinality Σ cnt_a·cnt_b (q131's number). The
+    // estimate-vs-actual ratio is the statistic a planner's cost model
+    // lives or dies by — here it doubles as a conformance pin that both
+    // engines bucket and estimate identically. Per-key frames only; the
+    // bucket spine is arithmetic on broadcast min/max bounds.
+    Q("q266_join_estimate",
+      """WITH v AS (
+        |  SELECT user_id, count(*) AS c FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, count(*) AS c FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (
+        |  SELECT min(least(vmn, pmn)) AS mn, max(greatest(vmx, pmx)) AS mx
+        |  FROM (SELECT min(user_id) AS vmn, max(user_id) AS vmx FROM v),
+        |       (SELECT min(user_id) AS pmn, max(user_id) AS pmx FROM p)),
+        |vb AS (
+        |  SELECT least((user_id - mn) * 16 // (mx - mn + 1), 15) AS bk,
+        |         CAST(sum(c) AS BIGINT) AS rows_a, count(*) AS ndv_a
+        |  FROM v, b GROUP BY 1),
+        |pb AS (
+        |  SELECT least((user_id - mn) * 16 // (mx - mn + 1), 15) AS bk,
+        |         CAST(sum(c) AS BIGINT) AS rows_b, count(*) AS ndv_b
+        |  FROM p, b GROUP BY 1),
+        |est AS (
+        |  SELECT sum(CAST(rows_a AS DOUBLE) * rows_b
+        |             / greatest(ndv_a, ndv_b)) AS est
+        |  FROM vb JOIN pb USING (bk)),
+        |ex AS (
+        |  SELECT CAST(sum(v.c * p.c) AS BIGINT) AS actual
+        |  FROM v JOIN p USING (user_id))
+        |SELECT CAST(16 AS INT) AS n_buckets,
+        |       round(est, 2) AS est_rows,
+        |       actual AS actual_rows,
+        |       round(est / actual, 4) AS est_over_actual
+        |FROM est, ex""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def side(t: String, cn: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(count(lit(1)).as(cn))
+        .localCheckpoint(true)
+      val v = side("view", "cv")
+      val p = side("purchase", "cp")
+      val b = v.agg(min(col("user_id")).as("vmn"), max(col("user_id")).as("vmx"))
+        .join(p.agg(min(col("user_id")).as("pmn"),
+          max(col("user_id")).as("pmx")), lit(true))
+        .select(least(col("vmn"), col("pmn")).as("mn"),
+          greatest(col("vmx"), col("pmx")).as("mx"))
+      def bucketed(df: org.apache.spark.sql.DataFrame, cn: String,
+          ra: String, na: String) =
+        df.join(broadcast(b), lit(true))
+          .groupBy(least(
+            expr("(user_id - mn) * 16 div (mx - mn + 1)"), lit(15L))
+            .as("bk"))
+          .agg(sum(col(cn)).cast("long").as(ra), count(lit(1)).as(na))
+      val est = bucketed(v, "cv", "rows_a", "ndv_a")
+        .join(bucketed(p, "cp", "rows_b", "ndv_b"), "bk")
+        .agg(sum(col("rows_a").cast("double") * col("rows_b")
+          / greatest(col("ndv_a"), col("ndv_b"))).as("est"))
+      val exact = v.join(p, "user_id")
+        .agg(sum(col("cv") * col("cp")).cast("long").as("actual"))
+      est.join(broadcast(exact), lit(true))
+        .select(lit(16).as("n_buckets"),
+          round(col("est"), 2).as("est_rows"),
+          col("actual").as("actual_rows"),
+          round(col("est") / col("actual"), 4).as("est_over_actual"))
     }
   )
 

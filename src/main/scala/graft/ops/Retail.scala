@@ -932,6 +932,90 @@ object Retail {
             .as("dead_rev_cents"),
           round(sum(when(dead, col("rev")).otherwise(0L))
             / sum(col("rev")).cast("double"), 6).as("dead_rev_share"))
+    },
+
+    // Charm-pricing audit — are price endings engineered (.99/.95/.00
+    // clustering) or organic? Cent endings (price mod 100) from exact
+    // cents, the three charm cells, and a χ² uniformity statistic over
+    // all 100 endings (e = n/100 each; df = 99, α = 0.05 critical value
+    // 123.225): a synthetic pricing process should FAIL to reject.
+    // χ² = Σo²/e − n expands over exact integer cell counts; ONE
+    // conditional-sum scan, a 100-row cell frame.
+    Q("q263_price_endings",
+      """WITH x AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) % 100
+        |           AS ending
+        |  FROM lineitem),
+        |c AS (SELECT ending, count(*) AS o FROM x GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |             sum(CAST(o AS DOUBLE) * o) AS o2 FROM c)
+        |SELECT n AS n_lines,
+        |       (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) FROM c
+        |        WHERE ending = 99) AS n_99,
+        |       (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) FROM c
+        |        WHERE ending = 95) AS n_95,
+        |       (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) FROM c
+        |        WHERE ending = 0) AS n_00,
+        |       round(o2 / (n / 100.0) - n, 2) AS chi2_uniform,
+        |       o2 / (n / 100.0) - n > 123.225 AS reject_uniform
+        |FROM t""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .select((round(col("l_extendedprice") * 100, 0).cast("long") % 100)
+          .as("ending"))
+        .groupBy(col("ending")).agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // totals + charm cells share the frame
+      def cell(e: Int) = c.filter(col("ending") === e)
+        .agg(coalesce(sum(col("o")), lit(0L)).cast("long").as(s"n_$e"))
+      val t = c.agg(sum(col("o")).cast("long").as("n"),
+        sum(col("o").cast("double") * col("o")).as("o2"))
+      val chi2 = col("o2") / (col("n") / 100.0) - col("n")
+      t.join(broadcast(cell(99)), lit(true))
+        .join(broadcast(cell(95)), lit(true))
+        .join(broadcast(cell(0)), lit(true))
+        .select(col("n").as("n_lines"), col("n_99"), col("n_95"),
+          col("n_0").as("n_00"),
+          round(chi2, 2).as("chi2_uniform"),
+          (chi2 > 123.225).as("reject_uniform"))
+    },
+
+    // Supplier-concentration HHI per brand (Herfindahl-Hirschman index —
+    // the antitrust workhorse): Σ over suppliers of squared revenue
+    // share within the brand, plus the equivalent-supplier count 1/HHI.
+    // HHI = Σ rev_s² / (Σ rev_s)² stays a ratio of exact BIGINT sums
+    // until the final division. One star-join scan reduces to
+    // (brand, supplier) cells; everything after re-aggregates that
+    // bounded frame.
+    Q("q265_brand_hhi",
+      """WITH c AS (
+        |  SELECT p_brand AS brand, l_suppkey AS sk,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |       CAST(sum(rev) AS BIGINT) AS rev_cents,
+        |       round(sum(CAST(rev AS DOUBLE) * rev)
+        |             / (CAST(sum(rev) AS DOUBLE) * sum(rev)), 6) AS hhi,
+        |       round((CAST(sum(rev) AS DOUBLE) * sum(rev))
+        |             / sum(CAST(rev AS DOUBLE) * rev), 2) AS eff_suppliers
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .cast("long").as("rev"))
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).cast("long").as("n_suppliers"),
+          sum(col("rev")).cast("long").as("rev_cents"),
+          round(sum(col("rev").cast("double") * col("rev"))
+            / (sum(col("rev")).cast("double") * sum(col("rev"))), 6)
+            .as("hhi"),
+          round((sum(col("rev")).cast("double") * sum(col("rev")))
+            / sum(col("rev").cast("double") * col("rev")), 2)
+            .as("eff_suppliers"))
+        .orderBy(col("brand"))
     }
   )
 }

@@ -1415,6 +1415,48 @@ object Stats {
           round(exp(log(orv) - lit(1.96) * se), 6).as("ci_lo"),
           round(exp(log(orv) + lit(1.96) * se), 6).as("ci_hi"))
         .orderBy(col("segment"))
+    },
+
+    // Poisson goodness-of-fit for basket sizes — "are lines-per-order
+    // Poisson?" decides whether a simulation or staffing model can use
+    // the simplest arrival process. MLE λ̂ = mean basket size; expected
+    // counts N·e^{−λ}λ^k/k! for each observed size k (factorials exact up
+    // to the ≤7-line TPC-H basket domain). Observed counts are exact
+    // integers; expected values are the same double expression both
+    // engines, rounded at 4. ONE per-order reduction (partial map-side),
+    // then arithmetic on the ≤|basket sizes| frame.
+    Q("q264_poisson_baskets",
+      """WITH b AS (
+        |  SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1),
+        |h AS (SELECT k, count(*) AS o FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |             sum(CAST(k AS DOUBLE) * o) / sum(o) AS lam FROM h),
+        |f AS (
+        |  SELECT k, CAST(1 AS DOUBLE) * (CASE k
+        |           WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6
+        |           WHEN 4 THEN 24 WHEN 5 THEN 120 WHEN 6 THEN 720
+        |           WHEN 7 THEN 5040 ELSE 1 END) AS kfact, o
+        |  FROM h)
+        |SELECT CAST(f.k AS INT) AS basket_size,
+        |       CAST(o AS BIGINT) AS observed,
+        |       round(n * exp(-lam) * pow(lam, f.k) / kfact, 4) AS expected
+        |FROM f, t ORDER BY basket_size""".stripMargin) { (s, d) =>
+      val h = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // MLE + expected rows share the frame
+      val t = h.agg(sum(col("o")).cast("long").as("n"),
+        (sum(col("k").cast("double") * col("o")) / sum(col("o"))).as("lam"))
+      val kfact = when(col("k") === 1, 1.0).when(col("k") === 2, 2.0)
+        .when(col("k") === 3, 6.0).when(col("k") === 4, 24.0)
+        .when(col("k") === 5, 120.0).when(col("k") === 6, 720.0)
+        .when(col("k") === 7, 5040.0).otherwise(1.0)
+      h.join(broadcast(t), lit(true))
+        .select(col("k").cast("int").as("basket_size"),
+          col("o").cast("long").as("observed"),
+          round(col("n") * exp(-col("lam")) * pow(col("lam"), col("k"))
+            / kfact, 4).as("expected"))
+        .orderBy(col("basket_size"))
     }
   )
 }

@@ -284,4 +284,16 @@ class AdvancedSpec extends SparkSpec {
     assert(r.getAs[Long]("n_suppliers") <= r.getAs[Long]("n_dominant_pairs"))
     assert(r.getAs[Long]("dominated_qty") >= r.getAs[Long]("n_dominant_pairs"))
   }
+
+  test("join estimate: actual cross-pins q131, estimate in sane range") {
+    val r = SparkEntry.queries("q266_join_estimate")(spark, sf0001).head()
+    val q131 = SparkEntry.queries("q131_join_skew_stats")(spark, sf0001)
+      .head()
+    assert(r.getAs[Long]("actual_rows") ==
+      q131.getAs[Long]("est_join_rows"),
+      "ground truth must equal q131's exact join cardinality")
+    val ratio = r.getAs[Double]("est_over_actual")
+    assert(ratio > 0.1 && ratio < 10.0,
+      s"System-R estimate off by ${ratio}x — bucketing broken")
+  }
 }

@@ -354,4 +354,19 @@ class RetailSpec extends SparkSpec {
     val share = ds.getAs[Double]("dead_rev_share")
     assert(share >= 0.0 && share <= 1.0)
   }
+
+  test("price endings + HHI bounds") {
+    val pe = run("q263_price_endings").head()
+    assert(pe.getAs[Long]("n_99") + pe.getAs[Long]("n_95")
+      + pe.getAs[Long]("n_00") <= pe.getAs[Long]("n_lines"))
+    assert(pe.getAs[Double]("chi2_uniform") >= 0.0)
+    val hhi = run("q265_brand_hhi").collect()
+    hhi.foreach { r =>
+      val h = r.getAs[Double]("hhi")
+      val ns = r.getAs[Long]("n_suppliers")
+      assert(h > 0.0 && h <= 1.0)
+      assert(h >= 1.0 / ns - 1e-9, "HHI is minimized by equal shares")
+      assert(r.getAs[Double]("eff_suppliers") <= ns + 1e-6)
+    }
+  }
 }
