@@ -1430,6 +1430,110 @@ object Events {
         .orderBy(col("day_start"))
     },
 
+    // Stream-stream LEFT OUTER join — the semantics corner q114's inner
+    // join never exercises: an unmatched view may only emit its
+    // null-padded row once the WATERMARK proves no purchase can still
+    // arrive inside the 1-hour attribution window, so outer results
+    // trail the data by exactly the state-retention bound. The replay
+    // drives that machinery end to end: batch 1 streams the corpus
+    // (matched pairs emit as they join; tail views are HELD), then a
+    // single future sentinel view advances the watermark past every
+    // pending row and flushes the held nulls — the "how do I get my
+    // outer results out" move every production stream-stream-join user
+    // learns. Parity: the flushed stream must equal the batch LEFT JOIN
+    // row-for-row in counts (sentinel excluded); the oracle recomputes
+    // the batch side. State is bounded by the watermark horizon per key
+    // — the q114 scale contract, plus outer-row bookkeeping.
+    Q("q267_stream_outer_join",
+      """WITH v AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id AS pu, ts AS pts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(pts) AS BIGINT) AS n_matched,
+        |       CAST(count(*) - count(pts) AS BIGINT) AS n_unmatched,
+        |       TRUE AS parity_ok
+        |FROM v LEFT JOIN p
+        |  ON v.user_id = pu AND pts > v.ts
+        | AND pts <= v.ts + INTERVAL 1 HOUR""".stripMargin) { (s, d) =>
+      import java.nio.file.{Files, Paths}
+      val root = Sources.scratchDir(s, "graft_soj")
+      val inDir = Paths.get(s"$root/input")
+      if (Files.exists(inDir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(inDir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+      val batch = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      batch.write.mode("overwrite").parquet(s"$inDir/f1")
+      val feed = s.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$inDir/*")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val v = feed.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val p = feed.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = v.join(p, col("v_user") === col("p_user") &&
+        col("p_ts") > col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "4") // see q114: state width tracks keys, not cores
+      val q =
+        try joined.writeStream.outputMode("append").format("memory")
+          .queryName("q267_soj").start()
+        finally s.conf.set(key, prev)
+      try {
+        q.processAllAvailable() // matched rows emit; tail views held
+        val mxTs = batch.agg(max(col("ts")).cast("timestamp").as("m"))
+          .head().getTimestamp(0)
+        // TWO flush batches, because the watermark lags one micro-batch:
+        // the mark computed from batch N's data only EVICTS during batch
+        // N+1. f2's sentinel (max+3h) raises the mark past every held
+        // view; f3's sentinel triggers the batch that actually emits the
+        // tail (observed: without it, the newest unmatched views stay
+        // held forever under processAllAvailable).
+        import s.implicits._
+        // BOTH sides need a sentinel: the join's global watermark is the
+        // MIN across the two input watermarks, so a view-only sentinel
+        // leaves the purchase side's mark (and hence eviction) stuck
+        def sentinel(hrs: Long, path: String): Unit = {
+          val t0 = java.sql.Timestamp.from(
+            mxTs.toInstant.plusSeconds(hrs * 3600))
+          Seq((-1L, t0, -1L, "view", 0.0), (-2L, t0, -1L, "purchase", 0.0))
+            .toDF("event_id", "ts", "user_id", "event_type", "value")
+            .write.mode("overwrite").parquet(path)
+        }
+        sentinel(3, s"$inDir/f2")
+        q.processAllAvailable()
+        sentinel(4, s"$inDir/f3")
+        q.processAllAvailable()
+      } finally q.stop()
+      val stream = s.table("q267_soj").filter(col("v_user") >= 0)
+        .agg(count(lit(1)).as("s_rows"),
+          count(col("p_ts")).as("s_matched"))
+      val ref = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id").as("bu"), col("ts").as("bts"))
+        .join(Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("pts")),
+          col("bu") === col("pu") && col("pts") > col("bts") &&
+            col("pts") <= col("bts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .agg(count(lit(1)).as("n_rows"), count(col("pts")).as("n_matched"))
+      ref.join(broadcast(stream), lit(true))
+        .select(col("n_rows").cast("long").as("n_rows"),
+          col("n_matched").cast("long").as("n_matched"),
+          (col("n_rows") - col("n_matched")).cast("long")
+            .as("n_unmatched"),
+          (col("s_rows") === col("n_rows") &&
+            col("s_matched") === col("n_matched")).as("parity_ok"))
+    },
+
     // Longest consecutive-active-day streak per user, as a streak-length
     // histogram — the engagement metric behind every "N-day streak" badge,
     // and the canonical gaps-and-islands exercise: on each user's distinct

@@ -552,6 +552,21 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream left outer join reaches full batch parity") {
+    val r = graft.SparkEntry.queries("q267_stream_outer_join")(
+      spark, sf0001).head()
+    assert(r.getAs[Boolean]("parity_ok"),
+      "flushed stream must equal the batch LEFT JOIN")
+    // row accounting: every view appears at least once; unmatched +
+    // matched compose the join output exactly
+    val nViews = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "view").count()
+    assert(r.getAs[Long]("n_rows") ==
+      r.getAs[Long]("n_matched") + r.getAs[Long]("n_unmatched"))
+    assert(r.getAs[Long]("n_rows") >= nViews)
+    assert(r.getAs[Long]("n_unmatched") <= nViews)
+  }
+
   test("shapley attribution: efficiency axiom + brute-force permutations") {
     val rows = graft.SparkEntry.queries("q260_shapley_attribution")(
       spark, sf0001).collect()
