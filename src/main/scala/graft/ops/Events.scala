@@ -1534,6 +1534,48 @@ object Events {
             col("s_matched") === col("n_matched")).as("parity_ok"))
     },
 
+    // Hour-of-day × day-of-week error-rate lift — the ops heatmap that
+    // separates "errors spike at 3am Sunday" (deploy window) from "errors
+    // track traffic" (no lift anywhere): per calendar cell, the error
+    // share relative to the corpus-wide share, exact-count ratios with
+    // the global baseline broadcast back onto the ≤168-cell frame. Cells
+    // are emitted only when they carry enough traffic for the lift to
+    // mean anything (n ≥ 5 — sized to keep the smallest test corpus
+    // non-empty), and the denominator-zero guard is explicit
+    // in both engines.
+    Q("q268_error_lift_grid",
+      """WITH c AS (
+        |  SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7
+        |              AS INT) AS dw,
+        |         CAST(hour(ts) AS INT) AS hr, count(*) AS n,
+        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS k
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT sum(k) / CAST(sum(n) AS DOUBLE) AS p0 FROM c)
+        |SELECT dw, hr, CAST(n AS BIGINT) AS n_events,
+        |       CAST(k AS BIGINT) AS n_errors,
+        |       round(CAST(k AS DOUBLE) / n / p0, 6) AS lift
+        |FROM c, t WHERE n >= 5 AND p0 > 0
+        |ORDER BY dw, hr""".stripMargin) { (s, d) =>
+      // portable 0=Sunday weekday from epoch days — Spark's dayofweek is
+      // 1-based Sunday, DuckDB's 0-based: neither survives a hash compare
+      val c = Tables.events(s, d)
+        .groupBy(((datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")) + 4) % 7).cast("int").as("dw"),
+          hour(col("ts")).cast("int").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("k"))
+        .localCheckpoint(true) // baseline + grid share the cell frame
+      val t = c.agg((sum(col("k")) / sum(col("n")).cast("double")).as("p0"))
+      c.join(broadcast(t), lit(true))
+        .filter(col("n") >= 5 && col("p0") > 0)
+        .select(col("dw"), col("hr"), col("n").cast("long").as("n_events"),
+          col("k").cast("long").as("n_errors"),
+          round(col("k").cast("double") / col("n") / col("p0"), 6)
+            .as("lift"))
+        .orderBy(col("dw"), col("hr"))
+    },
+
     // Longest consecutive-active-day streak per user, as a streak-length
     // histogram — the engagement metric behind every "N-day streak" badge,
     // and the canonical gaps-and-islands exercise: on each user's distinct

@@ -736,6 +736,87 @@ object Similarity {
         .select(col("n_vectors"), lit(5).as("k"), lit(20).as("n_candidates"),
           lit(selected.head == rel.head._1).as("first_is_top_rel"),
           lit(selected.distinct.size == 5).as("greedy_ok"))
+    },
+
+    // Energy distance between label groups — the multivariate two-sample
+    // test (Székely & Rizzo 2004) that asks "do label-0 and label-1
+    // embeddings come from the same distribution?" without assuming any
+    // parametric form:  E = 2·E‖X−Y‖ − E‖X−X'‖ − E‖Y−Y'‖  ≥ 0, zero iff
+    // the distributions match. Run over BOUNDED per-label slices (the
+    // q34 contract: 64 vectors per side, so the three pairwise-distance
+    // passes are a fixed 64²-pair broadcast workload at any corpus
+    // size); Euclidean norms via the fused codegen SquaredL2 kernel.
+    // Every distance is the same double both engines (ascending-index
+    // fold + sqrt), the three means divide exact pair counts, and the
+    // statistic rounds at 6. The in-engine E ≥ 0 boolean is the
+    // degeneracy guard.
+    Q("q269_energy_distance",
+      """WITH x AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE label = 0 AND vec_id < 640),
+        |y AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE label = 1 AND vec_id < 640),
+        |xs AS (SELECT * FROM x ORDER BY vec_id LIMIT 64),
+        |ys AS (SELECT * FROM y ORDER BY vec_id LIMIT 64),
+        |dxy AS (
+        |  SELECT avg(sqrt(list_sum(list_transform(
+        |           list_zip(a.embedding, b.embedding),
+        |           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))))
+        |           AS m, count(*) AS n
+        |  FROM xs a, ys b),
+        |dxx AS (
+        |  SELECT avg(sqrt(list_sum(list_transform(
+        |           list_zip(a.embedding, b.embedding),
+        |           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))))
+        |           AS m, count(*) AS n
+        |  FROM xs a JOIN xs b ON a.vec_id < b.vec_id),
+        |dyy AS (
+        |  SELECT avg(sqrt(list_sum(list_transform(
+        |           list_zip(a.embedding, b.embedding),
+        |           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))))
+        |           AS m, count(*) AS n
+        |  FROM ys a JOIN ys b ON a.vec_id < b.vec_id)
+        |SELECT CAST(dxy.n AS BIGINT) AS n_cross_pairs,
+        |       round(dxy.m, 6) AS mean_cross,
+        |       round(dxx.m, 6) AS mean_within_x,
+        |       round(dyy.m, 6) AS mean_within_y,
+        |       round(2 * dxy.m - dxx.m - dyy.m, 6) AS energy_distance,
+        |       2 * dxy.m - dxx.m - dyy.m >= -1e-9 AS nonneg_ok
+        |FROM dxy, dxx, dyy""".stripMargin) { (s, d) =>
+      import graft.functions.ArrayMath
+      def slice(label: Int) = Tables.embeddings(s, d)
+        .filter(col("label") === label && col("vec_id") < 640)
+        .orderBy(col("vec_id")).limit(64)
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true) // each slice feeds two distance passes
+      val xs = slice(0)
+      val ys = slice(1)
+      def dist(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame, pred: Column) = {
+        val l = a.toDF("ia", "ea")
+        val r = b.toDF("ib", "eb")
+        l.join(broadcast(r), pred)
+          .agg(avg(sqrt(ArrayMath.squaredL2(col("ea"), col("eb"))))
+            .as("m"), count(lit(1)).as("n"))
+      }
+      val dxy = dist(xs, ys, lit(true))
+      val dxx = dist(xs, xs, col("ia") < col("ib"))
+      val dyy = dist(ys, ys, col("ia") < col("ib"))
+      dxy.select(col("m").as("mxy"), col("n").as("nxy"))
+        .join(broadcast(dxx.select(col("m").as("mxx"))), lit(true))
+        .join(broadcast(dyy.select(col("m").as("myy"))), lit(true))
+        .select(col("nxy").cast("long").as("n_cross_pairs"),
+          round(col("mxy"), 6).as("mean_cross"),
+          round(col("mxx"), 6).as("mean_within_x"),
+          round(col("myy"), 6).as("mean_within_y"),
+          round(lit(2) * col("mxy") - col("mxx") - col("myy"), 6)
+            .as("energy_distance"),
+          (lit(2) * col("mxy") - col("mxx") - col("myy") >= -1e-9)
+            .as("nonneg_ok"))
     }
   )
 
