@@ -89,23 +89,29 @@ object Graph {
     * Each round is one frontier⋈edges hash join plus an anti join against
     * the visited set; frontiers carry ids only, and every round
     * localCheckpoints (same lineage discipline as the components loop —
-    * at cluster scale, persisted tables per round). Rounds are FIXED at
-    * `maxHop` — an empty frontier just makes the remaining rounds no-op
-    * joins on empty frames. */
+    * at cluster scale, persisted tables per round). The loop SHORT-
+    * CIRCUITS on an empty frontier (isEmpty stops at the first row, like
+    * the components convergence test) — on a shallow graph that saves
+    * maxHop−depth full rounds of job overhead; `maxHop` stays the hard
+    * bound. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
     val e = edges.select(col("a"), col("b")).localCheckpoint(true)
     var visited = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0))
       .localCheckpoint(true)
     var frontier = visited
-    for (h <- 1 to maxHop) {
+    var h = 1
+    var done = false
+    while (h <= maxHop && !done) {
       frontier = frontier
         .join(e, frontier("node") === e("a"))
         .select(col("b").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
         .localCheckpoint(true)
-      visited = visited.unionByName(frontier).localCheckpoint(true)
+      done = frontier.isEmpty
+      if (!done) visited = visited.unionByName(frontier).localCheckpoint(true)
+      h += 1
     }
     visited
   }

