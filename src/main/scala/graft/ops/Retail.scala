@@ -1016,6 +1016,128 @@ object Retail {
             / sum(col("rev").cast("double") * col("rev")), 2)
             .as("eff_suppliers"))
         .orderBy(col("brand"))
+    },
+
+    // Leaderboard churn — how stable is the "top 5 parts by revenue"
+    // board year over year? Each year's top 5 comes through the CUSTOM
+    // partial top-k-per-key operator (q244's graft.plans.TopKPerKey —
+    // its second production consumer: each scan partition forwards at
+    // most 5 rows per year to the exchange); consecutive years' sets
+    // then join on part to count survivors and the churn Jaccard. Ties
+    // break (rev desc, partkey) in both engines.
+    Q("q271_leaderboard_churn",
+      """WITH y AS (
+        |  SELECT CAST(year(l_shipdate) AS INT) AS y, l_partkey AS pk,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (
+        |  SELECT y, pk, rev, row_number() OVER (PARTITION BY y
+        |           ORDER BY rev DESC, pk) AS rn
+        |  FROM y),
+        |top5 AS (SELECT y, pk FROM t WHERE rn <= 5),
+        |j AS (
+        |  SELECT b.y, count(*) AS n_kept
+        |  FROM top5 a JOIN top5 b ON b.y = a.y + 1 AND a.pk = b.pk
+        |  GROUP BY 1),
+        |yrs AS (SELECT DISTINCT y FROM top5 WHERE y > (SELECT min(y)
+        |                                              FROM top5))
+        |SELECT yrs.y AS year, CAST(coalesce(j.n_kept, 0) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(5 - coalesce(j.n_kept, 0) AS BIGINT) AS n_new,
+        |       round(coalesce(j.n_kept, 0)
+        |             / CAST(10 - coalesce(j.n_kept, 0) AS DOUBLE), 6)
+        |         AS jaccard
+        |FROM yrs LEFT JOIN j ON yrs.y = j.y ORDER BY year""".stripMargin) {
+      (s, d) =>
+      graft.plans.TopKPerKey.register(s)
+      val yearly = Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).cast("int").as("y"),
+          col("l_partkey").as("pk"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .cast("long").as("rev"))
+      val top5 = graft.plans.TopKPerKey.topK(yearly, Seq("y"),
+          Seq("rev" -> false, "pk" -> true), 5)
+        .select(col("y"), col("pk"))
+        .localCheckpoint(true) // both churn-join sides read the top sets
+      val mn = top5.agg(min(col("y")).as("mny"))
+      val j = top5.toDF("ya", "pk")
+        .join(top5.toDF("yb", "pk2"),
+          col("yb") === col("ya") + 1 && col("pk") === col("pk2"))
+        .groupBy(col("yb").as("y")).agg(count(lit(1)).as("n_kept"))
+      top5.select(col("y")).distinct()
+        .join(broadcast(mn), lit(true)).filter(col("y") > col("mny"))
+        .join(broadcast(j), Seq("y"), "left")
+        .select(col("y").as("year"),
+          coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+          (lit(5) - coalesce(col("n_kept"), lit(0L))).cast("long")
+            .as("n_new"),
+          round(coalesce(col("n_kept"), lit(0L)) /
+            (lit(10) - coalesce(col("n_kept"), lit(0L))).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("year"))
+    },
+
+    // X-bar control chart (statistical process control): daily order-value
+    // means against ±3σ limits, with σ̂ pooled from WITHIN-day variation —
+    // the Shewhart discipline that distinguishes "a weird day" from
+    // ordinary daily noise. σ̂² = Σ_d ss_d / Σ_d (n_d−1) from exact power
+    // sums; a day signals when |mean_d − grand| > 3·σ̂/√n_d. One
+    // partial-aggregated scan to the calendar-bounded day frame; the
+    // verdict row carries the signal count and the worst standardized
+    // deviation.
+    Q("q272_control_chart",
+      """WITH dd AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+        |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s,
+        |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |             * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s2
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |         CAST(sum(s) AS BIGINT) AS ss,
+        |         sum(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |           AS pooled_ss,
+        |         CAST(sum(n - 1) AS BIGINT) AS dfree,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |  FROM dd),
+        |z AS (
+        |  SELECT dd.day,
+        |         abs(CAST(dd.s AS DOUBLE) / dd.n
+        |             - CAST(t.ss AS DOUBLE) / t.nn)
+        |         / (sqrt(t.pooled_ss / t.dfree) / sqrt(CAST(dd.n AS DOUBLE)))
+        |           AS az
+        |  FROM dd, t)
+        |SELECT t.n_days,
+        |       CAST((SELECT count(*) FROM z WHERE az > 3) AS BIGINT)
+        |         AS n_signals,
+        |       round(sqrt(t.pooled_ss / t.dfree), 6) AS sigma_hat,
+        |       round(CAST(t.ss AS DOUBLE) / t.nn, 6) AS grand_mean,
+        |       round((SELECT max(az) FROM z), 6) AS max_abs_z
+        |FROM t""".stripMargin) { (s, d) =>
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val dd = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+          sum(cents * cents).as("s2"))
+        .localCheckpoint(true) // totals + per-day z share the day frame
+      val t = dd.agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("s")).cast("long").as("ss"),
+        sum(col("s2").cast("double")
+          - col("s").cast("double") * col("s") / col("n")).as("pooled_ss"),
+        sum(col("n") - 1).cast("long").as("dfree"),
+        count(lit(1)).cast("long").as("n_days"))
+      val az = abs(col("s").cast("double") / col("n")
+        - col("ss").cast("double") / col("nn")) /
+        (sqrt(col("pooled_ss") / col("dfree")) / sqrt(col("n").cast("double")))
+      val z = dd.join(broadcast(t), lit(true)).select(az.as("az"))
+        .agg(sum(when(col("az") > 3, 1L).otherwise(0L)).cast("long")
+          .as("n_signals"), max(col("az")).as("max_az"))
+      t.join(broadcast(z), lit(true))
+        .select(col("n_days"), col("n_signals"),
+          round(sqrt(col("pooled_ss") / col("dfree")), 6).as("sigma_hat"),
+          round(col("ss").cast("double") / col("nn"), 6).as("grand_mean"),
+          round(col("max_az"), 6).as("max_abs_z"))
     }
   )
 }

@@ -1805,6 +1805,81 @@ object TextOps {
         .limit(10)
     },
 
+    // Longest shared SPAN per near-dup pair — distinguishes contiguous
+    // copying (one long island of shared 3-grams: template or plagiarized
+    // block) from shuffled-token similarity (many 1-gram islands) that a
+    // set-based Jaccard score cannot tell apart. For each q27 pair, the
+    // positions in doc_a whose 3-gram also occurs in doc_b form islands
+    // under the classic (pos − row_number) trick; the longest island of
+    // length r covers r+2 tokens. Scale shape: the pair set is the
+    // bounded q27 output; POSITIONAL shingles are built map-side for the
+    // pair members only (semi-join pruned before the explode), the
+    // membership probe is an equi join on (pair, shingle), and the
+    // island window partitions per pair. Integers end to end.
+    Q("q270_shared_spans",
+      s"""WITH $jaccardCtes,
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |pos AS (
+        |  SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |           AS shingle
+        |  FROM toks, unnest(range(1, len(w) - 1)) AS r(i)),
+        |hits AS (
+        |  SELECT jp.doc_a, jp.doc_b, pa.pos
+        |  FROM jp JOIN pos pa ON pa.doc_id = jp.doc_a
+        |  JOIN sh sb ON sb.doc_id = jp.doc_b AND sb.shingle = pa.shingle),
+        |isl AS (
+        |  SELECT doc_a, doc_b,
+        |         pos - row_number() OVER (PARTITION BY doc_a, doc_b
+        |                                  ORDER BY pos) AS grp
+        |  FROM (SELECT DISTINCT doc_a, doc_b, pos FROM hits)),
+        |runs AS (
+        |  SELECT doc_a, doc_b, grp, count(*) AS run FROM isl
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(doc_a AS BIGINT) AS doc_a,
+        |       CAST(doc_b AS BIGINT) AS doc_b,
+        |       CAST(sum(run) AS BIGINT) AS n_shared_positions,
+        |       CAST(max(run) + 2 AS BIGINT) AS max_span_tokens
+        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val jp = exactJaccardPairs(s, d, minJac = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+      // positional 3-grams for pair MEMBERS only (semi-join prunes the
+      // corpus before the explode fan-out)
+      val members = jp.select(col("doc_a").as("doc_id"))
+        .union(jp.select(col("doc_b").as("doc_id"))).distinct()
+      val posSh = docs.join(members, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col")
+          .as("shingle"))
+        .localCheckpoint(true) // probe side + member set share it
+      val bSet = posSh.select(col("doc_id").as("doc_b"),
+        col("shingle")).distinct()
+      val hits = jp
+        .join(posSh.toDF("doc_a", "pos", "shingle"), Seq("doc_a"))
+        .join(bSet, Seq("doc_b", "shingle"), "left_semi")
+        .select(col("doc_a"), col("doc_b"), col("pos")).distinct()
+      val w = Window.partitionBy(col("doc_a"), col("doc_b"))
+        .orderBy(col("pos"))
+      hits.withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_a"), col("doc_b"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("run")).cast("long").as("n_shared_positions"),
+          (max(col("run")) + 2).cast("long").as("max_span_tokens"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Bipartiteness audit of the near-dup graph — does the pair stream
     // form two-sided structures (template A ↔ filled-in B: a mirror/
     // translation corpus) or does it close odd cycles (mutual paraphrase

@@ -355,6 +355,23 @@ class RetailSpec extends SparkSpec {
     assert(share >= 0.0 && share <= 1.0)
   }
 
+  test("leaderboard churn + control chart internal consistency") {
+    val churn = run("q271_leaderboard_churn").collect()
+    churn.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept >= 0 && kept <= 5)
+      assert(kept + r.getAs[Long]("n_new") == 5)
+      assert(math.abs(r.getAs[Double]("jaccard")
+        - kept.toDouble / (10 - kept)) < 1e-6)
+    }
+    val cc = run("q272_control_chart").head()
+    assert(cc.getAs[Long]("n_signals") <= cc.getAs[Long]("n_days"))
+    assert(cc.getAs[Double]("sigma_hat") > 0)
+    if (cc.getAs[Long]("n_signals") > 0)
+      assert(cc.getAs[Double]("max_abs_z") > 3.0)
+    else assert(cc.getAs[Double]("max_abs_z") <= 3.0)
+  }
+
   test("price endings + HHI bounds") {
     val pe = run("q263_price_endings").head()
     assert(pe.getAs[Long]("n_99") + pe.getAs[Long]("n_95")

@@ -395,6 +395,27 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("shared spans: pair-complete, span bounded by doc length") {
+    val spans = SparkEntry.queries("q270_shared_spans")(spark, sf0001)
+      .collect()
+    val pairs = graft.ops.TextOps.exactJaccardPairs(spark, sf0001, 0.5)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every near-dup pair shares at least one 3-gram → appears here
+    assert(spans.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet == pairs)
+    val lens = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(graft.ops.TextOps.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    spans.foreach { r =>
+      val span = r.getAs[Long]("max_span_tokens")
+      assert(span >= 3, "any shared 3-gram covers 3 tokens")
+      assert(span <= lens(r.getAs[Long]("doc_a")))
+      assert(r.getAs[Long]("n_shared_positions") >= span - 2)
+    }
+  }
+
   test("bipartite audit agrees with driver-side 2-coloring") {
     val r = SparkEntry.queries("q259_bipartite_audit")(spark, sf0001)
       .head()
