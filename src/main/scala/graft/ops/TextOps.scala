@@ -1805,6 +1805,40 @@ object TextOps {
         .limit(10)
     },
 
+    // Exact-k WEIGHTED sampling without replacement (Efraimidis-Spirakis
+    // A-Res, IPL 2006) — closes the sampling matrix: q156 draws exact-k
+    // uniform, q136 draws weighted by THRESHOLD (k varies); this draws
+    // EXACTLY k with probability ∝ quality weight, deterministically:
+    // each doc gets key = −ln(u)/w from an RNG-free md5-derived u ∈ (0,1),
+    // and the k SMALLEST keys win — the classic reduction of weighted
+    // sampling to a bounded top-k, which here rides
+    // TakeOrderedAndProject's per-partition heaps (zero full exchanges).
+    // Keys are identical doubles in both engines (same md5 prefix, same
+    // ln/division), so the sampled id set hashes exactly.
+    Q("q273_weighted_exact_k",
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(n_chars AS DOUBLE) AS wt,
+        |         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |               AS INTEGER) + 1) / 65537.0 AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_chars, -ln(u) / wt AS key FROM w)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(n_chars AS BIGINT) AS n_chars,
+        |       round(key * 1000000, 6) AS key_ppm
+        |FROM k ORDER BY key, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      val u = (conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 4), 16, 10).cast("long") + 1) / 65537.0
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (-log(u) / col("n_chars").cast("double")).as("key"))
+        .orderBy(col("key"), col("doc_id"))
+        .limit(50)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          round(col("key") * 1000000, 6).as("key_ppm"))
+    },
+
     // Longest shared SPAN per near-dup pair — distinguishes contiguous
     // copying (one long island of shared 3-grams: template or plagiarized
     // block) from shuffled-token similarity (many 1-gram islands) that a
