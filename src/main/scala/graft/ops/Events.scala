@@ -1534,6 +1534,50 @@ object Events {
             col("s_matched") === col("n_matched")).as("parity_ok"))
     },
 
+    // Watermark calibration — the number `withWatermark` should be SET
+    // from instead of guessed: treating event_id as arrival order, each
+    // event's lateness is how far it sits behind the per-user running
+    // event-time high mark (running max ts − ts, exact µs). The lateness
+    // distribution's tail quantiles ARE the watermark delay that would
+    // keep that fraction of events: p99 here is what a q76/q114-style
+    // pipeline should configure. Per-user windows (parallel); the global
+    // quantiles run over the lateness values with exact interpolation.
+    Q("q276_watermark_calibration",
+      """WITH o AS (
+        |  SELECT user_id, event_id,
+        |         CAST(epoch_us(ts) AS BIGINT) AS us,
+        |         max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+        |           PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS hi
+        |  FROM events),
+        |l AS (SELECT hi - us AS late_us FROM o)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_late,
+        |       round(quantile_cont(late_us, 0.5) / 1e6, 6) AS p50_late_s,
+        |       round(quantile_cont(late_us, 0.95) / 1e6, 6) AS p95_late_s,
+        |       round(quantile_cont(late_us, 0.99) / 1e6, 6) AS p99_late_s,
+        |       round(max(late_us) / 1e6, 6) AS max_late_s
+        |FROM l""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("late_us", max(col("us")).over(w) - col("us"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).cast("long")
+            .as("n_late"),
+          round(expr("percentile(late_us, 0.5)") / 1e6, 6).as("p50_late_s"),
+          round(expr("percentile(late_us, 0.95)") / 1e6, 6)
+            .as("p95_late_s"),
+          round(expr("percentile(late_us, 0.99)") / 1e6, 6)
+            .as("p99_late_s"),
+          round(max(col("late_us")) / 1e6, 6).as("max_late_s"))
+    },
+
     // Hour-of-day × day-of-week error-rate lift — the ops heatmap that
     // separates "errors spike at 3am Sunday" (deploy window) from "errors
     // track traffic" (no lift anywhere): per calendar cell, the error

@@ -1078,6 +1078,121 @@ object Retail {
         .orderBy(col("year"))
     },
 
+    // Price-volume revenue bridge — the FP&A waterfall behind every
+    // "why did revenue move" review: per brand, the 1997→1998 revenue
+    // delta decomposes EXACTLY as
+    //   Δrev = Δp·q₀ (price effect) + Δq·p₀ (volume effect) + Δp·Δq (mix),
+    // with p = rev/qty the realized unit price. Cells are exact BIGINT
+    // cents/quantities from one star-join scan; the three effects are the
+    // same double expressions both engines, and the identity is exact in
+    // real arithmetic (spec pins the double residual). Brands missing a
+    // year emit NULL effects rather than a fake zero.
+    Q("q274_revenue_bridge",
+      """WITH c AS (
+        |  SELECT p_brand AS brand,
+        |         CAST(sum(CASE WHEN year(l_shipdate) = 1997
+        |                  THEN CAST(round(l_extendedprice * 100, 0)
+        |                            AS BIGINT) ELSE 0 END) AS BIGINT) AS r0,
+        |         CAST(sum(CASE WHEN year(l_shipdate) = 1997
+        |                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+        |              AS BIGINT) AS q0,
+        |         CAST(sum(CASE WHEN year(l_shipdate) = 1998
+        |                  THEN CAST(round(l_extendedprice * 100, 0)
+        |                            AS BIGINT) ELSE 0 END) AS BIGINT) AS r1,
+        |         CAST(sum(CASE WHEN year(l_shipdate) = 1998
+        |                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+        |              AS BIGINT) AS q1
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT brand, CAST(r1 - r0 AS BIGINT) AS delta_rev_cents,
+        |       round(CASE WHEN q0 > 0 AND q1 > 0 THEN
+        |         (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0) * q0
+        |         END, 2) AS price_effect,
+        |       round(CASE WHEN q0 > 0 AND q1 > 0 THEN
+        |         (q1 - q0) * (CAST(r0 AS DOUBLE) / q0) END, 2)
+        |         AS volume_effect,
+        |       round(CASE WHEN q0 > 0 AND q1 > 0 THEN
+        |         (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0)
+        |         * (q1 - q0) END, 2) AS mix_effect
+        |FROM c ORDER BY brand""".stripMargin) { (s, d) =>
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val y97 = year(col("l_shipdate")) === 1997
+      val y98 = year(col("l_shipdate")) === 1998
+      val c = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(when(y97, cents).otherwise(0L)).cast("long").as("r0"),
+          sum(when(y97, col("l_quantity").cast("long")).otherwise(0L))
+            .cast("long").as("q0"),
+          sum(when(y98, cents).otherwise(0L)).cast("long").as("r1"),
+          sum(when(y98, col("l_quantity").cast("long")).otherwise(0L))
+            .cast("long").as("q1"))
+      val ok = col("q0") > 0 && col("q1") > 0
+      val dp = (col("r1").cast("double") / col("q1")) -
+        (col("r0").cast("double") / col("q0"))
+      c.select(col("brand"),
+          (col("r1") - col("r0")).cast("long").as("delta_rev_cents"),
+          round(when(ok, dp * col("q0")), 2).as("price_effect"),
+          round(when(ok, (col("q1") - col("q0"))
+            * (col("r0").cast("double") / col("q0"))), 2)
+            .as("volume_effect"),
+          round(when(ok, dp * (col("q1") - col("q0"))), 2).as("mix_effect"))
+        .orderBy(col("brand"))
+    },
+
+    // New-vs-returning revenue split — the growth accounting every board
+    // deck shows: per order year, revenue and customer counts split by
+    // whether the customer's FIRST order fell in that year. One
+    // per-customer first-year reduction joins back onto the order scan
+    // (broadcastable dimension at any scale: one row per customer);
+    // everything stays exact cents.
+    Q("q275_new_vs_returning",
+      """WITH f AS (
+        |  SELECT o_custkey, min(year(o_orderdate)) AS fy
+        |  FROM orders GROUP BY 1),
+        |o AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |         CASE WHEN year(o_orderdate) = fy THEN 1 ELSE 0 END AS nw,
+        |         o_custkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders JOIN f USING (o_custkey))
+        |SELECT y,
+        |       CAST(count(DISTINCT CASE WHEN nw = 1 THEN o_custkey END)
+        |            AS BIGINT) AS n_new_cust,
+        |       CAST(count(DISTINCT CASE WHEN nw = 0 THEN o_custkey END)
+        |            AS BIGINT) AS n_ret_cust,
+        |       CAST(sum(CASE WHEN nw = 1 THEN cents ELSE 0 END) AS BIGINT)
+        |         AS rev_new_cents,
+        |       CAST(sum(CASE WHEN nw = 0 THEN cents ELSE 0 END) AS BIGINT)
+        |         AS rev_ret_cents,
+        |       round(sum(CASE WHEN nw = 1 THEN cents ELSE 0 END)
+        |             / CAST(sum(cents) AS DOUBLE), 6) AS new_share
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val f = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(year(col("o_orderdate"))).as("fy"))
+      val o = Tables.orders(s, d)
+        .join(f, Seq("o_custkey"))
+        .select(year(col("o_orderdate")).cast("int").as("y"),
+          when(year(col("o_orderdate")) === col("fy"), 1).otherwise(0)
+            .as("nw"),
+          col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      o.groupBy(col("y"))
+        .agg(countDistinct(when(col("nw") === 1, col("o_custkey")))
+          .cast("long").as("n_new_cust"),
+          countDistinct(when(col("nw") === 0, col("o_custkey")))
+            .cast("long").as("n_ret_cust"),
+          sum(when(col("nw") === 1, col("cents")).otherwise(0L))
+            .cast("long").as("rev_new_cents"),
+          sum(when(col("nw") === 0, col("cents")).otherwise(0L))
+            .cast("long").as("rev_ret_cents"),
+          round(sum(when(col("nw") === 1, col("cents")).otherwise(0L))
+            / sum(col("cents")).cast("double"), 6).as("new_share"))
+        .orderBy(col("y"))
+    },
+
     // X-bar control chart (statistical process control): daily order-value
     // means against ±3σ limits, with σ̂ pooled from WITHIN-day variation —
     // the Shewhart discipline that distinguishes "a weird day" from

@@ -552,6 +552,17 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("watermark calibration: quantiles ordered, lateness accounting") {
+    val r = graft.SparkEntry.queries("q276_watermark_calibration")(
+      spark, sf0001).head()
+    assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n_events"))
+    val (p50, p95, p99, mx) = (r.getAs[Double]("p50_late_s"),
+      r.getAs[Double]("p95_late_s"), r.getAs[Double]("p99_late_s"),
+      r.getAs[Double]("max_late_s"))
+    assert(p50 <= p95 && p95 <= p99 && p99 <= mx)
+    assert(p50 >= 0.0)
+  }
+
   test("stream-stream left outer join reaches full batch parity") {
     val r = graft.SparkEntry.queries("q267_stream_outer_join")(
       spark, sf0001).head()

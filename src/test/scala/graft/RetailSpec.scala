@@ -372,6 +372,26 @@ class RetailSpec extends SparkSpec {
     else assert(cc.getAs[Double]("max_abs_z") <= 3.0)
   }
 
+  test("revenue bridge identity + new-vs-returning accounting") {
+    run("q274_revenue_bridge").collect().foreach { r =>
+      if (!r.isNullAt(2)) {
+        val recomposed = r.getAs[Double]("price_effect") +
+          r.getAs[Double]("volume_effect") + r.getAs[Double]("mix_effect")
+        assert(math.abs(recomposed - r.getAs[Long]("delta_rev_cents")) < 0.1,
+          s"${r.getAs[String]("brand")}: bridge must recompose the delta")
+      }
+    }
+    val nv = run("q275_new_vs_returning").collect()
+      .sortBy(_.getAs[Int]("y"))
+    assert(nv.head.getAs[Long]("n_ret_cust") == 0,
+      "the first year has no returning customers by definition")
+    assert(math.abs(nv.head.getAs[Double]("new_share") - 1.0) < 1e-9)
+    nv.foreach { r =>
+      val s0 = r.getAs[Double]("new_share")
+      assert(s0 >= 0.0 && s0 <= 1.0)
+    }
+  }
+
   test("price endings + HHI bounds") {
     val pe = run("q263_price_endings").head()
     assert(pe.getAs[Long]("n_99") + pe.getAs[Long]("n_95")
