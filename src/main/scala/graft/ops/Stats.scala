@@ -1457,6 +1457,128 @@ object Stats {
           round(col("n") * exp(-col("lam")) * pow(col("lam"), col("k"))
             / kfact, 4).as("expected"))
         .orderBy(col("basket_size"))
+    },
+
+    // Mann-Kendall trend test on weekly revenue — the significance
+    // companion to q175's Theil-Sen slope (same nonparametric family;
+    // Theil-Sen says HOW steep, Mann-Kendall says WHETHER the trend is
+    // real): S = Σ_{i<j} sign(x_j − x_i) over the weekly series, tie-
+    // corrected variance, continuity-corrected z. The series is the
+    // CALENDAR-bounded weekly frame, so the pairwise sign enumeration is
+    // a broadcast self-join over a domain-sized frame (q162's
+    // economics); S, the tie terms and Var·18 are exact integers, and
+    // only z divides.
+    Q("q277_mann_kendall",
+      """WITH w AS (
+        |  SELECT (year(o_orderdate) * 54
+        |          + CAST(weekofyear(o_orderdate) AS INT)) AS wk,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |                       WHEN b.x < a.x THEN -1 ELSE 0 END)
+        |              AS BIGINT) AS s_stat
+        |  FROM w a JOIN w b ON a.wk < b.wk),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+        |ties AS (
+        |  SELECT CAST(coalesce(sum(t0 * (t0 - 1) * (2 * t0 + 5)), 0)
+        |              AS BIGINT) AS tie18
+        |  FROM (SELECT count(*) AS t0 FROM w GROUP BY x HAVING count(*) > 1)),
+        |v AS (
+        |  SELECT (n * (n - 1) * (2 * n + 5) - tie18) / 18.0 AS var_s
+        |  FROM t, ties)
+        |SELECT t.n AS n_weeks, s.s_stat,
+        |       round(v.var_s, 6) AS var_s,
+        |       round(CASE WHEN s.s_stat > 0
+        |                  THEN (s.s_stat - 1) / sqrt(v.var_s)
+        |                  WHEN s.s_stat < 0
+        |                  THEN (s.s_stat + 1) / sqrt(v.var_s)
+        |                  ELSE 0.0 END, 6) AS z,
+        |       abs(CASE WHEN s.s_stat > 0
+        |                THEN (s.s_stat - 1) / sqrt(v.var_s)
+        |                WHEN s.s_stat < 0
+        |                THEN (s.s_stat + 1) / sqrt(v.var_s)
+        |                ELSE 0.0 END) > 1.96 AS trend_significant
+        |FROM t, s, v""".stripMargin) { (s, d) =>
+      val w = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 54
+          + weekofyear(col("o_orderdate")).cast("int")).as("wk"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .cast("long").as("x"))
+        .localCheckpoint(true) // pairs, count and ties share the frame
+      val sStat = w.toDF("wa", "xa")
+        .join(broadcast(w.toDF("wb", "xb")), col("wa") < col("wb"))
+        .agg(sum(when(col("xb") > col("xa"), 1L)
+          .when(col("xb") < col("xa"), -1L).otherwise(0L))
+          .cast("long").as("s_stat"))
+      val t = w.agg(count(lit(1)).cast("long").as("n"))
+      val ties = w.groupBy(col("x")).agg(count(lit(1)).as("t0"))
+        .filter(col("t0") > 1)
+        .agg(coalesce(sum(col("t0") * (col("t0") - 1)
+          * (lit(2) * col("t0") + 5)), lit(0L)).cast("long").as("tie18"))
+      val varS = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+        - col("tie18")) / 18.0
+      val z = when(col("s_stat") > 0,
+        (col("s_stat") - 1) / sqrt(col("var_s")))
+        .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+        .otherwise(0.0)
+      t.join(broadcast(ties), lit(true))
+        .withColumn("var_s", varS)
+        .join(broadcast(sStat), lit(true))
+        .select(col("n").as("n_weeks"), col("s_stat"),
+          round(col("var_s"), 6).as("var_s"),
+          round(z, 6).as("z"),
+          (abs(z) > 1.96).as("trend_significant"))
+    },
+
+    // Randomization-health check for the q68/q257 hash split — is the
+    // md5 assignment INDEPENDENT of market segment? A χ² independence
+    // test over the 2×|segments| contingency of split × c_mktsegment
+    // (expected cells from margins, df = |segments|−1): a sound hash
+    // passes; a skew here would mean every "A/B difference" downstream is
+    // confounded by segment mix. ONE customer-scan reduction to the
+    // bounded cell frame; margins re-aggregate the cells; exact counts
+    // everywhere, χ² assembled at the final rounded step.
+    Q("q278_split_balance",
+      """WITH c AS (
+        |  SELECT CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+        |                   < '8' THEN 'a' ELSE 'b' END AS split,
+        |         c_mktsegment AS seg, count(*) AS o
+        |  FROM customer GROUP BY 1, 2),
+        |m AS (
+        |  SELECT split, sum(o) AS rs FROM c GROUP BY 1),
+        |g AS (SELECT seg, sum(o) AS cs FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS n_cells FROM c),
+        |x AS (
+        |  SELECT sum(pow(c.o - CAST(m.rs AS DOUBLE) * g.cs / t.n, 2)
+        |             / (CAST(m.rs AS DOUBLE) * g.cs / t.n)) AS chi2
+        |  FROM c JOIN m USING (split) JOIN g USING (seg), t)
+        |SELECT t.n AS n_customers,
+        |       CAST((SELECT count(*) FROM g) - 1 AS BIGINT) AS df,
+        |       round(x.chi2, 6) AS chi2,
+        |       x.chi2 < 9.488 AS randomization_ok
+        |FROM t, x""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+        .groupBy(when(substring(md5(col("c_custkey").cast("string")
+          .cast("binary")), 1, 1) < "8", "a").otherwise("b").as("split"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // margins + chi2 share the cell frame
+      val m = c.groupBy(col("split")).agg(sum(col("o")).as("rs"))
+      val g = c.groupBy(col("seg")).agg(sum(col("o")).as("cs"))
+      val t = c.agg(sum(col("o")).cast("long").as("n"))
+      val dfree = g.agg((count(lit(1)) - 1).cast("long").as("df"))
+      val e = col("rs").cast("double") * col("cs") / col("n")
+      val chi2 = c.join(broadcast(m), "split").join(broadcast(g), "seg")
+        .join(broadcast(t), lit(true))
+        .agg(sum(pow(col("o") - e, 2) / e).as("chi2"))
+      t.join(broadcast(dfree), lit(true))
+        .join(broadcast(chi2), lit(true))
+        .select(col("n").as("n_customers"), col("df"),
+          round(col("chi2"), 6).as("chi2"),
+          (col("chi2") < 9.488).as("randomization_ok"))
     }
   )
 }

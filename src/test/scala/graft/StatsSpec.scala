@@ -398,6 +398,24 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("mann-kendall + split balance internal consistency") {
+    val mk = run("q277_mann_kendall").head()
+    val n = mk.getAs[Long]("n_weeks")
+    val smax = n * (n - 1) / 2
+    val sStat = mk.getAs[Long]("s_stat")
+    assert(math.abs(sStat) <= smax, "S is bounded by the pair count")
+    assert(mk.getAs[Double]("var_s") > 0)
+    // z and significance must agree with the emitted statistic
+    val z = mk.getAs[Double]("z")
+    assert(mk.getAs[Boolean]("trend_significant") == (math.abs(z) > 1.96))
+    if (sStat == 0) assert(z == 0.0)
+    val sb = run("q278_split_balance").head()
+    assert(sb.getAs[Long]("n_customers") ==
+      Tables.customer(spark, sf0001).count())
+    assert(sb.getAs[Long]("df") == 4)
+    assert(sb.getAs[Double]("chi2") >= 0.0)
+  }
+
   test("sequential ab: looks nest, boundaries descend, counts monotone") {
     val rows = run("q257_sequential_ab").collect()
       .sortBy(_.getAs[Int]("look"))
