@@ -1193,6 +1193,95 @@ object Retail {
         .orderBy(col("y"))
     },
 
+    // Shannon diversity of each brand's supplier mix, reported as the
+    // Hill number of order 1 (exp of entropy — "effective supplier
+    // count") next to q265's HHI-derived order-2 Hill number: the two
+    // diverge exactly when revenue concentration hides in the mid-tail.
+    // Shares are BIGINT-ratio doubles; the ln fold groups operands the
+    // same way in both engines, and exp/round close the row.
+    Q("q279_brand_diversity",
+      """WITH c AS (
+        |  SELECT p_brand AS brand, l_suppkey AS sk,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |t AS (SELECT brand, CAST(sum(rev) AS BIGINT) AS tot FROM c
+        |      GROUP BY 1)
+        |SELECT c.brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |       round(exp(-sum((CAST(rev AS DOUBLE) / tot)
+        |                      * ln(CAST(rev AS DOUBLE) / tot))), 4)
+        |         AS hill1_effective,
+        |       round(-sum((CAST(rev AS DOUBLE) / tot)
+        |                  * ln(CAST(rev AS DOUBLE) / tot)), 6) AS entropy
+        |FROM c JOIN t ON c.brand = t.brand
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .cast("long").as("rev"))
+        .localCheckpoint(true) // totals + entropy share the cell frame
+      val t = c.groupBy(col("brand")).agg(sum(col("rev")).cast("long")
+        .as("tot"))
+      val share = col("rev").cast("double") / col("tot")
+      c.join(broadcast(t), "brand")
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).cast("long").as("n_suppliers"),
+          round(exp(-sum(share * log(share))), 4).as("hill1_effective"),
+          round(-sum(share * log(share)), 6).as("entropy"))
+        .orderBy(col("brand"))
+    },
+
+    // Priority-mix drift — total variation distance between consecutive
+    // years' order-priority distributions: TVD = ½·Σ|p_y − p_{y−1}|, the
+    // "what fraction of orders changed bucket" reading PSI (q134) lacks.
+    // Mixes come from exact counts over the bounded (year × priority)
+    // spine (missing cells coalesce to 0); consecutive years join on the
+    // tiny year frame.
+    Q("q280_priority_mix_drift",
+      """WITH c AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderpriority AS p,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT y, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |spine AS (
+        |  SELECT yy.y, pp.p FROM (SELECT DISTINCT y FROM c) yy,
+        |       (SELECT DISTINCT p FROM c) pp),
+        |m AS (
+        |  SELECT spine.y, spine.p,
+        |         coalesce(c.n, 0) / CAST(t.tot AS DOUBLE) AS sh
+        |  FROM spine LEFT JOIN c ON spine.y = c.y AND spine.p = c.p
+        |  JOIN t ON spine.y = t.y)
+        |SELECT a.y AS year,
+        |       round(0.5 * sum(abs(a.sh - b.sh)), 6) AS tvd_vs_prev
+        |FROM m a JOIN m b ON b.y = a.y - 1 AND a.p = b.p
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+          col("o_orderpriority").as("p"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // totals + spine + both join sides
+      val t = c.groupBy(col("y")).agg(sum(col("n")).cast("long").as("tot"))
+      val spine = c.select(col("y")).distinct()
+        .join(broadcast(c.select(col("p")).distinct()), lit(true))
+      val m = spine
+        .join(c, Seq("y", "p"), "left")
+        .join(broadcast(t), Seq("y"))
+        .select(col("y"), col("p"),
+          (coalesce(col("n"), lit(0L)) / col("tot").cast("double"))
+            .as("sh"))
+        .localCheckpoint(true)
+      m.toDF("y", "p", "sh")
+        .join(broadcast(m.toDF("yb", "p", "shb")),
+          Seq("p")).filter(col("yb") === col("y") - 1)
+        .groupBy(col("y").as("year"))
+        .agg(round(lit(0.5) * sum(abs(col("sh") - col("shb"))), 6)
+          .as("tvd_vs_prev"))
+        .orderBy(col("year"))
+    },
+
     // X-bar control chart (statistical process control): daily order-value
     // means against ±3σ limits, with σ̂ pooled from WITHIN-day variation —
     // the Shewhart discipline that distinguishes "a weird day" from

@@ -372,6 +372,27 @@ class RetailSpec extends SparkSpec {
     else assert(cc.getAs[Double]("max_abs_z") <= 3.0)
   }
 
+  test("diversity and mix-drift bounds") {
+    val div = run("q279_brand_diversity").collect()
+    val hhi = run("q265_brand_hhi").collect()
+      .map(r => r.getAs[String]("brand") -> r.getAs[Double]("eff_suppliers"))
+      .toMap
+    div.foreach { r =>
+      val h1 = r.getAs[Double]("hill1_effective")
+      val ns = r.getAs[Long]("n_suppliers")
+      assert(h1 >= 1.0 - 1e-9 && h1 <= ns + 1e-6)
+      // Hill numbers are non-increasing in order: N1 >= N2 (= 1/HHI)
+      assert(h1 >= hhi(r.getAs[String]("brand")) - 1e-2,
+        s"${r.getAs[String]("brand")}: N1 $h1 vs N2 ${hhi(r.getAs[String]("brand"))}")
+      assert(r.getAs[Double]("entropy") >= 0.0)
+    }
+    val tvd = run("q280_priority_mix_drift").collect()
+    tvd.foreach { r =>
+      val v = r.getAs[Double]("tvd_vs_prev")
+      assert(v >= 0.0 && v <= 1.0, "TVD lives in [0,1]")
+    }
+  }
+
   test("revenue bridge identity + new-vs-returning accounting") {
     run("q274_revenue_bridge").collect().foreach { r =>
       if (!r.isNullAt(2)) {
