@@ -428,25 +428,32 @@ object Events {
       val feed = doubled
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
-      val deduped = EventStreams.runToMemory(s, feed, "q106_dedup",
-          outputMode = "append", shufflePartitions = Some(8))
-        .select(col("event_id")).localCheckpoint(true)
+      // O(1)-driver parity fold (round-9 fix — the old memory sink held
+      // the full deduped row stream driver-side): emitted count plus an
+      // order-independent sum-of-hash checksum of the emitted ids, both
+      // reduced executor-side per micro-batch. count==|distinct| AND
+      // checksum==batch-distinct checksum pins the emitted MULTISET to
+      // the batch-distinct id set — subsuming the old countDistinct
+      // check, which would not compose across micro-batches anyway.
+      val idChk = sum(pmod(xxhash64(col("event_id")), lit(1L << 31)))
+        .cast("long")
+      val st = EventStreams.runFolded(s, feed.select(col("event_id")),
+        Seq(count(lit(1)), idChk), shufflePartitions = Some(8))
       // the dedup passing is only evidence if duplicates actually flowed:
       // count the PRE-dedup stream too (a glob/source regression that fed
       // each event once would otherwise green-light an unexercised path)
-      val nFeed = EventStreams.runToMemory(s,
-          doubled.groupBy().agg(count(lit(1)).as("n")), "q106_feed",
-          outputMode = "complete", shufflePartitions = Some(8))
-        .select(col("n")).head().getLong(0)
-      val nBatch = Tables.events(s, d).agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("event_id")).as("n_unique"))
-      nBatch.crossJoin(deduped.agg(count(lit(1)).as("n_stream"),
-          countDistinct(col("event_id")).as("n_stream_unique")))
+      val nFeed = EventStreams.runFolded(s, doubled.select(col("event_id")),
+        Seq(count(lit(1))), shufflePartitions = Some(8)).head
+      Tables.events(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("event_id")).as("n_unique"),
+          // n_rows===n_unique (asserted below via n_stream) makes this
+          // the checksum of the DISTINCT id set
+          idChk.as("id_chk"))
         .select(col("n_unique"),
-          (col("n_stream") === col("n_unique") &&
-            col("n_stream_unique") === col("n_unique") &&
-            col("n_stream") === col("n_rows") &&
+          (lit(st(0)) === col("n_unique") &&
+            lit(st(1)) === col("id_chk") &&
+            lit(st(0)) === col("n_rows") &&
             lit(nFeed) === col("n_rows") * 2).as("dedup_ok"))
     },
 
@@ -526,20 +533,28 @@ object Events {
       // inits + checkpoint files per micro-batch for a bounded replay —
       // pure fixed cost (the data is a few MB). See runToMemory's scale
       // note: state width should track key cardinality, not core count.
-      val stream = EventStreams.runToMemory(s,
+      // O(1)-driver parity fold (round-9 fix — the old memory sink held
+      // the full joined row stream driver-side): emitted count plus an
+      // order-independent sum-of-hash checksum over the FULL join output
+      // tuple, reduced executor-side per micro-batch. Equal count +
+      // checksum pins the streamed multiset to the batch join's — a
+      // STRONGER check than the old count/countDistinct pair, and one
+      // that composes across micro-batches.
+      val rowChk = sum(pmod(xxhash64(col("v_user"), col("v_ts"),
+        col("p_user"), col("p_ts"), col("p_value")), lit(1L << 31)))
+        .cast("long")
+      val st = EventStreams.runFolded(s,
         EventStreams.attribution(
           EventStreams.readEvents(s, d), EventStreams.readEvents(s, d)),
-        "q114_attr", outputMode = "append", shufflePartitions = Some(4))
-        .localCheckpoint(true)
+        Seq(count(lit(1)), rowChk), shufflePartitions = Some(4))
       val batch = EventStreams.attribution(
         Tables.events(s, d), Tables.events(s, d))
       batch.agg(count(lit(1)).as("n_attributed"),
-          countDistinct(col("v_user")).as("n_users"))
-        .crossJoin(stream.agg(count(lit(1)).as("n_stream"),
-          countDistinct(col("v_user")).as("n_stream_users")))
+          countDistinct(col("v_user")).as("n_users"),
+          rowChk.as("b_chk"))
         .select(col("n_attributed"), col("n_users"),
-          (col("n_stream") === col("n_attributed") &&
-            col("n_stream_users") === col("n_users")).as("parity_ok"))
+          (lit(st(0)) === col("n_attributed") &&
+            lit(st(1)) === col("b_chk")).as("parity_ok"))
     },
 
     // Time-series resample + gap fill — the missing-bucket repair every
@@ -1112,37 +1127,28 @@ object Events {
         |         AS sum_cents,
         |       TRUE AS resumed_incrementally
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      import java.nio.file.{Files, Paths}
+      import graft.streaming.EventStreams
       val root = Sources.scratchDir(s, "graft_ckpt")
-      val (inDir, ckDir) = (s"$root/input", s"$root/checkpoint")
-      Seq(inDir, ckDir).foreach { p =>
-        val path = Paths.get(p)
-        if (Files.exists(path)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(path).iterator().asScala.toSeq.reverse
-            .foreach(Files.deleteIfExists(_))
-        }
-      }
+      val ckDir = root.resolve("checkpoint")
+      EventStreams.wipe(ckDir)
       val batch = Tables.events(s, d).select(col("event_type"), col("value"))
       // batch 1: the full corpus lands as the first source file(s)
-      batch.write.mode("overwrite").parquet(s"$inDir/f1")
-      val schema = batch.schema
-      def agg = s.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet").parquet(s"$inDir/*")
-        .groupBy(col("event_type"))
+      val (inDir, raw) = EventStreams.fileReplay(s, batch, root)
+      val agg = raw.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("long").as("n_events"),
           sum(round(col("value") * 100, 0).cast("long")).cast("long")
             .as("sum_cents"))
       def runOnce(name: String): Long = {
         val q = agg.writeStream.outputMode("complete").format("memory")
-          .queryName(name).option("checkpointLocation", ckDir).start()
+          .queryName(name).option("checkpointLocation", ckDir.toString)
+          .start()
         try { q.processAllAvailable() } finally q.stop()
         q.recentProgress.map(_.numInputRows).sum
       }
       runOnce("q197_run1")
       // a late file lands while the stream is DOWN
       val delta = batch.filter(col("event_type") === "purchase")
-      delta.write.mode("overwrite").parquet(s"$inDir/f2")
+      EventStreams.landFile(delta, inDir, "f2")
       val nDelta = delta.count()
       val resumedRows = runOnce("q197_run2")
       // the resumed instance may ingest AT MOST the new file (zero if the
@@ -1331,14 +1337,9 @@ object Events {
         |       TRUE AS merged_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       import graft.streaming.EventStreams
-      import java.nio.file.{Files, Paths}
       val root = Sources.scratchDir(s, "graft_febm")
-      val stateRoot = Paths.get(s"$root/state")
-      if (Files.exists(stateRoot)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(stateRoot).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
-      }
+      val stateRoot = root.resolve("state")
+      EventStreams.wipe(stateRoot)
       @volatile var version = 0
       val agg = EventStreams.readEvents(s, d)
         .groupBy(col("event_type"))
@@ -1391,23 +1392,14 @@ object Events {
         |  AND date_trunc('day', ts) + INTERVAL 1 DAY <= w
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       import graft.streaming.EventStreams
-      import java.nio.file.{Files, Paths}
-      val root = Sources.scratchDir(s, "graft_wmk")
-      val inDir = Paths.get(s"$root/input")
-      if (Files.exists(inDir)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(inDir).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
-      }
       val batch = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val fresh = batch.filter(dayofmonth(col("ts")) > 5)
       val late = batch.filter(dayofmonth(col("ts")) <= 5)
-      fresh.write.mode("overwrite").parquet(s"$inDir/f1")
-      val schema = batch.schema
-      val agg = s.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet").parquet(s"$inDir/*")
+      val (inDir, raw) =
+        EventStreams.fileReplay(s, fresh, Sources.scratchDir(s, "graft_wmk"))
+      val agg = raw
         .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"))
@@ -1417,7 +1409,7 @@ object Events {
       val (nLate, dropped) =
         try {
           q.processAllAvailable() // batch 1: fresh rows set the watermark
-          late.write.mode("overwrite").parquet(s"$inDir/f2")
+          EventStreams.landFile(late, inDir, "f2")
           val n = late.count()
           q.processAllAvailable() // batch 2: every row is behind the mark
           (n, q.recentProgress
@@ -1457,21 +1449,13 @@ object Events {
         |FROM v LEFT JOIN p
         |  ON v.user_id = pu AND pts > v.ts
         | AND pts <= v.ts + INTERVAL 1 HOUR""".stripMargin) { (s, d) =>
-      import java.nio.file.{Files, Paths}
-      val root = Sources.scratchDir(s, "graft_soj")
-      val inDir = Paths.get(s"$root/input")
-      if (Files.exists(inDir)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(inDir).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
-      }
+      import graft.streaming.EventStreams
       val batch = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      batch.write.mode("overwrite").parquet(s"$inDir/f1")
-      val feed = s.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "*.parquet").parquet(s"$inDir/*")
-        .withColumn("ts", col("ts").cast("timestamp"))
+      val (inDir, raw) =
+        EventStreams.fileReplay(s, batch, Sources.scratchDir(s, "graft_soj"))
+      val feed = raw.withColumn("ts", col("ts").cast("timestamp"))
       val v = feed.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
         .withWatermark("v_ts", "1 hour")
@@ -1481,57 +1465,68 @@ object Events {
       val joined = v.join(p, col("v_user") === col("p_user") &&
         col("p_ts") > col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
-      val key = "spark.sql.shuffle.partitions"
-      val prev = s.conf.get(key)
-      s.conf.set(key, "4") // see q114: state width tracks keys, not cores
-      val q =
-        try joined.writeStream.outputMode("append").format("memory")
-          .queryName("q267_soj").start()
-        finally s.conf.set(key, prev)
-      try {
-        q.processAllAvailable() // matched rows emit; tail views held
-        val mxTs = batch.agg(max(col("ts")).cast("timestamp").as("m"))
-          .head().getTimestamp(0)
-        // TWO flush batches, because the watermark lags one micro-batch:
-        // the mark computed from batch N's data only EVICTS during batch
-        // N+1. f2's sentinel (max+3h) raises the mark past every held
-        // view; f3's sentinel triggers the batch that actually emits the
-        // tail (observed: without it, the newest unmatched views stay
-        // held forever under processAllAvailable).
-        import s.implicits._
-        // BOTH sides need a sentinel: the join's global watermark is the
-        // MIN across the two input watermarks, so a view-only sentinel
-        // leaves the purchase side's mark (and hence eviction) stuck
-        def sentinel(hrs: Long, path: String): Unit = {
-          val t0 = java.sql.Timestamp.from(
-            mxTs.toInstant.plusSeconds(hrs * 3600))
+      val mxTs = batch.agg(max(col("ts")).cast("timestamp").as("m"))
+        .head().getTimestamp(0)
+      import s.implicits._
+      // BOTH sides need a sentinel: the join's global watermark is the
+      // MIN across the two input watermarks, so a view-only sentinel
+      // leaves the purchase side's mark (and hence eviction) stuck
+      def sentinel(hrs: Long, name: String): Unit = {
+        val t0 = java.sql.Timestamp.from(
+          mxTs.toInstant.plusSeconds(hrs * 3600))
+        EventStreams.landFile(
           Seq((-1L, t0, -1L, "view", 0.0), (-2L, t0, -1L, "purchase", 0.0))
-            .toDF("event_id", "ts", "user_id", "event_type", "value")
-            .write.mode("overwrite").parquet(path)
-        }
-        sentinel(3, s"$inDir/f2")
-        q.processAllAvailable()
-        sentinel(4, s"$inDir/f3")
-        q.processAllAvailable()
-      } finally q.stop()
-      val stream = s.table("q267_soj").filter(col("v_user") >= 0)
-        .agg(count(lit(1)).as("s_rows"),
-          count(col("p_ts")).as("s_matched"))
-      val ref = Tables.events(s, d).filter(col("event_type") === "view")
+            .toDF("event_id", "ts", "user_id", "event_type", "value"),
+          inDir, name)
+      }
+      // O(1)-driver parity fold (round-9 fix — the old memory sink held
+      // the full outer-joined row stream driver-side): emitted count,
+      // matched count, and an order-independent sum-of-hash checksum of
+      // the (view, matched-purchase-ts) tuples, reduced executor-side
+      // per micro-batch. The sentinel rows (user −1) are excluded inside
+      // the AGGREGATES, not by a stream-side filter: a filter on v_user
+      // would be pushed below the join/watermark operators and change
+      // which sentinel rows reach the watermark tracker (observed: one
+      // real view went un-flushed), so the row stream stays untouched —
+      // exactly the plan the memory-sink harness ran.
+      val real = col("v_user") >= 0
+      val st = EventStreams.runFolded(s, joined,
+        Seq(sum(when(real, 1L).otherwise(0L)).cast("long"),
+          sum(when(real && col("p_ts").isNotNull, 1L).otherwise(0L))
+            .cast("long"),
+          sum(when(real, pmod(xxhash64(col("v_user"), col("v_ts"),
+            col("p_ts")), lit(1L << 31))).otherwise(0L)).cast("long")),
+        shufflePartitions = Some(4), // see q114: state width tracks keys
+        feed = { q =>
+          q.processAllAvailable() // matched rows emit; tail views held
+          // TWO flush batches, because the watermark lags one micro-batch:
+          // the mark computed from batch N's data only EVICTS during batch
+          // N+1. f2's sentinel (max+3h) raises the mark past every held
+          // view; f3's sentinel triggers the batch that actually emits the
+          // tail (observed: without it, the newest unmatched views stay
+          // held forever under processAllAvailable).
+          sentinel(3, "f2")
+          q.processAllAvailable()
+          sentinel(4, "f3")
+          q.processAllAvailable()
+        })
+      Tables.events(s, d).filter(col("event_type") === "view")
         .select(col("user_id").as("bu"), col("ts").as("bts"))
         .join(Tables.events(s, d).filter(col("event_type") === "purchase")
           .select(col("user_id").as("pu"), col("ts").as("pts")),
           col("bu") === col("pu") && col("pts") > col("bts") &&
             col("pts") <= col("bts") + expr("INTERVAL 1 HOUR"),
           "left_outer")
-        .agg(count(lit(1)).as("n_rows"), count(col("pts")).as("n_matched"))
-      ref.join(broadcast(stream), lit(true))
+        .agg(count(lit(1)).as("n_rows"), count(col("pts")).as("n_matched"),
+          sum(pmod(xxhash64(col("bu"), col("bts"), col("pts")),
+            lit(1L << 31))).cast("long").as("b_chk"))
         .select(col("n_rows").cast("long").as("n_rows"),
           col("n_matched").cast("long").as("n_matched"),
           (col("n_rows") - col("n_matched")).cast("long")
             .as("n_unmatched"),
-          (col("s_rows") === col("n_rows") &&
-            col("s_matched") === col("n_matched")).as("parity_ok"))
+          (lit(st(0)) === col("n_rows") &&
+            lit(st(1)) === col("n_matched") &&
+            lit(st(2)) === col("b_chk")).as("parity_ok"))
     },
 
     // Watermark calibration — the number `withWatermark` should be SET
@@ -1734,7 +1729,7 @@ object Events {
     // bit-deterministic.
     Q("q229_error_bursts",
       """WITH b AS (
-        |  SELECT CAST(CAST(epoch(ts) AS BIGINT) // 21600 * 21600
+        |  SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) // 21600 * 21600
         |              AS BIGINT) AS bucket,
         |         count(*) AS n,
         |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS k
@@ -1919,7 +1914,8 @@ object Events {
         |  FROM p a JOIN p b
         |    ON a.user_id = b.user_id AND a.cents = b.cents
         |   AND a.event_id < b.event_id
-        |   AND abs(epoch(b.ts) - epoch(a.ts)) <= 600)
+        |   AND abs(CAST(floor(epoch(b.ts)) AS BIGINT)
+        |           - CAST(floor(epoch(a.ts)) AS BIGINT)) <= 600)
         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS at_risk_cents,

@@ -52,6 +52,30 @@ object Similarity {
     selected
   }
 
+  /** Independent replay of the MMR greedy contract over a finished
+    * selection: the first pick must be the relevance argmax, and every
+    * later pick must have maximized λ·rel − (1−λ)·max-sim-to-selected over
+    * the candidates remaining AT THAT STEP (ties broken toward the lower
+    * id, matching [[mmrSelect]]). This is the check q236 emits as
+    * `greedy_ok` — a property verification, not a re-run of the selector.
+    */
+  private[graft] def mmrGreedyOk(rel: Seq[(Long, Double)],
+      sim: Map[(Long, Long), Double], selected: Vector[Long],
+      k: Int, lambda: Double): Boolean = {
+    val relMap = rel.toMap
+    selected.size == math.min(k, rel.size) &&
+      selected.distinct.size == selected.size &&
+      selected.forall(relMap.contains) &&
+      selected.head == rel.maxBy { case (id, r0) => (r0, -id) }._1 &&
+      (1 until selected.size).forall { i =>
+        val prefix = selected.take(i)
+        val remaining = rel.map(_._1).filterNot(prefix.contains)
+        val mmr: Long => Double = id =>
+          lambda * relMap(id) - (1 - lambda) * prefix.map(s0 => sim((id, s0))).max
+        selected(i) == remaining.maxBy(id => (mmr(id), -id))
+      }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Brute-force cosine kNN (correctness baseline; oracle recomputes the
@@ -730,12 +754,19 @@ object Similarity {
       val rel = cands.select(col("vec_id"), col("rel")).collect()
         .map(r => r.getLong(0) -> r.getDouble(1))
         .sortBy { case (id, r0) => (-r0, id) }
-      // greedy MMR over the shortlist (driver-side by design, see above)
+      // the oracle hardcodes n_candidates = 20; a smaller corpus would
+      // silently shrink the shortlist and flip the booleans — fail loud
+      require(rel.size == 20,
+        s"q236 needs a >=21-vector corpus for its 20-candidate shortlist; " +
+          s"got ${rel.size} candidates")
+      // greedy MMR over the shortlist (driver-side by design, see above),
+      // then an INDEPENDENT replay of the per-step argmax contract
       val selected = mmrSelect(rel, pair, k = 5, lambda = 0.7)
       emb.agg(count(lit(1)).cast("long").as("n_vectors"))
         .select(col("n_vectors"), lit(5).as("k"), lit(20).as("n_candidates"),
           lit(selected.head == rel.head._1).as("first_is_top_rel"),
-          lit(selected.distinct.size == 5).as("greedy_ok"))
+          lit(mmrGreedyOk(rel, pair, selected, k = 5, lambda = 0.7))
+            .as("greedy_ok"))
     },
 
     // Energy distance between label groups — the multivariate two-sample
@@ -1056,18 +1087,30 @@ object Similarity {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Brute-force top-k cosine neighbors for each query vector. */
+  /** Brute-force top-k cosine neighbors for each query vector.
+    *
+    * The rank runs through the custom [[graft.plans.TopKPerKey]] operator
+    * (round 9, its third consumer after q244/q271): each scan partition
+    * keeps at most k candidates per query in a bounded heap BEFORE the
+    * exchange, so the shuffle moves O(k·|queries|·partitions) scored rows
+    * instead of the full |corpus|·|queries| frame the plain window form
+    * ranks reducer-side — on a 100 TB corpus that map-side combine IS the
+    * operator. The scored frame is projected to (query_id, neighbor_id,
+    * sim_raw) first, so embeddings never enter the heaps or the shuffle;
+    * the order is total ((sim desc, neighbor_id asc)), so the result is
+    * bit-identical to the window formulation per the operator's contract.
+    */
   def knn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim_raw"), asc("neighbor_id"))
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .withColumn("sim_raw", cosine(col("cv"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim_raw"), 6).as("sim"),
-        col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("sim_raw"))
+    graft.plans.TopKPerKey.register(scored.sparkSession)
+    graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+      Seq("sim_raw" -> false, "neighbor_id" -> true), k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim_raw"), 6).as("sim"), col("rn").as("rank"))
   }
 
   /** Banded-LSH all-pairs: candidates from bucket collisions, then exact

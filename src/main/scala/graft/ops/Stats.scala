@@ -1470,8 +1470,8 @@ object Stats {
     // only z divides.
     Q("q277_mann_kendall",
       """WITH w AS (
-        |  SELECT (year(o_orderdate) * 54
-        |          + CAST(weekofyear(o_orderdate) AS INT)) AS wk,
+        |  SELECT (CAST(isoyear(o_orderdate) AS INT) * 54
+        |          + CAST(week(o_orderdate) AS INT)) AS wk,
         |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
         |              AS BIGINT) AS x
         |  FROM orders GROUP BY 1),
@@ -1501,8 +1501,14 @@ object Stats {
         |                THEN (s.s_stat + 1) / sqrt(v.var_s)
         |                ELSE 0.0 END) > 1.96 AS trend_significant
         |FROM t, s, v""".stripMargin) { (s, d) =>
+      // ISO year = year of the week's Thursday (Monday-truncated week
+      // + 3 days), matching q224's derivation — the CALENDAR year would
+      // merge Jan-1 dates into the PREVIOUS December's week bucket ~360
+      // days away, corrupting the series order Mann-Kendall depends on.
+      val isoYear = year(date_add(
+        date_trunc("week", col("o_orderdate")).cast("date"), 3))
       val w = Tables.orders(s, d)
-        .groupBy((year(col("o_orderdate")) * 54
+        .groupBy((isoYear * 54
           + weekofyear(col("o_orderdate")).cast("int")).as("wk"))
         .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
           .cast("long").as("x"))

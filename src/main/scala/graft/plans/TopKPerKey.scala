@@ -35,9 +35,21 @@ import org.apache.spark.sql.functions.{col, desc, row_number}
   *
   * Memory safety: per-partition state is one k-row heap per DISTINCT KEY
   * SEEN IN THAT PARTITION, capped at `maxKeys` heaps. Past the cap, rows
-  * of NEW keys pass through unpruned — pruning is only ever an
-  * optimization, so the overflow valve degrades throughput, never
-  * correctness (TopKPerKeySpec pins both properties).
+  * of NEW keys stream through unpruned AND unbuffered — the overflow
+  * valve emits each over-cap row the moment it arrives, so extra memory
+  * past the heap budget is O(1) even when a partition is dominated by
+  * over-cap keys. Pruning is only ever an optimization, so the valve
+  * degrades throughput, never correctness (TopKPerKeySpec pins both
+  * properties).
+  *
+  * ORDER CONTRACT: `order` must be a TOTAL order over rows within a key
+  * (in practice: include a unique tie-break column, e.g. a primary key,
+  * as the last sort term). With a non-total order, rows tied at the heap
+  * boundary are pruned arbitrarily per partition, while the downstream
+  * rank window breaks the same ties by encounter order — so WHICH tied
+  * row survives is nondeterministic across runs/partitionings (the
+  * surviving MULTISET of order-values is still exact). TopKPerKeySpec
+  * ("non-total order") demonstrates the documented behavior.
   */
 case class PartialTopKPerKey(
     keyExprs: Seq[Expression],
@@ -75,33 +87,65 @@ case class PartialTopKPerKeyExec(
     val childOutput = child.output
     val (keys, ord, kk, cap) = (keyExprs, order, k, maxKeys)
     child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(keys, childOutput)
-      // total order over rows; PriorityQueue surfaces the MAX (= the
-      // worst row currently kept) at the head
-      val rowOrd = RowOrdering.create(ord, childOutput)
-        .asInstanceOf[Ordering[InternalRow]]
-      val heaps = mutable.HashMap.empty[UnsafeRow,
-        mutable.PriorityQueue[InternalRow]]
-      var passthrough = List.empty[InternalRow]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(pq) =>
-            if (pq.size < kk) pq.enqueue(row.copy())
-            else if (rowOrd.compare(row, pq.head) < 0) {
-              pq.dequeue(); pq.enqueue(row.copy())
+      new Iterator[InternalRow] {
+        private val keyProj = UnsafeProjection.create(keys, childOutput)
+        // total order over rows; PriorityQueue surfaces the MAX (= the
+        // worst row currently kept) at the head
+        private val rowOrd = RowOrdering.create(ord, childOutput)
+          .asInstanceOf[Ordering[InternalRow]]
+        private val heaps = mutable.HashMap.empty[UnsafeRow,
+          mutable.PriorityQueue[InternalRow]]
+        private var pending: InternalRow = null
+        private var drain: Iterator[InternalRow] = null
+
+        // Absorb rows into the bounded heaps until either an over-cap row
+        // must stream through (emitted NOW, not buffered — only the k-row
+        // heaps ever hold copies) or the input is exhausted (then the
+        // heaps drain). Emitted passthrough rows are the child's own
+        // (possibly reused) rows, per narrow-operator convention: the
+        // pending slot is cleared before the next child row is pulled.
+        private def absorb(): InternalRow = {
+          while (iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            heaps.get(key) match {
+              case Some(pq) =>
+                if (pq.size < kk) pq.enqueue(row.copy())
+                else if (rowOrd.compare(row, pq.head) < 0) {
+                  pq.dequeue(); pq.enqueue(row.copy())
+                }
+              case None if heaps.size < cap =>
+                val pq = new mutable.PriorityQueue[InternalRow]()(rowOrd)
+                pq.enqueue(row.copy())
+                heaps.put(key.copy(), pq)
+              case None =>
+                // overflow valve: unknown key past the heap budget —
+                // stream the row out unpruned (correct, just less pruning)
+                return row
             }
-          case None if heaps.size < cap =>
-            val pq = new mutable.PriorityQueue[InternalRow]()(rowOrd)
-            pq.enqueue(row.copy())
-            heaps.put(key.copy(), pq)
-          case None =>
-            // overflow valve: unknown key past the heap budget — emit the
-            // row unpruned (correct, just less pruning)
-            passthrough ::= row.copy()
+          }
+          null
+        }
+
+        override def hasNext: Boolean = {
+          if (pending != null) true
+          else if (drain != null) drain.hasNext
+          else {
+            pending = absorb()
+            if (pending != null) true
+            else {
+              drain = heaps.valuesIterator.flatMap(_.iterator)
+              drain.hasNext
+            }
+          }
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          if (pending != null) { val r = pending; pending = null; r }
+          else drain.next()
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator) ++ passthrough.iterator
     }, preservesPartitioning = true)
   }
 

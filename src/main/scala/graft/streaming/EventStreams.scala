@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming over the events table (SURVEY.md §2.9): the same
   * window()/session_window() expressions the batch queries q23–q25 verify
@@ -112,6 +113,88 @@ object EventStreams {
     * (one parquet file, no maxFilesPerTrigger), but a multi-file or
     * rate-limited replay would break the oracle SILENTLY; this turns that
     * into a loud failure at the source. */
+  /** Recursively delete a scratch subtree if it exists (the wipe step the
+    * file-replay streaming queries all need for per-session idempotence). */
+  def wipe(path: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(path)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  /** The write→stream-back file-replay harness shared by the streaming
+    * queries that need REAL file-source semantics (q197's checkpoint
+    * recovery, q213's late file, q267's sentinel flushes): wipes
+    * `root/input`, lands `df` as the feed's first parquet file, and
+    * returns (inputDir, stream) where the stream globs every subdir of
+    * inputDir so later files ([[landFile]]) become later micro-batches.
+    * The stream
+    * carries `df`'s schema verbatim; callers add ts casts/watermarks. */
+  def fileReplay(spark: SparkSession, df: DataFrame,
+      root: java.nio.file.Path): (String, DataFrame) = {
+    val inDir = root.resolve("input")
+    wipe(inDir)
+    df.write.mode("overwrite").parquet(s"$inDir/f1")
+    val stream = spark.readStream.schema(df.schema)
+      .option("pathGlobFilter", "*.parquet").parquet(s"$inDir/*")
+    (inDir.toString, stream)
+  }
+
+  /** Land one more file into a [[fileReplay]] feed (a late batch, a
+    * watermark sentinel): the glob picks it up on the next trigger. */
+  def landFile(df: DataFrame, inDir: String, name: String): Unit =
+    df.write.mode("overwrite").parquet(s"$inDir/$name")
+
+  /** Drive a ROW-LEVEL streaming frame to completion while keeping the
+    * driver O(1) at ANY scale factor: each micro-batch is reduced
+    * EXECUTOR-side to one row of batch-additive BIGINT aggregates
+    * (counts / exact-cent sums / order-independent sum-of-hash
+    * checksums — NOT countDistinct, which does not compose across
+    * batches), and only that one row's values fold into a driver array.
+    * This replaces the row-level memory sink the parity harnesses used
+    * before round 9 — the sink there held the full joined/deduped row
+    * stream driver-resident, a bottleneck at 100× SF even though every
+    * operator around it was distributed. Returns the per-aggregate
+    * totals in input order (null partial aggregates — e.g. sum over an
+    * empty batch — fold as 0).
+    *
+    * `feed` runs on the caller thread after start() and must drain the
+    * source (default: one processAllAvailable; q267 overrides it with
+    * its sentinel-flush dance). `shufflePartitions` follows
+    * [[runToMemory]]'s state-width note.
+    */
+  def runFolded(spark: SparkSession, rows: DataFrame, aggs: Seq[Column],
+      shufflePartitions: Option[Int] = None,
+      feed: StreamingQuery => Unit = _.processAllAvailable()): Seq[Long] = {
+    require(aggs.nonEmpty)
+    val totals = Array.fill(aggs.size)(0L)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q: StreamingQuery = rows.writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          val reduced = bdf.agg(aggs.head, aggs.tail: _*)
+          // the O(1) contract, asserted: the sink-side frame is ONE row
+          // of BIGINT aggregates, never event rows
+          require(reduced.schema.fields.forall(_.dataType == LongType),
+            s"runFolded aggregates must all be BIGINT (batch-additive); " +
+              s"got ${reduced.schema.simpleString}")
+          val r = reduced.head()
+          var i = 0
+          while (i < totals.length) {
+            if (!r.isNullAt(i)) totals(i) += r.getLong(i)
+            i += 1
+          }
+        }
+        .start()
+      try feed(q) finally q.stop()
+    } finally spark.conf.set(key, prev)
+    totals.toSeq
+  }
+
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
       outputMode: String = "complete",
       shufflePartitions: Option[Int] = None,

@@ -51,6 +51,25 @@ class BenchContractSpec extends AnyFunSuite {
         "adding more queries")
   }
 
+  test("cap arithmetic survives q999 numbering at the absolute worst case") {
+    // Registry-independent bound (round-9 pin): however the registry
+    // grows, the machine line renders ≤150 entries, each worst-case
+    // "999":VVV, = 3-digit key + quotes(2) + colon(1) + comma(1) +
+    // 3-char compactSecs value = 10 chars. With the fixed omission keys,
+    // header and sbt banner the ceiling stays under 1800 — comfortable
+    // inside the driver's 2000-char stdout tail — so query numbering can
+    // run to q999 without revisiting the format.
+    val perEntry = "999".length + 7
+    val entries = 150 * perEntry +
+      ""","n_omitted":NNN,"omitted_total":NNNN""".length
+    val header = 110
+    val sbtBanner = 85
+    val worst = header + entries + sbtBanner
+    assert(worst < 1800,
+      s"worst-case line at q999 numbering is $worst chars — compact the " +
+        "format before the registry outgrows it")
+  }
+
   test("compactSecs rendering never exceeds 3 chars on any realistic value") {
     // the values the bench can produce: positive seconds up to the 600 s
     // per-query ceiling, and negated failure markers floored at -0.1

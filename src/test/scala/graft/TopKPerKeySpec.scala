@@ -63,6 +63,22 @@ class TopKPerKeySpec extends SparkSpec {
       s"overflow dropped true top rows: ${top -- kept}")
   }
 
+  test("non-total order: boundary ties keep an exact order-value multiset; " +
+      "row identity is the documented nondeterminism") {
+    TopKPerKey.register(spark)
+    // 300 rows tie at the k-boundary value 5; ordering on v ONLY is not a
+    // total order, so WHICH tied id survives the per-partition prune is
+    // unspecified (see the operator's ORDER CONTRACT scaladoc) — but the
+    // top-k multiset of ORDER VALUES must still be exact.
+    val ties = (0 until 300).map(i => ("g", 5, 1000L + i))
+    val df = (ties ++ Seq(("g", 9, 1L), ("g", 8, 2L), ("g", 7, 3L)))
+      .toDF("g", "v", "id").repartition(5)
+    val got = TopKPerKey.topK(df, Seq("g"), Seq("v" -> false), 5)
+    val vs = got.select("v").collect().map(_.getInt(0)).sorted.toSeq
+    assert(vs == Seq(5, 5, 7, 8, 9),
+      s"order-value multiset must be exact under ties, got $vs")
+  }
+
   test("registered via GraftExtensions.register too") {
     GraftExtensions.register(spark)
     assert(spark.experimental.extraStrategies
