@@ -603,6 +603,50 @@ object Conformance {
           sum(when(col("ok"), 1L).otherwise(0L)).cast("long").as("n_valid"),
           round(sum(when(col("ok"), 1L).otherwise(0L))
             / count(lit(1)).cast("double"), 6).as("valid_share"))
+    },
+
+    // Month-end date arithmetic conformance — the clamping corner every
+    // billing/cohort pipeline trips on: Jan 31 + 1 month must land on
+    // Feb 28/29 (clamped), and three engines in a stack disagreeing on
+    // it silently shifts a day's revenue between months. Spark's
+    // add_months and DuckDB's `+ INTERVAL 1 MONTH` both clamp to the
+    // target month's last day; this pins that agreement (plus last_day
+    // vs the trunc-add-subtract idiom) over every day-28..31 date in the
+    // corpus, forward AND backward. The day ≥ 28 predicate pushes to the
+    // scan; output is a ≤4-row domain aggregate.
+    Q("q290_month_end_arith",
+      """WITH d0 AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, day(o_orderdate) AS dom
+        |  FROM orders WHERE day(o_orderdate) >= 28),
+        |x AS (
+        |  SELECT dom, d,
+        |         d + INTERVAL 1 MONTH AS fwd,
+        |         d - INTERVAL 1 MONTH AS bwd,
+        |         (date_trunc('month', d) + INTERVAL 1 MONTH
+        |          - INTERVAL 1 DAY) = d AS at_eom
+        |  FROM d0)
+        |SELECT CAST(dom AS INT) AS dom,
+        |       CAST(count(*) AS BIGINT) AS n_dates,
+        |       CAST(sum(CASE WHEN day(fwd) < dom THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clamped_fwd,
+        |       CAST(sum(CASE WHEN day(bwd) < dom THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clamped_bwd,
+        |       CAST(sum(CASE WHEN at_eom THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_at_month_end
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(dayofmonth(col("o_orderdate")) >= 28)
+        .select(col("o_orderdate").cast("date").as("d"),
+          dayofmonth(col("o_orderdate")).as("dom"))
+        .groupBy(col("dom").cast("int").as("dom"))
+        .agg(count(lit(1)).cast("long").as("n_dates"),
+          sum(when(dayofmonth(add_months(col("d"), 1)) < col("dom"), 1L)
+            .otherwise(0L)).cast("long").as("n_clamped_fwd"),
+          sum(when(dayofmonth(add_months(col("d"), -1)) < col("dom"), 1L)
+            .otherwise(0L)).cast("long").as("n_clamped_bwd"),
+          sum(when(col("d") === last_day(col("d")), 1L).otherwise(0L))
+            .cast("long").as("n_at_month_end"))
+        .orderBy(col("dom"))
     }
   )
 }

@@ -1529,6 +1529,116 @@ object Events {
             lit(st(2)) === col("b_chk")).as("parity_ok"))
     },
 
+    // Rate-limited historical backfill through the streaming path — the
+    // op q197/q213 don't cover: the corpus replays as THREE chronological
+    // files under maxFilesPerTrigger=1, so the daily aggregation runs as
+    // a genuine multi-micro-batch backfill with the watermark advancing
+    // incrementally batch over batch (the standard "reprocess history
+    // through the same streaming job" pattern; at 100 TB the rate limit
+    // is what keeps each micro-batch's state delta bounded). Append mode
+    // must emit exactly the windows the FINAL watermark (global max ts −
+    // 1 h) finalizes — the trailing no-data micro-batch flushes the last
+    // eligible windows — and the per-window counts must equal the batch
+    // aggregate's. Verified through the O(1) runFolded harness: emitted
+    // window count, emitted event total (both DuckDB-recomputed from the
+    // same watermark arithmetic) plus an in-engine checksum pinning the
+    // exact (window, count) multiset and a ≥3-feeding-batches property.
+    Q("q286_backfill_replay",
+      """WITH w AS (
+        |  SELECT CAST(max(epoch_us(ts)) AS BIGINT) - 3600000000 AS wm
+        |  FROM events),
+        |g AS (
+        |  SELECT date_trunc('day', ts) AS day_start, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |e AS (
+        |  SELECT g.*,
+        |         CAST(epoch_us(day_start + INTERVAL 1 DAY) AS BIGINT)
+        |           <= wm AS fin
+        |  FROM g, w)
+        |SELECT CAST(sum(CASE WHEN fin THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_windows,
+        |       CAST(coalesce(sum(CASE WHEN fin THEN n END), 0) AS BIGINT)
+        |         AS n_events_final,
+        |       CAST(coalesce(sum(CASE WHEN NOT fin THEN n END), 0)
+        |            AS BIGINT) AS n_events_withheld,
+        |       CAST(1 AS BOOLEAN) AS multi_batch_ok,
+        |       CAST(1 AS BOOLEAN) AS windows_match
+        |FROM e""".stripMargin) { (s, d) =>
+      import graft.streaming.EventStreams
+      val batch = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .localCheckpoint(true) // thirds + the batch reference share it
+      val Array(lo, hi) = batch.agg(min(col("us")), max(col("us")))
+        .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+        .map(col)
+      val (inDir, raw) = EventStreams.fileReplay(s,
+        batch.filter(col("us") <= t1).select(cols: _*),
+        Sources.scratchDir(s, "graft_bkf"),
+        options = Map("maxFilesPerTrigger" -> "1"))
+      EventStreams.landFile(
+        batch.filter(col("us") > t1 && col("us") <= t2).select(cols: _*),
+        inDir, "f2")
+      EventStreams.landFile(
+        batch.filter(col("us") > t2).select(cols: _*), inDir, "f3")
+      // FileStreamSource orders its initial listing by modification time;
+      // pin strictly increasing mtimes so the thirds replay in
+      // chronological order even on coarse-mtime filesystems (an
+      // out-of-order replay would drop earlier files' rows as late and
+      // silently shrink n_events_final)
+      locally {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val base = java.time.Instant.now()
+        Seq("f1", "f2", "f3").zipWithIndex.foreach { case (n, i) =>
+          Files.walk(Paths.get(inDir, n)).iterator().asScala.foreach { p =>
+            Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+              .from(base.plusSeconds(i * 10L)))
+          }
+        }
+      }
+      val agg = raw.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(unix_micros(col("window.start")).as("ws"), col("n"))
+      val chk = sum(pmod(xxhash64(col("ws"), col("n")), lit(1L << 31)))
+        .cast("long")
+      @volatile var feeding = 0
+      val st = EventStreams.runFolded(s, agg,
+        Seq(count(lit(1)), sum(col("n")).cast("long"), chk),
+        shufflePartitions = Some(4),
+        feed = { q =>
+          q.processAllAvailable()
+          feeding = q.recentProgress.count(_.numInputRows > 0)
+        })
+      val ref = batch
+        .groupBy(window(col("ts").cast("timestamp"), "1 day"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(unix_micros(col("window.start")).as("ws"),
+          unix_micros(col("window.end")).as("we"), col("n"))
+        .withColumn("fin", col("we") <= lit(hi - 3600L * 1000000L))
+      ref.agg(
+          sum(when(col("fin"), 1L).otherwise(0L)).cast("long")
+            .as("n_windows"),
+          coalesce(sum(when(col("fin"), col("n"))), lit(0L)).cast("long")
+            .as("n_events_final"),
+          coalesce(sum(when(!col("fin"), col("n"))), lit(0L)).cast("long")
+            .as("n_events_withheld"),
+          coalesce(sum(when(col("fin"),
+            pmod(xxhash64(col("ws"), col("n")), lit(1L << 31)))), lit(0L))
+            .cast("long").as("b_chk"))
+        .select(col("n_windows"), col("n_events_final"),
+          col("n_events_withheld"),
+          lit(feeding >= 3).as("multi_batch_ok"),
+          (lit(st(0)) === col("n_windows") &&
+            lit(st(1)) === col("n_events_final") &&
+            lit(st(2)) === col("b_chk")).as("windows_match"))
+    },
+
     // Watermark calibration — the number `withWatermark` should be SET
     // from instead of guessed: treating event_id as arrival order, each
     // event's lateness is how far it sits behind the per-user running

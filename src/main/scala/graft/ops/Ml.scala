@@ -451,6 +451,44 @@ object Ml {
             (col("min_pred") > 0 && col("bad_q") === 0).as("quantiles_ok"))
           .localCheckpoint() // materialize before the cache drops
       } finally assembled.unpersist(blocking = false)
+    },
+
+    // Class-balanced loss weights (Cui et al., CVPR 2019 "Class-Balanced
+    // Loss Based on Effective Number of Samples") — the re-weighting a
+    // long-tailed training run applies before fitting on skewed labels:
+    // effective number E_n = (1−β^n)/(1−β) with β = 0.999, per-class
+    // weight ∝ 1/E_n, normalized so the weights sum to |classes|. One
+    // partial-aggregated label count (the only corpus-sized work — at
+    // 100 TB the label histogram is still a |classes|-row frame), then
+    // the weight algebra runs on the bounded class frame with a one-row
+    // normalizer broadcast back. FULL-hash oracle: both engines compute
+    // the identical pow/div chain from exact BIGINT counts.
+    Q("q282_class_weights",
+      """WITH l AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |         sum(0.001 / (1 - pow(0.999, n))) AS sw
+        |  FROM l)
+        |SELECT CAST(label AS INT) AS label, n AS n_samples,
+        |       round((1 - pow(0.999, n)) / 0.001, 6) AS effective_n,
+        |       round((0.001 / (1 - pow(0.999, n))) * k / sw, 6) AS weight
+        |FROM l, t ORDER BY label""".stripMargin) { (s, d) =>
+      val l = Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .localCheckpoint(true) // class frame + normalizer share the count
+      val t = l.agg(count(lit(1)).cast("long").as("k"),
+        sum(lit(0.001) / (lit(1.0) - pow(lit(0.999), col("n")))).as("sw"))
+      l.join(broadcast(t), lit(true))
+        .select(col("label").cast("int").as("label"),
+          col("n").as("n_samples"),
+          round((lit(1.0) - pow(lit(0.999), col("n"))) / 0.001, 6)
+            .as("effective_n"),
+          round((lit(0.001) / (lit(1.0) - pow(lit(0.999), col("n"))))
+            * col("k") / col("sw"), 6).as("weight"))
+        .orderBy(col("label"))
     }
   )
 }

@@ -501,6 +501,62 @@ object Profiling {
             .as("p0_unseen"),
           round(col("n_types") + col("n1").cast("double") * (col("n1") - 1)
             / (lit(2.0) * (col("n2") + 1)), 6).as("chao1_richness"))
+    },
+
+    // Functional-dependency audit (the Tane/Metanome g3 measure) — the
+    // schema-profiling pass that answers "does X determine Y in this
+    // data, and how badly is it violated?": for each candidate FD X→Y,
+    // g3 = (rows that would have to be DELETED to make the FD hold)/n =
+    // Σ_x (n_x − max_y count(x,y)) / n. Three candidate FDs over
+    // lineitem audit the order-line grain (an order's lines share
+    // neither flag nor status; a part's lines span flags). Scale shape:
+    // one scan fans out to (fd, x, y) rows map-side (explode of a
+    // 3-struct array — no re-scan per FD), then TWO partial-aggregated
+    // reductions — (fd,x,y) counts, then per-(fd,x) argmax — exactly the
+    // two-level reduce a 100 TB profiler runs; the final per-FD rollup
+    // is 3 rows. FULL-hash oracle from exact integer counts.
+    Q("q283_fd_audit",
+      """WITH f AS (
+        |  SELECT 'l_orderkey->l_linestatus' AS fd,
+        |         CAST(l_orderkey AS VARCHAR) AS x, l_linestatus AS y
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey->l_returnflag', CAST(l_orderkey AS VARCHAR),
+        |         l_returnflag FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey->l_returnflag', CAST(l_partkey AS VARCHAR),
+        |         l_returnflag FROM lineitem),
+        |c AS (SELECT fd, x, y, count(*) AS c FROM f GROUP BY 1, 2, 3),
+        |m AS (SELECT fd, x, max(c) AS keep, sum(c) AS n_x
+        |      FROM c GROUP BY 1, 2)
+        |SELECT fd, CAST(count(*) AS BIGINT) AS n_lhs,
+        |       CAST(sum(n_x) AS BIGINT) AS n_rows,
+        |       CAST(sum(n_x - keep) AS BIGINT) AS n_violations,
+        |       round(CAST(sum(n_x - keep) AS DOUBLE) / sum(n_x), 6) AS g3
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val f = Tables.lineitem(s, d)
+        .select(explode(array(
+          struct(lit("l_orderkey->l_linestatus").as("fd"),
+            col("l_orderkey").cast("string").as("x"),
+            col("l_linestatus").as("y")),
+          struct(lit("l_orderkey->l_returnflag").as("fd"),
+            col("l_orderkey").cast("string").as("x"),
+            col("l_returnflag").as("y")),
+          struct(lit("l_partkey->l_returnflag").as("fd"),
+            col("l_partkey").cast("string").as("x"),
+            col("l_returnflag").as("y")))).as("e"))
+        .select(col("e.fd").as("fd"), col("e.x").as("x"), col("e.y").as("y"))
+      f.groupBy(col("fd"), col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("fd"), col("x"))
+        .agg(max(col("c")).as("keep"), sum(col("c")).as("n_x"))
+        .groupBy(col("fd"))
+        .agg(count(lit(1)).cast("long").as("n_lhs"),
+          sum(col("n_x")).cast("long").as("n_rows"),
+          sum(col("n_x") - col("keep")).cast("long").as("n_violations"),
+          round(sum(col("n_x") - col("keep")).cast("double")
+            / sum(col("n_x")), 6).as("g3"))
+        .orderBy(col("fd"))
     }
   )
 

@@ -1342,6 +1342,83 @@ object Retail {
           round(sqrt(col("pooled_ss") / col("dfree")), 6).as("sigma_hat"),
           round(col("ss").cast("double") / col("nn"), 6).as("grand_mean"),
           round(col("max_az"), 6).as("max_abs_z"))
+    },
+
+    // Customer value-segment migration matrix — the lifecycle read that
+    // follows q148's RFM snapshot: split the order history at its
+    // temporal midpoint, quartile customers by revenue WITHIN each half
+    // (exact interpolated quartiles, so the segmentation re-norms to
+    // each era), and count every (from-quartile → to-quartile) move
+    // among customers active in both halves. The diagonal is retention;
+    // below-diagonal mass is the churn-risk cohort a CRM targets. Scale
+    // shape: ONE order scan reduces to per-(half, customer) cents; the
+    // quartile fences are two 3-value aggregates broadcast back; the
+    // halves join on the customer key (co-partitioned), and the matrix
+    // is a ≤16-row rollup. The midpoint is integer epoch-seconds
+    // arithmetic — identical in both engines. Exact counts; the share
+    // divides two BIGINTs, rounded at 6.
+    Q("q287_segment_migration",
+      """WITH b AS (
+        |  SELECT (CAST(floor(epoch(min(o_orderdate))) AS BIGINT)
+        |          + CAST(floor(epoch(max(o_orderdate))) AS BIGINT)) // 2
+        |           AS mid FROM orders),
+        |o AS (
+        |  SELECT o_custkey AS ck,
+        |         CAST(floor(epoch(o_orderdate)) AS BIGINT) <= mid AS h1,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders, b),
+        |m1 AS (SELECT ck, CAST(sum(cents) AS BIGINT) AS m FROM o
+        |       WHERE h1 GROUP BY 1),
+        |m2 AS (SELECT ck, CAST(sum(cents) AS BIGINT) AS m FROM o
+        |       WHERE NOT h1 GROUP BY 1),
+        |q1 AS (SELECT quantile_cont(m, 0.25) AS qa,
+        |              quantile_cont(m, 0.50) AS qb,
+        |              quantile_cont(m, 0.75) AS qc FROM m1),
+        |q2 AS (SELECT quantile_cont(m, 0.25) AS qa,
+        |              quantile_cont(m, 0.50) AS qb,
+        |              quantile_cont(m, 0.75) AS qc FROM m2),
+        |s1 AS (SELECT ck, 1 + CAST(m > qa AS INT) + CAST(m > qb AS INT)
+        |              + CAST(m > qc AS INT) AS seg FROM m1, q1),
+        |s2 AS (SELECT ck, 1 + CAST(m > qa AS INT) + CAST(m > qb AS INT)
+        |              + CAST(m > qc AS INT) AS seg FROM m2, q2),
+        |x AS (
+        |  SELECT s1.seg AS seg_from, s2.seg AS seg_to,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM s1 JOIN s2 USING (ck) GROUP BY 1, 2)
+        |SELECT CAST(seg_from AS INT) AS seg_from,
+        |       CAST(seg_to AS INT) AS seg_to, n AS n_customers,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER
+        |             (PARTITION BY seg_from), 6) AS row_share
+        |FROM x ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"),
+          col("o_orderdate").cast("timestamp").cast("long").as("sec"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .localCheckpoint(true) // bounds + both halves share the reduction
+      val mid = o.agg(expr("(min(sec) + max(sec)) div 2").as("mid"))
+        .head().getLong(0)
+      def half(cond: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.DataFrame = {
+        val m = o.filter(cond).groupBy(col("ck"))
+          .agg(sum(col("cents")).cast("long").as("m"))
+        val q = m.agg(expr(
+          "percentile(m, array(0.25, 0.5, 0.75))").as("qs"))
+        m.join(broadcast(q), lit(true))
+          .select(col("ck"), (lit(1)
+            + (col("m") > element_at(col("qs"), 1)).cast("int")
+            + (col("m") > element_at(col("qs"), 2)).cast("int")
+            + (col("m") > element_at(col("qs"), 3)).cast("int")).as("seg"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("seg_from"))
+      half(col("sec") <= mid).withColumnRenamed("seg", "seg_from")
+        .join(half(col("sec") > mid).withColumnRenamed("seg", "seg_to"),
+          "ck")
+        .groupBy(col("seg_from"), col("seg_to"))
+        .agg(count(lit(1)).cast("long").as("n_customers"))
+        .withColumn("row_share", round(col("n_customers").cast("double")
+          / sum(col("n_customers")).over(w), 6))
+        .orderBy(col("seg_from"), col("seg_to"))
     }
   )
 }

@@ -848,6 +848,142 @@ object Similarity {
             .as("energy_distance"),
           (lit(2) * col("mxy") - col("mxx") - col("myy") >= -1e-9)
             .as("nonneg_ok"))
+    },
+
+    // Contrastive-pair mining — the step that turns a labeled embedding
+    // corpus into triplet-loss training data: for each query vector, its
+    // nearest SAME-label neighbor (the positive) and its nearest
+    // DIFFERENT-label neighbor (the hard negative), with the margin
+    // between them (negative margin = the pair a triplet loss would
+    // actually move). Scale shape is q33's with a composite key: queries
+    // broadcast, the corpus-side scored frame projects to ids+sim before
+    // ranking, and the top-1-per-(query, polarity) runs through the
+    // custom TopKPerKey operator — each scan partition keeps ONE row per
+    // (query, polarity) in a bounded heap before the exchange, so raw
+    // vectors never shuffle and the exchange moves O(partitions·queries)
+    // rows. Leave-queries-out corpus (the q157/q158 convention): no
+    // self-retrieval freebies. FULL-hash oracle: DuckDB replays the same
+    // double-precision cosine fold via list lambdas and the same
+    // (sim desc, id) argmax per polarity.
+    Q("q281_hard_negatives",
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, label AS cl, embedding AS cv
+        |      FROM embeddings WHERE vec_id >= 5),
+        |sims AS (
+        |  SELECT q.query_id,
+        |         c.neighbor_id,
+        |         CASE WHEN c.cl = q.ql THEN 1 ELSE 0 END AS is_pos,
+        |         list_sum(list_transform(range(1, len(cv) + 1),
+        |             i -> CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+        |                i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |                i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))))
+        |           AS sim_raw
+        |  FROM c CROSS JOIN q),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id, is_pos
+        |            ORDER BY sim_raw DESC, neighbor_id) AS rn
+        |  FROM sims)
+        |SELECT query_id,
+        |       CAST(max(CASE WHEN is_pos = 1 THEN neighbor_id END)
+        |            AS BIGINT) AS pos_id,
+        |       round(max(CASE WHEN is_pos = 1 THEN sim_raw END), 6)
+        |         AS pos_sim,
+        |       CAST(max(CASE WHEN is_pos = 0 THEN neighbor_id END)
+        |            AS BIGINT) AS neg_id,
+        |       round(max(CASE WHEN is_pos = 0 THEN sim_raw END), 6)
+        |         AS neg_sim,
+        |       round(max(CASE WHEN is_pos = 1 THEN sim_raw END)
+        |             - max(CASE WHEN is_pos = 0 THEN sim_raw END), 6)
+        |         AS margin
+        |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q5 = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("ql"),
+          col("embedding").as("qv"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("neighbor_id"), col("label").as("cl"),
+          col("embedding").as("cv"))
+      val scored = corpus.crossJoin(broadcast(q5))
+        .withColumn("sim_raw", cosine(col("cv"), col("qv")))
+        .withColumn("is_pos", when(col("cl") === col("ql"), 1).otherwise(0))
+        .select(col("query_id"), col("is_pos"), col("neighbor_id"),
+          col("sim_raw"))
+      graft.plans.TopKPerKey.register(s)
+      val top1 = graft.plans.TopKPerKey.topK(scored,
+        Seq("query_id", "is_pos"),
+        Seq("sim_raw" -> false, "neighbor_id" -> true), 1)
+      top1.groupBy(col("query_id"))
+        .agg(
+          max(when(col("is_pos") === 1, col("neighbor_id"))).as("pos_id"),
+          max(when(col("is_pos") === 1, col("sim_raw"))).as("pos_raw"),
+          max(when(col("is_pos") === 0, col("neighbor_id"))).as("neg_id"),
+          max(when(col("is_pos") === 0, col("sim_raw"))).as("neg_raw"))
+        .select(col("query_id"), col("pos_id"),
+          round(col("pos_raw"), 6).as("pos_sim"), col("neg_id"),
+          round(col("neg_raw"), 6).as("neg_sim"),
+          round(col("pos_raw") - col("neg_raw"), 6).as("margin"))
+        .orderBy(col("query_id"))
+    },
+
+    // MinHash estimator calibration — the QA pass that justifies trusting
+    // q36's banding: over every LSH candidate pair, the signature-match
+    // estimate ĵ = |matching minhashes|/16 against the EXACT shingle
+    // Jaccard, with bias and mean-absolute-error bands from MinHash
+    // theory (per-pair se = sqrt(j(1−j)/16) ≤ 0.125; the bands below hold
+    // with ≥ 1.5× margin at every test SF). Scale shape: signatures are
+    // the q36 per-doc 16-long aggregate (shingles never shuffle past it),
+    // the estimate is a zip_with fold over 16-element arrays on the
+    // bounded candidate frame, and the exact Jaccard joins in from the
+    // shared shingle frame. Oracle: n_docs and the exact j ≥ 0.5 pair
+    // count are DuckDB-recomputed (the q36 anchors); the calibration
+    // bands are in-engine booleans (signatures are engine-seeded).
+    Q("q285_minhash_estimator",
+      s"""WITH ${TextOps.jaccardCtes}
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |       count(*) AS n_exact05,
+        |       CAST(1 AS BOOLEAN) AS est_unbiased,
+        |       CAST(1 AS BOOLEAN) AS est_calibrated
+        |FROM p
+        |JOIN cnt ca ON p.doc_a = ca.doc_id
+        |JOIN cnt cb ON p.doc_b = cb.doc_id
+        |WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5""".stripMargin) { (s, d) =>
+      val sh = TextOps.shingles(Tables.documents(s, d), "text", 3)
+        .localCheckpoint(true)
+      val mins = (0 until 16).map(i =>
+        min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+      val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 16).map(i => col(s"mh_$i")): _*).as("sig"))
+        .localCheckpoint(true)
+      val cand = minHashCandidatesFrom(sh)
+      // exact Jaccard for every candidate (threshold 0: a candidate pair
+      // sharing no shingle coalesces to exact = 0 — those pairs belong in
+      // the calibration, they are the banding's false positives)
+      val exact = TextOps.jaccardPairsAcross(sh, sh,
+        sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
+        minJac = 0.0, pairPred = col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("jac_raw"))
+      val est = cand
+        .join(sig.toDF("doc_a", "sig_a"), "doc_a")
+        .join(sig.toDF("doc_b", "sig_b"), "doc_b")
+        .withColumn("est", expr(
+          """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+            |0, (acc, v) -> acc + v) / 16.0""".stripMargin))
+        .join(exact, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0.0, Seq("jac_raw"))
+        .agg(avg(col("est") - col("jac_raw")).as("bias"),
+          avg(abs(col("est") - col("jac_raw"))).as("mae"))
+      val nExact = TextOps.exactJaccardPairsFrom(sh, minJac = 0.5)
+        .agg(count(lit(1)).as("n_exact05"))
+      Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(nExact))
+        .crossJoin(broadcast(est))
+        .select(col("n_docs"), col("n_exact05"),
+          (abs(col("bias")) <= 0.1).as("est_unbiased"),
+          (col("mae") <= 0.2).as("est_calibrated"))
     }
   )
 

@@ -1585,6 +1585,178 @@ object Stats {
         .select(col("n").as("n_customers"), col("df"),
           round(col("chi2"), 6).as("chi2"),
           (col("chi2") < 9.488).as("randomization_ok"))
+    },
+
+    // Macro-vs-micro averaging audit — the aggregation-bias check every
+    // multi-language corpus report needs: the MICRO mean (per-document)
+    // of document length against the MACRO mean (average of per-language
+    // means). When one language dominates, micro ≈ the dominant
+    // language's mean while macro weights every language equally — the
+    // gap between them IS the imbalance a "mean doc length" headline
+    // hides (same trap as micro/macro F1). One partial-aggregated scan
+    // to the |languages|-row frame; everything after runs on that
+    // bounded domain. Exact integer sums; doubles only at the final
+    // ratios, rounded at 6.
+    Q("q284_macro_micro",
+      """WITH l AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |         CAST(sum(chars) AS BIGINT) AS n_chars,
+        |         CAST(count(*) AS BIGINT) AS n_langs,
+        |         CAST(max(n) AS BIGINT) AS max_n,
+        |         sum(CAST(chars AS DOUBLE) / n) / count(*) AS macro
+        |  FROM l)
+        |SELECT n_docs, n_langs,
+        |       round(CAST(n_chars AS DOUBLE) / n_docs, 6)
+        |         AS micro_mean_chars,
+        |       round(macro, 6) AS macro_mean_chars,
+        |       round(macro - CAST(n_chars AS DOUBLE) / n_docs, 6)
+        |         AS macro_micro_gap,
+        |       round(CAST(max_n AS DOUBLE) / n_docs, 6) AS dominant_share
+        |FROM t""".stripMargin) { (s, d) =>
+      val l = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_chars")).cast("long").as("chars"))
+      l.agg(sum(col("n")).cast("long").as("n_docs"),
+          sum(col("chars")).cast("long").as("n_chars"),
+          count(lit(1)).cast("long").as("n_langs"),
+          max(col("n")).cast("long").as("max_n"),
+          (sum(col("chars").cast("double") / col("n")) / count(lit(1)))
+            .as("macro"))
+        .select(col("n_docs"), col("n_langs"),
+          round(col("n_chars").cast("double") / col("n_docs"), 6)
+            .as("micro_mean_chars"),
+          round(col("macro"), 6).as("macro_mean_chars"),
+          round(col("macro") - col("n_chars").cast("double")
+            / col("n_docs"), 6).as("macro_micro_gap"),
+          round(col("max_n").cast("double") / col("n_docs"), 6)
+            .as("dominant_share"))
+    },
+
+    // Hill tail-index estimator — the heavy-tail diagnostic a revenue (or
+    // token-frequency) distribution gets before anyone trusts a mean:
+    // over the top k+1 order statistics x_(1) ≥ … ≥ x_(k+1),
+    // H = (1/k)·Σ ln(x_(i)/x_(k+1)) and α̂ = 1/H (Hill 1975). α̂ ≤ ~2
+    // means infinite-variance territory where averages are unstable.
+    // Scale shape: the ONLY corpus-sized work is the top-(k+1) selection,
+    // which compiles to TakeOrderedAndProject (per-partition heap prune +
+    // tiny merge — never a full sort); the log fold runs on the bounded
+    // 101-row frame. Boundary ties cost nothing: tied values at x_(k+1)
+    // contribute ln(1) = 0 whichever copies survive, so the estimate is
+    // deterministic. Exact cents; doubles only inside ln, rounded at 6.
+    Q("q288_hill_tail",
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders ORDER BY cents DESC LIMIT 101),
+        |m AS (SELECT CAST(min(cents) AS BIGINT) AS xk FROM v),
+        |h AS (SELECT sum(ln(CAST(cents AS DOUBLE) / xk)) / 100.0 AS hh
+        |      FROM v, m)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+        |       CAST(100 AS INT) AS k, m.xk AS xk_cents,
+        |       round(h.hh, 6) AS hill_h,
+        |       round(1.0 / h.hh, 6) AS hill_alpha
+        |FROM m, h""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val v = o.select(round(col("o_totalprice") * 100, 0).cast("long")
+          .as("cents"))
+        .orderBy(desc("cents")).limit(101)
+        .localCheckpoint(true) // top-101 shared by the min and the fold
+      val m = v.agg(min(col("cents")).cast("long").as("xk"))
+      val h = v.join(broadcast(m), lit(true))
+        .agg((sum(log(col("cents").cast("double") / col("xk"))) / 100.0)
+          .as("hh"))
+      o.agg(count(lit(1)).cast("long").as("n_orders"))
+        .join(broadcast(m), lit(true))
+        .join(broadcast(h), lit(true))
+        .select(col("n_orders"), lit(100).as("k"),
+          col("xk").as("xk_cents"), round(col("hh"), 6).as("hill_h"),
+          round(lit(1.0) / col("hh"), 6).as("hill_alpha"))
+    },
+
+    // Post-stratified average-treatment-effect — the confounder-adjusted
+    // companion to q163's raw A/B read: with the q68 hash split as
+    // "treatment" and market segment as the stratum, the stratified ATE
+    // Σ_s (n_s/N)·(ȳ_treated,s − ȳ_control,s) equals inverse-propensity
+    // weighting with the exact discrete propensity — the estimator that
+    // stays unbiased when assignment correlates with segment mix (q278
+    // tests THAT; this computes the effect as if it did). Scale shape:
+    // customer revenue reduces once (orders left-join keeps zero-order
+    // customers at y = 0), then everything runs on the |segments|-row
+    // frame — exact BIGINT sums per stratum, doubles only in the final
+    // |segments|-term combination. Rounded at 4 (cents scale).
+    Q("q289_stratified_ate",
+      """WITH y AS (
+        |  SELECT c.c_custkey,
+        |         c.c_mktsegment AS seg,
+        |         substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1) < '8'
+        |           AS treated,
+        |         CAST(coalesce(sum(CAST(round(o.o_totalprice * 100, 0)
+        |                  AS BIGINT)), 0) AS BIGINT) AS rev
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n_seg,
+        |         CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS nt,
+        |         CAST(sum(CASE WHEN treated THEN rev ELSE 0 END)
+        |              AS BIGINT) AS st,
+        |         CAST(sum(CASE WHEN NOT treated THEN rev ELSE 0 END)
+        |              AS BIGINT) AS sc
+        |  FROM y GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_seg) AS BIGINT) AS n,
+        |         CAST(sum(nt) AS BIGINT) AS n_t,
+        |         CAST(sum(st) AS BIGINT) AS tot_t,
+        |         CAST(sum(sc) AS BIGINT) AS tot_c
+        |  FROM g),
+        |a AS (
+        |  SELECT sum((CAST(n_seg AS DOUBLE) / t.n)
+        |             * (CAST(st AS DOUBLE) / nt
+        |                - CAST(sc AS DOUBLE) / (n_seg - nt))) AS ate
+        |  FROM g, t)
+        |SELECT t.n AS n_customers, t.n_t AS n_treated,
+        |       round(CAST(tot_t AS DOUBLE) / n_t
+        |             - CAST(tot_c AS DOUBLE) / (n - n_t), 4)
+        |         AS naive_diff_cents,
+        |       round(a.ate, 4) AS strat_ate_cents
+        |FROM t, a""".stripMargin) { (s, d) =>
+      val y = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          (substring(md5(col("c_custkey").cast("string")), 1, 1) < "8")
+            .as("treated"))
+        .join(Tables.orders(s, d)
+          .select(col("o_custkey").as("c_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+          Seq("c_custkey"), "left")
+        .groupBy(col("c_custkey"), col("seg"), col("treated"))
+        .agg(coalesce(sum(col("cents")), lit(0L)).cast("long").as("rev"))
+      val g = y.groupBy(col("seg"))
+        .agg(count(lit(1)).cast("long").as("n_seg"),
+          sum(when(col("treated"), 1L).otherwise(0L)).cast("long").as("nt"),
+          sum(when(col("treated"), col("rev")).otherwise(0L)).cast("long")
+            .as("st"),
+          sum(when(!col("treated"), col("rev")).otherwise(0L)).cast("long")
+            .as("sc"))
+        .localCheckpoint(true) // totals + the stratified sum share it
+      val t = g.agg(sum(col("n_seg")).cast("long").as("n"),
+        sum(col("nt")).cast("long").as("n_t"),
+        sum(col("st")).cast("long").as("tot_t"),
+        sum(col("sc")).cast("long").as("tot_c"))
+      val a = g.join(broadcast(t), lit(true))
+        .agg(sum((col("n_seg").cast("double") / col("n"))
+          * (col("st").cast("double") / col("nt")
+            - col("sc").cast("double") / (col("n_seg") - col("nt"))))
+          .as("ate"))
+      t.join(broadcast(a), lit(true))
+        .select(col("n").as("n_customers"), col("n_t").as("n_treated"),
+          round(col("tot_t").cast("double") / col("n_t")
+            - col("tot_c").cast("double") / (col("n") - col("n_t")), 4)
+            .as("naive_diff_cents"),
+          round(col("ate"), 4).as("strat_ate_cents"))
     }
   )
 }

@@ -133,12 +133,14 @@ object EventStreams {
     * The stream
     * carries `df`'s schema verbatim; callers add ts casts/watermarks. */
   def fileReplay(spark: SparkSession, df: DataFrame,
-      root: java.nio.file.Path): (String, DataFrame) = {
+      root: java.nio.file.Path,
+      options: Map[String, String] = Map.empty): (String, DataFrame) = {
     val inDir = root.resolve("input")
     wipe(inDir)
     df.write.mode("overwrite").parquet(s"$inDir/f1")
     val stream = spark.readStream.schema(df.schema)
-      .option("pathGlobFilter", "*.parquet").parquet(s"$inDir/*")
+      .option("pathGlobFilter", "*.parquet").options(options)
+      .parquet(s"$inDir/*")
     (inDir.toString, stream)
   }
 
