@@ -1,35 +1,71 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev utility (round-9 scale smoke): synthesize an N×-replicated copy of
   * a testdata SF dir so the full board can run at 10× the bench scale
   * without new driver data. Each fact table unions N key-shifted
-  * replicas — every BIGINT key column is offset by replica·(max(key)+1),
-  * preserving referential integrity (orders→customer,
-  * lineitem→orders/part/supplier, events/documents/embeddings ids) while
-  * multiplying row counts; the tiny dimension tables (region, nation)
-  * copy through unchanged. Value/timestamp columns repeat verbatim, so
-  * densities (events per hour, docs per shard) scale with the data —
-  * the stress direction a 100 TB cluster run would take. Outputs single
-  * `.parquet` FILES matching the driver layout `Tables.load` expects.
+  * replicas; the tiny dimension tables (region, nation) copy through
+  * unchanged. Value/timestamp columns repeat verbatim, so densities
+  * (events per hour, docs per shard) scale with the data — the stress
+  * direction a 100 TB cluster run would take. Outputs single `.parquet`
+  * FILES matching the driver layout `Tables.load` expects.
+  *
+  * Referential integrity: key offsets are computed once per key FAMILY
+  * from the PARENT table's max (custkey from customer, partkey from part,
+  * suppkey from supplier, orderkey from orders, doc/vec from documents —
+  * vec_id = doc_id by construction, Retrieval.scala:139) and applied to
+  * BOTH the parent and every child FK column. A per-child-column offset
+  * (the first cut) silently dangles FKs whenever the child's own max is
+  * below the parent's — e.g. TPC-H dbgen leaves ~1/3 of customers
+  * orderless, so max(o_custkey) < max(c_custkey) and replica orders would
+  * point into the wrong replica's customers. A post-generation anti-join
+  * spot-check asserts the scaled corpus carries exactly mult× the base
+  * corpus's orphan count on every FK edge.
   *
   *   sbt "runMain graft.GenScale /root/testdata/sf0.1 /tmp/sf1 10"
   */
 object GenScale {
 
-  private val keyCols: Map[String, Seq[String]] = Map(
-    "region" -> Nil,
-    "nation" -> Nil,
-    "customer" -> Seq("c_custkey"),
-    "supplier" -> Seq("s_suppkey"),
-    "part" -> Seq("p_partkey"),
-    "orders" -> Seq("o_orderkey", "o_custkey"),
-    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-    "events" -> Seq("event_id", "user_id"),
-    "documents" -> Seq("doc_id"),
-    "embeddings" -> Seq("vec_id"))
+  /** Key families: family → (parent table, parent column). The family's
+    * single offset comes from max(parent column) + 1. */
+  private val families: Map[String, (String, String)] = Map(
+    "custkey" -> ("customer", "c_custkey"),
+    "suppkey" -> ("supplier", "s_suppkey"),
+    "partkey" -> ("part", "p_partkey"),
+    "orderkey" -> ("orders", "o_orderkey"),
+    "dockey" -> ("documents", "doc_id"),
+    "eventkey" -> ("events", "event_id"),
+    "userkey" -> ("events", "user_id"))
+
+  /** table → (column → key family). */
+  private val keyCols: Map[String, Map[String, String]] = Map(
+    "region" -> Map.empty,
+    "nation" -> Map.empty,
+    "customer" -> Map("c_custkey" -> "custkey"),
+    "supplier" -> Map("s_suppkey" -> "suppkey"),
+    "part" -> Map("p_partkey" -> "partkey"),
+    "orders" -> Map("o_orderkey" -> "orderkey", "o_custkey" -> "custkey"),
+    "lineitem" -> Map("l_orderkey" -> "orderkey", "l_partkey" -> "partkey",
+      "l_suppkey" -> "suppkey"),
+    "events" -> Map("event_id" -> "eventkey", "user_id" -> "userkey"),
+    "documents" -> Map("doc_id" -> "dockey"),
+    "embeddings" -> Map("vec_id" -> "dockey"))
+
+  /** FK edges spot-checked post-generation:
+    * (child table, child col, parent table, parent col). */
+  private val fkEdges: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("embeddings", "vec_id", "documents", "doc_id"))
+
+  private def orphans(child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): Long =
+    child.select(col(ck).as("k"))
+      .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti").count()
 
   def main(args: Array[String]): Unit = {
     val (src, out, mult) = (args(0), args(1), args(2).toInt)
@@ -39,23 +75,30 @@ object GenScale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate SILENTLY ignores the builder configs when a session
+    // already exists (an sbt-console run would inherit that session's
+    // width/zone) — fail loudly instead of generating at the wrong config
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC" &&
+      spark.conf.get("spark.sql.shuffle.partitions") == "16",
+      "GenScale got a pre-existing SparkSession with different configs; " +
+        "run it in a fresh JVM (sbt runMain), not inside a live session")
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    // one offset per key family, from the PARENT table's own max
+    val offsets: Map[String, Long] = families.map { case (fam, (pt, pc)) =>
+      fam -> (Tables.load(spark, src, pt)
+        .agg(max(col(pc))).head().getLong(0) + 1L)
+    }
     Tables.names.foreach { t =>
       val base = Tables.load(spark, src, t)
       val keys = keyCols(t)
       val scaled =
         if (keys.isEmpty || mult == 1) base
-        else {
-          val offs = keys.map { k =>
-            k -> (base.agg(max(col(k))).head().getLong(0) + 1L)
-          }.toMap
-          (0 until mult).map { i =>
-            keys.foldLeft(base) { (df, k) =>
-              df.withColumn(k, col(k) + lit(i * offs(k)))
-            }
-          }.reduce(_ unionByName _)
-        }
+        else (0 until mult).map { i =>
+          keys.foldLeft(base) { case (df, (c, fam)) =>
+            df.withColumn(c, col(c) + lit(i * offsets(fam)))
+          }
+        }.reduce(_ unionByName _)
       // single part file, renamed into the `<table>.parquet` layout
       val tmp = s"$out/_tmp_$t"
       scaled.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -67,6 +110,21 @@ object GenScale {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       graft.streaming.EventStreams.wipe(java.nio.file.Paths.get(tmp))
       println(s"[genscale] $t x$mult -> $out/$t.parquet")
+    }
+    // FK spot-check: every edge's scaled orphan count must be exactly
+    // mult× the base count (0 stays 0; a per-column-offset bug shows up
+    // as extra orphans or, worse, cross-replica links — caught because a
+    // cross-link REMOVES an expected orphan as often as it adds one)
+    fkEdges.foreach { case (ct, ck, pt, pk) =>
+      val baseOrphans = orphans(Tables.load(spark, src, ct), ck,
+        Tables.load(spark, src, pt), pk)
+      val scaledOrphans = orphans(Tables.load(spark, out, ct), ck,
+        Tables.load(spark, out, pt), pk)
+      require(scaledOrphans == mult * baseOrphans,
+        s"FK $ct.$ck -> $pt.$pk: scaled orphans $scaledOrphans != " +
+          s"$mult x base $baseOrphans — replica key shift broke integrity")
+      println(s"[genscale] fk-check $ct.$ck -> $pt.$pk ok " +
+        s"($scaledOrphans orphans = $mult x $baseOrphans)")
     }
     spark.stop()
   }

@@ -958,7 +958,15 @@ object Similarity {
         .select(col("doc_id"),
           array((0 until 16).map(i => col(s"mh_$i")): _*).as("sig"))
         .localCheckpoint(true)
-      val cand = minHashCandidatesFrom(sh)
+      val cand = minHashCandidatesFrom(sh).localCheckpoint(true)
+      // Loud corpus-dependence guard (the q236 shortlist pattern): with
+      // ZERO candidate pairs the bias/mae aggregates are NULL, the band
+      // booleans evaluate to SQL NULL, and the oracle's hardcoded TRUE
+      // fails as an opaque hash mismatch. Fail here with the reason.
+      require(cand.count() > 0,
+        "q285 needs at least one LSH candidate pair to calibrate the " +
+          "MinHash estimator; this corpus's banding produced none, so the " +
+          "bias/mae bands would be NULL and fail the oracle opaquely")
       // exact Jaccard for every candidate (threshold 0: a candidate pair
       // sharing no shingle coalesces to exact = 0 — those pairs belong in
       // the calibration, they are the banding's false positives)

@@ -88,8 +88,9 @@ object Eda {
     * `spark.read`, so an overwritten input shows new statuses here even
     * though the canonicalized plan is unchanged). Non-file leaves (local
     * fixtures) contribute nothing — the canonicalized plan alone already
-    * identifies in-memory data. */
-  private def inputSignature(df: DataFrame): Long = {
+    * identifies in-memory data. Shared with the Ml fitted-model memo
+    * (ops/Ml.scala), which keys on the same staleness discipline. */
+  private[graft] def inputSignature(df: DataFrame): Long = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val files = df.queryExecution.analyzed.collect {
       case lr: LogicalRelation => lr.relation match {

@@ -103,16 +103,7 @@ object EventStreams {
     * so setting it around `start()` pins the width for the query's whole
     * life; the session value is restored immediately after. At production
     * scale the same lever applies in reverse — size state partitions to
-    * the key cardinality, not the session default.
-    *
-    * `requireSingleBatch`: assert post-run that all input rows arrived in
-    * ONE micro-batch. The full-list hash oracles of q145/q146 rely on the
-    * per-key (ts, event_id) sort being global — the stateful processors
-    * sort within a batch only, so in-order delivery across batches is
-    * exactly the single-batch property. Today it holds by construction
-    * (one parquet file, no maxFilesPerTrigger), but a multi-file or
-    * rate-limited replay would break the oracle SILENTLY; this turns that
-    * into a loud failure at the source. */
+    * the key cardinality, not the session default. */
   /** Recursively delete a scratch subtree if it exists (the wipe step the
     * file-replay streaming queries all need for per-session idempotence). */
   def wipe(path: java.nio.file.Path): Unit = {
@@ -124,11 +115,34 @@ object EventStreams {
     }
   }
 
+  /** Land `df` as exactly ONE parquet data file under `dir`, and verify
+    * the count. The replay contract every [[fileReplay]] consumer relies
+    * on is "one landed batch = one file = one micro-batch under
+    * maxFilesPerTrigger=1, in landing order": a multi-part write breaks it
+    * SILENTLY at larger inputs — the part files share one mtime yet each
+    * spans the batch's full time range, so under maxFilesPerTrigger=1 the
+    * first file advances the watermark past its siblings' oldest rows and
+    * those rows are dropped as late (q286's thirds were green only because
+    * the test corpora happened to produce single-partition writes). The
+    * coalesce is a narrow merge on a bounded replay slice — never the
+    * production write path. */
+  private def landSingle(df: DataFrame, dir: String): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    require(parts == 1,
+      s"file-replay landing at $dir produced $parts parquet part files; " +
+        "the one-file-per-batch replay contract (watermark ordering under " +
+        "maxFilesPerTrigger=1) needs exactly 1")
+  }
+
   /** The write→stream-back file-replay harness shared by the streaming
     * queries that need REAL file-source semantics (q197's checkpoint
-    * recovery, q213's late file, q267's sentinel flushes): wipes
-    * `root/input`, lands `df` as the feed's first parquet file, and
-    * returns (inputDir, stream) where the stream globs every subdir of
+    * recovery, q213's late file, q267's sentinel flushes, q286's thirds):
+    * wipes `root/input`, lands `df` as the feed's first parquet file
+    * (exactly one data file — see [[landSingle]]), and returns
+    * (inputDir, stream) where the stream globs every subdir of
     * inputDir so later files ([[landFile]]) become later micro-batches.
     * The stream
     * carries `df`'s schema verbatim; callers add ts casts/watermarks. */
@@ -137,7 +151,7 @@ object EventStreams {
       options: Map[String, String] = Map.empty): (String, DataFrame) = {
     val inDir = root.resolve("input")
     wipe(inDir)
-    df.write.mode("overwrite").parquet(s"$inDir/f1")
+    landSingle(df, s"$inDir/f1")
     val stream = spark.readStream.schema(df.schema)
       .option("pathGlobFilter", "*.parquet").options(options)
       .parquet(s"$inDir/*")
@@ -145,9 +159,10 @@ object EventStreams {
   }
 
   /** Land one more file into a [[fileReplay]] feed (a late batch, a
-    * watermark sentinel): the glob picks it up on the next trigger. */
+    * watermark sentinel): the glob picks it up on the next trigger.
+    * Exactly one data file per landing ([[landSingle]]). */
   def landFile(df: DataFrame, inDir: String, name: String): Unit =
-    df.write.mode("overwrite").parquet(s"$inDir/$name")
+    landSingle(df, s"$inDir/$name")
 
   /** Drive a ROW-LEVEL streaming frame to completion while keeping the
     * driver O(1) at ANY scale factor: each micro-batch is reduced
@@ -199,8 +214,7 @@ object EventStreams {
 
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
       outputMode: String = "complete",
-      shufflePartitions: Option[Int] = None,
-      requireSingleBatch: Boolean = false): DataFrame = {
+      shufflePartitions: Option[Int] = None): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
@@ -213,16 +227,7 @@ object EventStreams {
         .format("memory")
         .queryName(name)
         .start()
-      try {
-        q.processAllAvailable()
-        if (requireSingleBatch) {
-          val feeding = q.recentProgress.count(_.numInputRows > 0)
-          require(feeding <= 1,
-            s"$name: input replay spanned $feeding micro-batches; the " +
-              "full-list oracle's cross-batch ordering invariant needs 1 " +
-              "(see q145/q146)")
-        }
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set(key, prev)
     spark.table(name)
   }

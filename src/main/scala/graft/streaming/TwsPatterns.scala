@@ -55,10 +55,11 @@ object TwsPatterns {
 
     override def handleInputRows(user: Long, rows: Iterator[PEvent],
         timers: TimerValues): Iterator[Match] = {
-      // ORDERING INVARIANT: this sort is per-BATCH only, so the full-list
-      // oracle parity additionally needs all input in one micro-batch
-      // (runToMemory(requireSingleBatch = true) enforces it at the caller);
-      // a multi-batch replay would interleave per-batch sorted runs.
+      // ORDERING INVARIANT: this sort is per-BATCH only; cross-batch
+      // correctness needs batches to arrive in event order (the tail state
+      // then carries the suffix across the boundary). An out-of-order
+      // replay corrupts matches — q145's batch-vs-stream checksum parity
+      // (Events.scala) turns that into a loud failure.
       val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
       val prev = tail.get().toSeq
       val (matches, next) = step(prev, sorted)

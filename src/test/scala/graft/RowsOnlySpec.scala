@@ -39,13 +39,23 @@ class RowsOnlySpec extends SparkSpec {
   }
 
   test("q152: persistence round-trip parity + metadata hold at sf0.001") {
+    // standalone path first (memo cold for this suite's session)
+    graft.ops.Ml.fittedMemo.clear()
     val r = SparkEntry.queries("q152_model_persistence")(spark, sf0001)
       .collect().head
     assert(r.getAs[Long]("n_total") == Tables.lineitem(spark, sf0001).count())
-    assert(r.getAs[Int]("n_trees") == 4)
+    assert(r.getAs[Int]("n_trees") == 8)
     assert(r.getAs[Int]("n_features") == 5)
     assert(r.getAs[Boolean]("reload_parity_ok"))
     assert(r.getAs[Boolean]("metadata_ok"))
+    // memo-hit path: q40 stashes its fitted chain; q152 must then reuse it
+    // (same oracle row either way — the round-10 bench directive)
+    SparkEntry.queries("q40_rf_regression")(spark, sf0001).collect()
+    assert(graft.ops.Ml.fittedMemo.nonEmpty,
+      "q40 must stash its fitted PipelineModel for q152")
+    val r2 = SparkEntry.queries("q152_model_persistence")(spark, sf0001)
+      .collect().head
+    assert(r2 == r, "memo-hit q152 row must equal the standalone row")
   }
 
   test("q153: rolling-origin windows are leak-free and exactly recomputable") {

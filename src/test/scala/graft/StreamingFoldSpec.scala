@@ -52,7 +52,13 @@ class StreamingFoldSpec extends SparkSpec {
     SparkEntry.queries("q106_stream_dedup")(spark, d).collect()
     SparkEntry.queries("q114_stream_join")(spark, d).collect()
     SparkEntry.queries("q267_stream_outer_join")(spark, d).collect()
-    Seq("q106_dedup", "q106_feed", "q114_attr", "q267_soj").foreach { t =>
+    // q145/q146 (round 10): the last row-level sinks — their full MATCH
+    // lists used to land in memory tables; now the batch side carries the
+    // oracle list and the stream folds to count+checksum via runFolded
+    SparkEntry.queries("q145_stream_pattern")(spark, d).collect()
+    SparkEntry.queries("q146_stream_attribution")(spark, d).collect()
+    Seq("q106_dedup", "q106_feed", "q114_attr", "q267_soj",
+        "q145_pat", "q146_attr").foreach { t =>
       assert(!spark.catalog.tableExists(t),
         s"row-level memory sink '$t' reappeared — the parity harness " +
           "must fold to O(1) driver rows (EventStreams.runFolded)")
