@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   * spot-check asserts the scaled corpus carries exactly mult× the base
   * corpus's orphan count on every FK edge.
   *
+  * Content distinctness (round 10): replica i>0 of `documents` prefixes
+  * every token with "r<i>" and replica i>0 of `embeddings` circularly
+  * rotates the vector by i positions. Verbatim clones would make every
+  * doc/vector 10-way duplicated, inflating the near-dup PAIR stream
+  * ~mult²/2 (each doc's clones alone add C(mult,2) jaccard-1.0 pairs) —
+  * the smoke would then measure a 45×-bigger-OUTPUT problem instead of
+  * 10× more data. Real 10× corpora bring new content; token-prefixing
+  * gives disjoint shingle spaces across replicas (pair counts scale
+  * linearly with mult) and rotation decorrelates embedding directions
+  * the same way. Within-replica similarity structure repeats verbatim,
+  * so per-replica densities still match the base corpus.
+  *
   *   sbt "runMain graft.GenScale /root/testdata/sf0.1 /tmp/sf1 10"
   */
 object GenScale {
@@ -95,8 +107,22 @@ object GenScale {
       val scaled =
         if (keys.isEmpty || mult == 1) base
         else (0 until mult).map { i =>
-          keys.foldLeft(base) { case (df, (c, fam)) =>
+          val shifted = keys.foldLeft(base) { case (df, (c, fam)) =>
             df.withColumn(c, col(c) + lit(i * offsets(fam)))
+          }
+          // content distinctness for replicas (see scaladoc): new ids must
+          // carry NEW content or the dedup/ANN families face a mult²/2
+          // pair blow-up instead of a 10× corpus
+          (t, i) match {
+            case ("documents", r) if r > 0 =>
+              shifted.withColumn("text",
+                regexp_replace(col("text"), "(\\S+)", s"r$r$$1"))
+            case ("embeddings", r) if r > 0 =>
+              shifted.withColumn("embedding", concat(
+                slice(col("embedding"), lit(r + 1),
+                  size(col("embedding")) - lit(r)),
+                slice(col("embedding"), lit(1), lit(r))))
+            case _ => shifted
           }
         }.reduce(_ unionByName _)
       // single part file, renamed into the `<table>.parquet` layout

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, DotProduct, HyperplaneBands, JaroWinklerSim, SimHash64, Winnow, WordShingles}
+import graft.functions.{CosineSim, DotProduct, HyperplaneBands, JaroWinklerSim, QuantizedDot, SimHash64, Winnow, WordShingles}
 
 /** SparkSessionExtensions injector exposing the custom Catalyst expressions
   * (SURVEY.md §8 "custom Catalyst surface") as first-class SQL functions, so
@@ -25,6 +25,7 @@ import graft.functions.{CosineSim, DotProduct, HyperplaneBands, JaroWinklerSim, 
   *  - `graft_word_shingles(text, n): array<string>`
   *  - `graft_hyperplane_bands(array, bands, bits, dim): array<bigint>`
   *  - `graft_jaro_winkler(string, string): double`
+  *  - `graft_qdot(array<tinyint>, array<tinyint>): bigint`
   *
   * Beyond functions, the injector also installs the whole-plan surface:
   * the [[graft.plans.BoundLevenshtein]] optimizer rule and the
@@ -91,7 +92,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_jaro_winkler"),
       info("graft_jaro_winkler", classOf[JaroWinklerSim]),
       args => { val a = arity("graft_jaro_winkler", 2)(args)
-        JaroWinklerSim(a(0), a(1)) }))
+        JaroWinklerSim(a(0), a(1)) }),
+    (FunctionIdentifier("graft_qdot"),
+      info("graft_qdot", classOf[QuantizedDot]),
+      args => { val a = arity("graft_qdot", 2)(args)
+        QuantizedDot(a(0), a(1)) }))
 
   /** Install the functions on an already-built session (the path for users
     * who didn't set `spark.sql.extensions`). Idempotent. */

@@ -647,6 +647,48 @@ object Conformance {
           sum(when(col("d") === last_day(col("d")), 1L).otherwise(0L))
             .cast("long").as("n_at_month_end"))
         .orderBy(col("dom"))
+    },
+
+    // Window frame EXCLUDE CURRENT ROW parity — the SQL:2016 frame-
+    // exclusion clause the oracle engine supports natively and Spark does
+    // not: the peer-average "how do my NEIGHBORS behave, excluding me"
+    // frame (ROWS 3 PRECEDING..3 FOLLOWING EXCLUDE CURRENT ROW) is the
+    // leave-one-out smoother behind self-excluded anomaly baselines.
+    // Spark emulation: subtract the current row from the INCLUSIVE frame's
+    // sum/count, honoring NULL semantics (a NULL value contributes to
+    // neither; an all-NULL-after-exclusion frame yields NULL, like the
+    // native avg over an empty exclusion frame). Per-user min/max of the
+    // per-row rounded averages keep the output at |users| rows with only
+    // order-insensitive aggregation over the rounded values. One user_id
+    // exchange serves the window and the final group-by.
+    Q("q296_frame_exclusion",
+      """WITH w AS (
+        |  SELECT user_id,
+        |         round(avg(value) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+        |           EXCLUDE CURRENT ROW), 4) AS peer_avg
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(count(peer_avg) AS BIGINT) AS n_scored,
+        |       round(min(peer_avg), 4) AS min_peer,
+        |       round(max(peer_avg), 4) AS max_peer
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 3)
+      val exclSum = sum(col("value")).over(w) - coalesce(col("value"), lit(0.0))
+      val exclCnt = count(col("value")).over(w) -
+        when(col("value").isNotNull, 1L).otherwise(0L)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          round(when(exclCnt > 0, exclSum / exclCnt), 4).as("peer_avg"))
+        .groupBy(col("user_id"))
+        .agg(count(col("peer_avg")).cast("long").as("n_scored"),
+          round(min(col("peer_avg")), 4).as("min_peer"),
+          round(max(col("peer_avg")), 4).as("max_peer"))
+        .orderBy(col("user_id"))
     }
   )
 }

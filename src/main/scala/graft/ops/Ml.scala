@@ -527,6 +527,101 @@ object Ml {
           round((lit(0.001) / (lit(1.0) - pow(lit(0.999), col("n"))))
             * col("k") / col("sw"), 6).as("weight"))
         .orderBy(col("label"))
+    },
+
+    // Split-conformal prediction intervals (Vovk et al.; Lei et al. JASA
+    // 2018) — the distribution-free uncertainty wrapper a production
+    // regressor ships with: train on ~81%, take q̂ = the
+    // ⌈(1−α)(n_cal+1)⌉-th smallest absolute calibration residual, and
+    // [ŷ ± q̂] covers ≥ 1−α of exchangeable test points NO MATTER how
+    // miscalibrated the model is — the guarantee is model-agnostic, which
+    // is exactly what makes it checkable here as a property. Splits are
+    // the q68 md5 discipline (hex digit: <'d' train 13/16, 'd'/'e' cal
+    // 2/16, 'f' test 1/16) so BOTH engines recompute the exact split
+    // sizes. Scale shape: the conformal quantile is the k-th order
+    // statistic via the q130 block-offset ranking (range repartition +
+    // per-block row_number + broadcast offsets — never a single-task
+    // global sort), and coverage is one filter-count over the test slice.
+    Q("q293_conformal_interval",
+      """WITH s AS (
+        |  SELECT CASE
+        |           WHEN substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |                           CAST(l_linenumber AS VARCHAR)), 1, 1)
+        |                < 'd' THEN 'train'
+        |           WHEN substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |                           CAST(l_linenumber AS VARCHAR)), 1, 1)
+        |                < 'f' THEN 'cal'
+        |           ELSE 'test' END AS split
+        |  FROM lineitem)
+        |SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_train,
+        |       CAST(sum(CASE WHEN split = 'cal' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_cal,
+        |       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_test,
+        |       CAST(0.1 AS DOUBLE) AS alpha,
+        |       CAST(1 AS BOOLEAN) AS qhat_pos_ok,
+        |       CAST(1 AS BOOLEAN) AS coverage_ok
+        |FROM s""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val feats = Seq("l_quantity", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus")
+      val label = "l_extendedprice"
+      val hex = substring(md5(concat(col("l_orderkey").cast("string"),
+        lit("-"), col("l_linenumber").cast("string")).cast("binary")), 1, 1)
+      val li = Tables.lineitem(s, d)
+        .select((Seq("l_orderkey", "l_linenumber", label) ++ feats)
+          .map(col): _*)
+        .withColumn("split",
+          when(hex < "d", "train").when(hex < "f", "cal").otherwise("test"))
+        .localCheckpoint(true) // counts + fit + scoring share one scan
+      val counts = li.groupBy().agg(
+        sum(when(col("split") === "train", 1).otherwise(0)).cast("long")
+          .as("n_train"),
+        sum(when(col("split") === "cal", 1).otherwise(0)).cast("long")
+          .as("n_cal"),
+        sum(when(col("split") === "test", 1).otherwise(0)).cast("long")
+          .as("n_test")).head()
+      val (nTrain, nCal, nTest) =
+        (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+      // a deliberately small model: the conformal guarantee holds for ANY
+      // regressor, so the fit only needs to exist, not to be good
+      val rf = new org.apache.spark.ml.regression.RandomForestRegressor()
+        .setNumTrees(4).setMaxDepth(3).setMaxBins(8).setSeed(42L)
+      val transformers = graft.pipeline.Model.fitTransformers(
+        li.filter(col("split") === "train"), label, feats, rf)
+      val scored = transformers
+        .foldLeft(li.filter(col("split") =!= "train"))((f, t) => t.transform(f))
+        .select(col("split"), abs(col(label) - col("prediction")).as("r"))
+        .localCheckpoint(true) // quantile rank + coverage count share it
+      // conformal quantile: k-th smallest calibration residual,
+      // k = ceil((1-alpha) * (n_cal + 1))
+      val k = math.ceil(0.9 * (nCal + 1)).toLong
+      require(k <= nCal, s"n_cal=$nCal too small for alpha=0.1")
+      val parted = scored.filter(col("split") === "cal").select(col("r"))
+        .repartitionByRange(16, col("r"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select(col("pid"), col("off"))
+      val qhat = parted.join(broadcast(offsets), "pid")
+        .withColumn("rn", col("off") +
+          row_number().over(Window.partitionBy("pid").orderBy(col("r"))))
+        .filter(col("rn") === k)
+        .head().getAs[Double]("r")
+      val covered = scored.filter(col("split") === "test" &&
+        col("r") <= qhat).count()
+      val coverage = covered.toDouble / nTest
+      li.sparkSession.range(1).select(
+        lit(nTrain).as("n_train"), lit(nCal).as("n_cal"),
+        lit(nTest).as("n_test"), lit(0.1).as("alpha"),
+        lit(qhat > 0 && !qhat.isNaN).as("qhat_pos_ok"),
+        // 1-alpha minus ~4 binomial sd at the smallest corpus; the upper
+        // slack absorbs discreteness of the residual distribution
+        lit(coverage >= 0.84 && coverage <= 0.98).as("coverage_ok"))
     }
   )
 }

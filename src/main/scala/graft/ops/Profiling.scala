@@ -557,6 +557,111 @@ object Profiling {
           round(sum(col("n_x") - col("keep")).cast("double")
             / sum(col("n_x")), 6).as("g3"))
         .orderBy(col("fd"))
+    },
+
+    // Heaps' law vocabulary-growth fit — q225's Zipf companion and the
+    // other half of corpus-scaling planning: V(N) ≈ K·N^β predicts how the
+    // vocabulary (type count) grows as the corpus streams in, i.e. how big
+    // the tokenizer/embedding table must be at 10×/100× the data. Docs are
+    // ranked in doc_id order and cut into 10 equal prefixes; each prefix
+    // records cumulative tokens read and cumulative NEW types (a type
+    // counts once, at its first-occurrence prefix), and β/K come from a
+    // log-log OLS over the 10 checkpoints. Scale shape: the doc ranking is
+    // the q130/q225 block-offset pattern (range repartition + per-block
+    // row_number + broadcast offsets — no global-sort funnel); the token
+    // stream reduces twice (per-bucket counts, per-type min bucket) and
+    // every later frame is ≤10 rows. Cross-engine: cum counts are exact
+    // BIGINTs, bucket boundaries are integer `div` arithmetic, and only
+    // the final OLS outputs round.
+    Q("q291_heaps_fit",
+      """WITH dr AS (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (ORDER BY doc_id) AS rn,
+        |         count(*) OVER () AS nd
+        |  FROM documents),
+        |db AS (
+        |  SELECT text,
+        |         CAST(least(((rn - 1) * 10) // nd, 9) AS INT) AS bucket
+        |  FROM dr),
+        |t AS (
+        |  SELECT bucket,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM db),
+        |tc AS (SELECT bucket, count(*) AS n_toks
+        |       FROM t WHERE tok <> '' GROUP BY 1),
+        |ft AS (SELECT tok, min(bucket) AS bucket
+        |       FROM t WHERE tok <> '' GROUP BY 1),
+        |nt AS (SELECT bucket, count(*) AS n_new FROM ft GROUP BY 1),
+        |c AS (
+        |  SELECT b.bucket,
+        |         CAST(sum(coalesce(tc.n_toks, 0))
+        |              OVER (ORDER BY b.bucket) AS BIGINT) AS cum_tokens,
+        |         CAST(sum(coalesce(nt.n_new, 0))
+        |              OVER (ORDER BY b.bucket) AS BIGINT) AS cum_types
+        |  FROM (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket) b
+        |  LEFT JOIN tc USING (bucket) LEFT JOIN nt USING (bucket)),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |         sum(ln(cum_tokens)) AS sx, sum(ln(cum_types)) AS sy,
+        |         sum(ln(cum_tokens) * ln(cum_tokens)) AS sxx,
+        |         sum(ln(cum_tokens) * ln(cum_types)) AS sxy
+        |  FROM c WHERE cum_tokens > 0 AND cum_types > 0)
+        |SELECT c.bucket, c.cum_tokens, c.cum_types,
+        |       round((m.n * m.sxy - m.sx * m.sy)
+        |             / (m.n * m.sxx - m.sx * m.sx), 6) AS heaps_beta,
+        |       round(exp((m.sy - (m.n * m.sxy - m.sx * m.sy)
+        |                          / (m.n * m.sxx - m.sx * m.sx) * m.sx)
+        |                 / m.n), 4) AS heaps_k
+        |FROM c, m ORDER BY c.bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val parted = docs.repartitionByRange(32, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select(col("pid"), col("off"))
+      val wLoc = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      val ranked = parted.join(broadcast(offsets), "pid")
+        .withColumn("rn", col("off") + row_number().over(wLoc))
+        .crossJoin(broadcast(nd))
+        // integer div, not double /: bucket boundaries must be exact at
+        // any corpus size (the oracle's `//`)
+        .withColumn("bucket",
+          least(expr("((rn - 1) * 10) div nd"), lit(9L)).cast("int"))
+        .select(col("bucket"), col("text"))
+      def toks = ranked
+        .select(col("bucket"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val tc = toks.groupBy("bucket").agg(count(lit(1)).as("n_toks"))
+      val nt = toks.groupBy("tok").agg(min(col("bucket")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+      val spine = s.range(0, 10).select(col("id").cast("int").as("bucket"))
+      val wCum = Window.orderBy(col("bucket"))
+      val c = spine.join(tc, Seq("bucket"), "left")
+        .join(nt, Seq("bucket"), "left")
+        .select(col("bucket"),
+          sum(coalesce(col("n_toks"), lit(0L))).over(wCum).cast("long")
+            .as("cum_tokens"),
+          sum(coalesce(col("n_new"), lit(0L))).over(wCum).cast("long")
+            .as("cum_types"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      val m = c.filter(col("cum_tokens") > 0 && col("cum_types") > 0)
+        .select(log(col("cum_tokens").cast("double")).as("x"),
+          log(col("cum_types").cast("double")).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+      c.crossJoin(broadcast(m))
+        .select(col("bucket"), col("cum_tokens"), col("cum_types"),
+          round(slope, 6).as("heaps_beta"),
+          round(exp((col("sy") - slope * col("sx")) / col("n")), 4)
+            .as("heaps_k"))
+        .orderBy(col("bucket"))
     }
   )
 

@@ -992,6 +992,99 @@ object Similarity {
         .select(col("n_docs"), col("n_exact05"),
           (abs(col("bias")) <= 0.1).as("est_unbiased"),
           (col("mae") <= 0.2).as("est_calibrated"))
+    },
+
+    // INT8-quantized brute-force ANN (round 10): symmetric per-vector
+    // quantization (scale = max|x|/127, code = round(x/scale)) and top-10
+    // by the EXACT integer code dot — the memory-bandwidth path of
+    // similarity search (4× smaller vectors; at 100 TB the scan is
+    // bandwidth-bound so the quantized sweep reads a quarter of the
+    // bytes), ranked against the float top-10 for per-query overlap. The
+    // kernel is the new codegen `QuantizedDot` expression (BIGINT
+    // accumulation — no float summation-order hazard anywhere in the
+    // approximate ranking, so it is bit-stable across engines and
+    // partitionings, which is what makes this a FULL-hash oracle: DuckDB
+    // replays the same deterministic quantization and integer fold).
+    // Scale shape: the q33 topology — 5-query slice broadcasts, corpus
+    // streams map-side through the codegen kernels, both rankings prune
+    // through the custom TopKPerKey operator (5th consumer) before any
+    // exchange; the scored frame is |queries|·|corpus| rows of scalars,
+    // never embeddings.
+    Q("q297_int8_ann",
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         list_max(list_transform(embedding,
+        |             x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |cds AS (
+        |  SELECT vec_id, v,
+        |         list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+        |           AS codes
+        |  FROM s WHERE scale > 0),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(range(1, len(q.codes) + 1),
+        |             i -> q.codes[i] * c.codes[i])) AS BIGINT) AS int_dot,
+        |         list_sum(list_transform(range(1, len(q.v) + 1),
+        |             i -> q.v[i] * c.v[i])) AS fdot
+        |  FROM cds q, cds c
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+        |ra AS (
+        |  SELECT query_id, neighbor_id, int_dot,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY int_dot DESC, neighbor_id) AS INT) AS rank
+        |  FROM p),
+        |rf AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |              ORDER BY fdot DESC, neighbor_id) AS rank
+        |  FROM p),
+        |ov AS (
+        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM ra a JOIN rf f
+        |    ON a.query_id = f.query_id AND a.neighbor_id = f.neighbor_id
+        |  WHERE a.rank <= 10 AND f.rank <= 10 GROUP BY 1)
+        |SELECT r.query_id, r.rank, r.neighbor_id, r.int_dot,
+        |       coalesce(ov.n_common, 0) AS n_common
+        |FROM ra r LEFT JOIN ov ON r.query_id = ov.query_id
+        |WHERE r.rank <= 10 ORDER BY r.query_id, r.rank""".stripMargin) { (s, d) =>
+      import graft.functions.ArrayMath
+      val withCodes = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("scale",
+          array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+            / 127.0)
+        .filter(col("scale") > 0)
+        .withColumn("codes", transform(col("embedding"),
+          x => round(x.cast("double") / col("scale"), 0).cast("tinyint")))
+      val q = withCodes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("codes").as("qc"))
+      val c = withCodes.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+          col("codes").as("cc"))
+      val scored = c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("neighbor_id"),
+          ArrayMath.quantDot(col("qc"), col("cc")).as("int_dot"),
+          ArrayMath.dot(col("qv"), col("cv")).as("fdot"))
+        .localCheckpoint(true) // both rankings + the overlap share one pass
+      graft.plans.TopKPerKey.register(s)
+      val approx = graft.plans.TopKPerKey.topK(
+        scored.select("query_id", "neighbor_id", "int_dot"),
+        Seq("query_id"), Seq("int_dot" -> false, "neighbor_id" -> true), 10)
+      val exact = graft.plans.TopKPerKey.topK(
+        scored.select("query_id", "neighbor_id", "fdot"),
+        Seq("query_id"), Seq("fdot" -> false, "neighbor_id" -> true), 10)
+      val overlap = approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).cast("long").as("n_common"))
+      approx
+        .join(broadcast(overlap), Seq("query_id"), "left")
+        .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+          col("int_dot"), coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 

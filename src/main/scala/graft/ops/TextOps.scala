@@ -2126,6 +2126,153 @@ object TextOps {
         .select(col("split"), col("n_docs"), col("n_keys"),
           col("n_straddling"))
         .orderBy(col("split"))
+    },
+
+    // Cross-source duplication flow matrix — WHICH sources copy from which:
+    // the q27 near-dup pair stream (exact 3-gram Jaccard ≥ 0.5) cross-
+    // tabulated by the two endpoints' source labels (canonically ordered so
+    // (a,b) and (b,a) land in one cell). The table a curation team reads
+    // before deciding per-source dedup order: a heavy off-diagonal cell
+    // means one source mirrors another, a heavy diagonal means internal
+    // templating. Scale shape: the pair stream is tiny and BROADCASTS to
+    // the two documents lookups (doc_id, source only — text never moves);
+    // per-cell jaccard extremes use min/max, never an order-sensitive
+    // double sum (the q137 convention).
+    Q("q292_source_dup_matrix",
+      s"""WITH $jaccardCtes,
+        |q AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |         inter / (ca.n_sh + cb.n_sh - inter) AS jac
+        |  FROM p
+        |  JOIN cnt ca ON p.doc_a = ca.doc_id
+        |  JOIN cnt cb ON p.doc_b = cb.doc_id
+        |  WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |x AS (
+        |  SELECT least(da.source, db.source) AS source_1,
+        |         greatest(da.source, db.source) AS source_2, jac
+        |  FROM q
+        |  JOIN documents da ON q.doc_a = da.doc_id
+        |  JOIN documents db ON q.doc_b = db.doc_id)
+        |SELECT source_1, source_2, count(*) AS n_pairs,
+        |       round(min(jac), 4) AS min_jac,
+        |       round(max(jac), 4) AS max_jac
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val pairs = exactJaccardPairs(s, d, minJac = 0.5)
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      broadcast(pairs)
+        .join(src.toDF("doc_a", "sa"), "doc_a")
+        .join(src.toDF("doc_b", "sb"), "doc_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_1"),
+          greatest(col("sa"), col("sb")).as("source_2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min(col("jac_raw")), 4).as("min_jac"),
+          round(max(col("jac_raw")), 4).as("max_jac"))
+        .orderBy(col("source_1"), col("source_2"))
+    },
+
+    // Per-source shingle novelty — the content-level complement of the
+    // q292 pair matrix: of each source's DISTINCT 3-gram shingles, how
+    // many appear in at least one OTHER source (shared boilerplate /
+    // mirrored content) vs are unique to it. High shared-fraction sources
+    // contribute little novel text no matter their row count — the
+    // signal mixture weighting (q103/q108) should see before upsampling.
+    // Scale shape: one shingle explode feeds (a) the per-shingle
+    // distinct-source count — a partial-agg reduction to the shingle
+    // vocabulary, broadcast nothing — and (b) the per-(source, shingle)
+    // distinct frame that joins it back on the shingle key; counts are
+    // exact BIGINTs and the one ratio rounds at the edge.
+    Q("q294_shingle_novelty",
+      s"""WITH $jaccardCtes,
+        |ds AS (
+        |  SELECT DISTINCT d.source, sh.shingle
+        |  FROM sh JOIN documents d USING (doc_id)),
+        |sc AS (
+        |  SELECT shingle, count(*) AS n_src FROM ds GROUP BY 1)
+        |SELECT ds.source,
+        |       count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN sc.n_src > 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_shared,
+        |       round(sum(CASE WHEN sc.n_src > 1 THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+        |FROM ds JOIN sc USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sh = shingles(Tables.documents(s, d), "text", 3)
+      val ds = sh
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), col("shingle")).distinct()
+        .localCheckpoint(true) // feeds the source-count agg AND the join
+      val sc = ds.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n_src"))
+      ds.join(sc, "shingle")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("n_src") > 1, 1).otherwise(0)).cast("long")
+            .as("n_shared"),
+          round(sum(when(col("n_src") > 1, 1).otherwise(0))
+            .cast("double") / count(lit(1)), 6).as("shared_frac"))
+        .orderBy(col("source"))
+    },
+
+    // Classifier reliability table + expected calibration error (ECE) —
+    // the evaluation-methods pattern every learned quality/language
+    // filter needs before its scores gate a corpus: bin a cheap en-ness
+    // score (en-stopword token rate, the q28 family's raw signal) into 10
+    // fixed-width bins and compare each bin's pooled score ("confidence")
+    // against its actual en-label rate ("accuracy"); ECE is the
+    // doc-weighted mean |acc − conf|. A well-calibrated score tracks the
+    // diagonal; this one demonstrably does not — which is exactly what
+    // the table is for. Scale shape: ONE corpus scan reduces to ≤10 rows
+    // (bin boundaries are INTEGER cross-multiplied arithmetic —
+    // (hits·10) div tokens — so no float sits on a bucket edge); conf/acc
+    // are single divisions of exact BIGINTs and ECE folds the ≤10-row
+    // frame. FULL hash.
+    Q("q295_calibration_ece", {
+      val enHits = duckStopHits(stop("en"))
+      s"""WITH t AS (
+        |  SELECT lang, $enHits AS hits,
+        |         len(string_split_regex(trim(lower(text)), '\\s+'))
+        |           AS n_toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST(least((hits * 10) // n_toks, 9) AS INT) AS bin,
+        |         count(*) AS n_docs,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_en,
+        |         CAST(sum(hits) AS BIGINT) AS sum_hits,
+        |         CAST(sum(n_toks) AS BIGINT) AS sum_toks
+        |  FROM t WHERE n_toks > 0 GROUP BY 1)
+        |SELECT bin, n_docs, n_en,
+        |       round(CAST(sum_hits AS DOUBLE) / sum_toks, 6) AS conf,
+        |       round(CAST(n_en AS DOUBLE) / n_docs, 6) AS acc,
+        |       round(sum(abs(CAST(n_en AS DOUBLE) / n_docs
+        |                     - CAST(sum_hits AS DOUBLE) / sum_toks)
+        |                 * n_docs) OVER ()
+        |             / sum(n_docs) OVER (), 6) AS ece
+        |FROM b ORDER BY bin""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .withColumn("_toks", tokens(col("text")))
+        .select(col("lang"), stopHits(col("_toks"), stop("en")).as("hits"),
+          size(col("_toks")).as("n_toks"))
+        .filter(col("n_toks") > 0)
+      val b = t
+        .groupBy(least(expr("(hits * 10) div n_toks"), lit(9L)).cast("int")
+          .as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en", 1).otherwise(0)).cast("long")
+            .as("n_en"),
+          sum(col("hits")).cast("long").as("sum_hits"),
+          sum(col("n_toks")).cast("long").as("sum_toks"))
+      val conf = col("sum_hits").cast("double") / col("sum_toks")
+      val acc = col("n_en").cast("double") / col("n_docs")
+      val wAll = Window.partitionBy()
+      b.select(col("bin"), col("n_docs"), col("n_en"),
+          round(conf, 6).as("conf"), round(acc, 6).as("acc"),
+          round(sum(abs(acc - conf) * col("n_docs")).over(wAll)
+            / sum(col("n_docs")).over(wAll), 6).as("ece"))
+        .orderBy(col("bin"))
     }
   )
 

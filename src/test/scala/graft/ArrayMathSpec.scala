@@ -118,4 +118,48 @@ class ArrayMathSpec extends SparkSpec {
       .collect()
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
+
+  test("quantDot: exact int8 dot, codegen == interpreted == driver fold") {
+    val rnd = new scala.util.Random(11)
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY, and the
+    // kernel deliberately accepts only array<tinyint>
+    val data = Seq.fill(25)((
+      Seq.fill(16)((rnd.nextInt(255) - 127).toByte),
+      Seq.fill(16)((rnd.nextInt(255) - 127).toByte)))
+    val df = data.toDF("a", "b")
+    def run() = df.select(ArrayMath.quantDot(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(withCodegen.sameElements(interpreted))
+    // exact integer reference — no float anywhere
+    val ref = data.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum
+    }
+    assert(withCodegen.sameElements(ref))
+  }
+
+  test("quantDot: ragged pair and null element yield NULL; SQL fn registered") {
+    graft.GraftExtensions.register(spark)
+    val df = Seq(
+      (Seq[Byte](1, 2, 3), Seq[Byte](4, 5, 6)),
+      (Seq[Byte](1, 2), Seq[Byte](4, 5, 6)))
+      .toDF("a", "b")
+    val out = df.select(ArrayMath.quantDot(col("a"), col("b")).as("d")).collect()
+    assert(out(0).getLong(0) == 4 + 10 + 18)
+    assert(out(1).isNullAt(0), "ragged pair must be NULL")
+    val viaSql = df.limit(1).createOrReplaceTempView("qd_t")
+    assert(spark.sql("SELECT graft_qdot(a, b) AS d FROM qd_t")
+      .head().getLong(0) == 32L)
+    // null element → NULL (containsNull=true schema path)
+    val withNull = spark.sql(
+      "SELECT graft_qdot(array(CAST(1 AS TINYINT), CAST(NULL AS TINYINT))," +
+        " array(CAST(1 AS TINYINT), CAST(1 AS TINYINT))) AS d")
+    assert(withNull.head().isNullAt(0))
+  }
 }

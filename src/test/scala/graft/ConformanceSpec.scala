@@ -196,4 +196,35 @@ class ConformanceSpec extends SparkSpec {
       assert(r.getAs[Long]("first_missing") > r.getAs[Long]("key_min"))
     }
   }
+
+  test("q296: frame-exclusion emulation matches a driver brute force") {
+    val rows = run("q296_frame_exclusion").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_scored"), r.get(2), r.get(3))).toMap
+    // brute-force the leave-one-out ±3 frame for three users directly
+    // from the ordered value arrays — an independent formulation of the
+    // same semantics (the oracle separately pins DuckDB's native EXCLUDE)
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val users = ev.select("user_id").distinct()
+      .orderBy("user_id").limit(3).collect().map(_.getLong(0))
+    users.foreach { u =>
+      val vs = ev.filter(col("user_id") === u)
+        .orderBy(col("ts"), col("event_id")).collect()
+        .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      val peer = vs.indices.flatMap { i =>
+        val frame = (math.max(0, i - 3) to math.min(vs.length - 1, i + 3))
+          .filter(_ != i).flatMap(vs(_))
+        if (frame.isEmpty) None
+        else Some(BigDecimal(frame.sum / frame.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val (n, mn, mx) = rows(u)
+      assert(n == peer.size, s"user $u: n_scored $n != brute ${peer.size}")
+      if (peer.nonEmpty) {
+        assert(math.abs(mn.asInstanceOf[Double] - peer.min) < 1e-9)
+        assert(math.abs(mx.asInstanceOf[Double] - peer.max) < 1e-9)
+      }
+    }
+  }
 }

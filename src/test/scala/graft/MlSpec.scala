@@ -111,4 +111,21 @@ class MlSpec extends SparkSpec {
     assert(r.getAs[Long]("n_events") <= r.getAs[Long]("n_subjects"))
     assert(r.getAs[Boolean]("scale_ok") && r.getAs[Boolean]("quantiles_ok"))
   }
+
+  test("conformal interval: split closes on the corpus and coverage holds") {
+    val r = graft.SparkEntry.queries("q293_conformal_interval")(spark, sf0001)
+      .head()
+    val total = Tables.lineitem(spark, sf0001).count()
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") +
+      r.getAs[Long]("n_test") == total,
+      "md5 split must partition lineitem exactly")
+    // 13/16 ~ 81% train, 2/16 cal, 1/16 test — binomial bands at sf0.001
+    assert(r.getAs[Long]("n_train") > total * 0.7)
+    assert(r.getAs[Long]("n_cal") > 0 && r.getAs[Long]("n_test") > 0)
+    assert(r.getAs[Double]("alpha") == 0.1)
+    assert(r.getAs[Boolean]("qhat_pos_ok"),
+      "conformal quantile must be positive and finite")
+    assert(r.getAs[Boolean]("coverage_ok"),
+      "test coverage left the [0.84, 0.98] band around 1 - alpha")
+  }
 }

@@ -262,4 +262,32 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Double]("chao1_richness") >= types.toDouble)
     assert(tokens >= types)
   }
+
+  test("heaps fit: cum curves are monotone and close on the exact totals") {
+    val rows = run("q291_heaps_fit").collect()
+    assert(rows.length == 10, "one row per doc-order decile")
+    val cumT = rows.map(_.getAs[Long]("cum_tokens"))
+    val cumV = rows.map(_.getAs[Long]("cum_types"))
+    assert(cumT.zip(cumT.tail).forall { case (a, b) => a <= b },
+      "cum_tokens must be non-decreasing")
+    assert(cumV.zip(cumV.tail).forall { case (a, b) => a <= b },
+      "cum_types must be non-decreasing")
+    // the final checkpoint IS the whole corpus: totals must equal a direct
+    // tokenize-and-count, and distinct types a direct distinct
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    assert(cumT.last == toks.count(), "final cum_tokens != corpus tokens")
+    assert(cumV.last == toks.distinct().count(),
+      "final cum_types != corpus vocabulary")
+    // vocabulary grows sublinearly in tokens: beta < 1 (beta == 1 would
+    // mean every token is always new); beta == 0 is legal — the sf0.001
+    // corpus's closed vocabulary saturates inside the first decile, which
+    // is exactly what the fit should report there
+    val beta = rows.head.getAs[Double]("heaps_beta")
+    assert(beta >= 0.0 && beta < 1.0, s"Heaps beta out of range: $beta")
+    assert(rows.head.getAs[Double]("heaps_k") > 0.0)
+    assert(rows.map(_.getAs[Double]("heaps_beta")).distinct.length == 1,
+      "beta must repeat identically on every row")
+  }
 }

@@ -192,6 +192,72 @@ class ScalePatternsSpec extends SparkSpec {
     }
   }
 
+  test("sf1 (10x) scale: q62 salting and AQE skew split engage at 6M rows") {
+    // The round-10 scale-proof directive: everything above runs on fixture
+    // or sf0.001 inputs; this case re-proves the two skew defenses on the
+    // 10x-replicated corpus (6M lineitem rows) where an O(n^2) blow-up or
+    // a single stalled reducer would actually show. Canceled (not failed)
+    // when the generated corpus is absent — it is a local artifact, not
+    // driver testdata.
+    val sf1 = "/tmp/sf1"
+    assume(new java.io.File(s"$sf1/lineitem.parquet").exists(),
+      s"sf1 corpus absent — generate with " +
+        "`sbt \"runMain graft.GenScale /root/testdata/sf0.1 /tmp/sf1 10\"`")
+    // (a) the q62 manual salting path at 6M rows still equals the plain
+    // join+aggregate — salting must never change results, only spread them
+    val salted = SparkEntry.queries("q62_salted_join")(spark, sf1)
+      .collect().map(_.toSeq)
+    val plain = Tables.lineitem(spark, sf1)
+      .join(Tables.orders(spark, sf1).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority").collect().map(_.toSeq)
+    assert(salted.sameElements(plain),
+      "salted join diverged from the plain join at sf1")
+    // (b) AQE's runtime skew split on a deliberately hot key: ~60% of the
+    // 6M rows collapse onto key 0, the rest spread over 10k keys. Skew
+    // thresholds sized to the corpus (defaults are 256 MB).
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2MB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // repartition(32) gives the shuffle 32 map outputs — the shape a real
+      // cluster scan has. AQE splits a skewed REDUCE partition by mapper
+      // ranges, so a single-mapper input (one 65 MB parquet file under the
+      // 128 MB split size) is structurally unsplittable and the skew
+      // optimizer correctly declines; with many mappers it engages.
+      val fact = Tables.lineitem(spark, sf1)
+        .select(when(pmod(col("l_orderkey"), lit(5)) < 3, 0L)
+          .otherwise(pmod(col("l_orderkey"), lit(10000L))).as("k"),
+          col("l_extendedprice").as("v"))
+        .repartition(32)
+      val dim = spark.range(0, 10000).select(col("id").as("k"),
+        concat(lit("dim"), col("id")).as("tag")).repartition(8)
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("s"))
+      val result = joined.collect().head // AQE finalizes on execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join at sf1:\n$plan")
+      assert(result.getLong(0) == Tables.lineitem(spark, sf1).count(),
+        "skew-split join lost or duplicated rows")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("explicit BloomPrune: no false negatives, real reduction, join-equivalent") {
     // a bloom may pass strangers (false positives) but must NEVER drop a
     // member — otherwise the pre-filter silently changes join results

@@ -172,4 +172,25 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.mmrSelect(flat, simFlat, k = 9, lambda = 0.7)
       == Vector(4L, 5L))
   }
+
+  test("q297: int8 ranking is complete, ranked, and close to float top-10") {
+    val rows = graft.SparkEntry.queries("q297_int8_ann")(spark, sf0001)
+      .collect()
+    assert(rows.length == 50, "5 queries x top-10")
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 10),
+        s"query $q ranks must be 1..10")
+      // int dots non-increasing down the ranking (exact BIGINTs)
+      val dots = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("int_dot"))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b })
+      // one overlap value per query, and int8 error is small enough that
+      // the quantized top-10 keeps most of the float top-10 (measured 8-9
+      // of 10 at sf0.001/sf0.01 on 64-dim embeddings; 5 is the loud-failure
+      // floor, not the expectation)
+      val common = rs.map(_.getAs[Long]("n_common")).distinct
+      assert(common.length == 1)
+      assert(common.head >= 5 && common.head <= 10,
+        s"query $q: n_common ${common.head} out of [5, 10]")
+    }
+  }
 }

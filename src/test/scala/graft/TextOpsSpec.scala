@@ -451,4 +451,76 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bipartite") == nComp - nOdd)
     assert(r.getAs[Long]("n_nodes") == adj.size)
   }
+
+  test("q292: the source matrix partitions q27's pair stream exactly") {
+    val cells = graft.SparkEntry.queries("q292_source_dup_matrix")(
+      spark, sf0001).collect()
+    val totalPairs = graft.ops.TextOps
+      .exactJaccardPairs(spark, sf0001, minJac = 0.5).count()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum == totalPairs,
+      "matrix cells must partition the >= 0.5 pair stream")
+    cells.foreach { c =>
+      assert(c.getAs[String]("source_1") <= c.getAs[String]("source_2"),
+        "cells must be canonically ordered")
+      assert(c.getAs[Double]("min_jac") >= 0.5 - 1e-9 &&
+        c.getAs[Double]("max_jac") <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q294: unique+shared accounting closes against the shingle table") {
+    val rows = graft.SparkEntry.queries("q294_shingle_novelty")(
+      spark, sf0001).collect()
+    val ds = graft.ops.TextOps
+      .shingles(Tables.documents(spark, sf0001), "text", 3)
+      .join(Tables.documents(spark, sf0001).select("doc_id", "source"),
+        "doc_id")
+      .select("source", "shingle").distinct().cache()
+    try {
+      // per-source totals match the direct distinct counts
+      val direct = ds.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_shingles") == direct(r.getAs[String]("source")))
+        assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_shingles"))
+        val f = r.getAs[Double]("shared_frac")
+        assert(f >= 0.0 && f <= 1.0)
+      }
+      // every single-source shingle is counted unique in EXACTLY one
+      // source: sum(n_shingles - n_shared) == |{shingle : n_src == 1}|
+      val uniqueTotal = rows.map(r =>
+        r.getAs[Long]("n_shingles") - r.getAs[Long]("n_shared")).sum
+      val singleSrc = ds.groupBy("shingle").count()
+        .filter(col("count") === 1).count()
+      assert(uniqueTotal == singleSrc,
+        "unique-shingle accounting must close across sources")
+    } finally ds.unpersist(blocking = false)
+  }
+
+  test("q295: reliability bins partition the corpus; ECE is consistent") {
+    val rows = graft.SparkEntry.queries("q295_calibration_ece")(
+      spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "bins must partition the corpus (every doc has >= 1 token here)")
+    assert(rows.map(_.getAs[Long]("n_en")).sum ==
+      docs.filter(col("lang") === "en").count())
+    rows.foreach { r =>
+      val (c, a) = (r.getAs[Double]("conf"), r.getAs[Double]("acc"))
+      assert(c >= 0.0 && c <= 1.0 && a >= 0.0 && a <= 1.0)
+      assert(r.getAs[Int]("bin") >= 0 && r.getAs[Int]("bin") <= 9)
+    }
+    // one ECE, repeated identically on every row, and it equals the
+    // doc-weighted fold of the per-bin gaps
+    val eces = rows.map(_.getAs[Double]("ece")).distinct
+    assert(eces.length == 1)
+    val n = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    // recompute the fold from the per-bin cells (the rounded conf column
+    // is within 5e-7 of the exact ratio, so a 1e-3 band is generous)
+    val ece = rows.map { r =>
+      val acc = r.getAs[Long]("n_en").toDouble / r.getAs[Long]("n_docs")
+      math.abs(acc - r.getAs[Double]("conf")) * r.getAs[Long]("n_docs")
+    }.sum / n
+    assert(math.abs(eces.head - ece) < 1e-3,
+      s"ECE ${eces.head} inconsistent with per-bin fold $ece")
+  }
 }

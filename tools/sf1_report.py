@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Build BENCH_SF1.md from a sf1 bench run (round-10 scale-smoke artifact).
+
+Usage: python3 tools/sf1_report.py /tmp/bench_sf1.err /tmp/bench_sf1.log BENCH_r09.json
+
+Parses the full-fidelity `[bench] qNN_name N.NNNs` stderr lines of the sf1
+run, joins them against the driver's sf0.1 per-query seconds (BENCH_r09),
+and writes a markdown report: totals, the slowest sf1 entries, and every
+query whose sf1/sf0.1 ratio exceeds the superlinearity threshold (10x data
+should cost <= ~10x on a linear operator; ML fits and fixed-floor streaming
+queries are annotated).
+"""
+import json
+import re
+import sys
+
+err_path, log_path, r9_path = sys.argv[1], sys.argv[2], sys.argv[3]
+
+sf1 = {}
+errors = {}
+for line in open(err_path, encoding="utf-8", errors="replace"):
+    m = re.match(r"\[bench\] (q\d+\S*) ([0-9.]+)s", line)
+    if m:
+        sf1[m.group(1)] = float(m.group(2))
+    m = re.match(r"\[bench\] ERROR (\S+): (.*)", line)
+    if m:
+        errors[m.group(1)] = m.group(2).strip()
+
+machine = None
+for line in open(log_path, encoding="utf-8", errors="replace"):
+    if line.startswith('{"metric"'):
+        machine = json.loads(line)
+
+r9 = json.load(open(r9_path))
+r9q = (r9.get("parsed") or r9).get("queries", {})
+
+
+def num(name):
+    return str(int(name.split("_")[0].lstrip("q")))
+
+
+rows = []
+for name, t1 in sorted(sf1.items()):
+    t01 = r9q.get(num(name))
+    ratio = (t1 / t01) if (t01 and t01 > 0) else None
+    rows.append((name, t01, t1, ratio))
+
+ML = {"q40", "q152", "q153", "q154", "q234", "q41", "q113", "q128", "q293"}
+STREAM_FLOOR = {"q76", "q106", "q114", "q127", "q145", "q146", "q180",
+                "q181", "q197", "q203", "q208", "q213", "q267", "q286"}
+
+
+def tag(name):
+    p = name.split("_")[0]
+    if p in ML:
+        return "ML fit (iterative, MLlib floor)"
+    if p in STREAM_FLOOR:
+        return "streaming (micro-batch floor)"
+    return ""
+
+
+total = sum(t for t in sf1.values() if t > 0)
+out = []
+out.append("# BENCH_SF1 — 10x scale smoke (round 10)\n")
+out.append("Corpus: `/tmp/sf1` = GenScale 10x key-shifted replication of "
+           "`/root/testdata/sf0.1` (6M lineitem rows, 1.5M orders, 500k "
+           "events, 50k documents, 20k embeddings; FK spot-checks clean). "
+           "`SPARK_GRAFT_CPUS=32`, 48g heap, same Bench main the driver "
+           "runs.\n")
+if machine:
+    out.append(f"- sf1 machine line: total {machine['value']}s over "
+               f"{machine['n_queries']} queries, {machine['n_errors']} "
+               "errors\n")
+out.append(f"- stderr-accounted sf1 total: {total:.1f}s over {len(sf1)} "
+           "queries\n")
+r9total = (r9.get("parsed") or r9).get("value")
+out.append(f"- reference point: driver sf0.1 round-9 total {r9total}s "
+           "(290 queries)\n")
+if errors:
+    out.append(f"\n## ERRORS ({len(errors)})\n")
+    for k, v in sorted(errors.items()):
+        out.append(f"- `{k}`: {v}\n")
+else:
+    out.append("- errors at sf1: none\n")
+
+out.append("\n## Slowest 25 at sf1\n")
+out.append("| query | sf0.1 s | sf1 s | ratio | note |\n|---|---|---|---|---|\n")
+for name, t01, t1, ratio in sorted(rows, key=lambda r: -r[2])[:25]:
+    rtxt = f"{ratio:.1f}x" if ratio else "—"
+    out.append(f"| {name} | {t01 if t01 is not None else '—'} | {t1:.1f} | "
+               f"{rtxt} | {tag(name)} |\n")
+
+out.append("\n## Super-linear suspects (ratio > 10x, sf1 > 5s)\n")
+sus = [r for r in rows if r[3] and r[3] > 10 and r[2] > 5]
+if not sus:
+    out.append("none — every query scales at or below the 10x data "
+               "multiplier (within noise)\n")
+else:
+    out.append("| query | sf0.1 s | sf1 s | ratio | note |\n|---|---|---|---|---|\n")
+    for name, t01, t1, ratio in sorted(sus, key=lambda r: -r[3]):
+        out.append(f"| {name} | {t01} | {t1:.1f} | {ratio:.1f}x | "
+                   f"{tag(name)} |\n")
+
+out.append("\n## Ratio distribution (queries with a sf0.1 reference > 0.3s)\n")
+meas = [r for r in rows if r[3] and r[1] and r[1] > 0.3]
+if meas:
+    import statistics
+    ratios = sorted(r[3] for r in meas)
+    out.append(f"- n={len(ratios)}, median {statistics.median(ratios):.1f}x, "
+               f"p90 {ratios[int(0.9 * len(ratios))]:.1f}x, "
+               f"max {ratios[-1]:.1f}x\n")
+    out.append("- sub-10x median on a 10x corpus = fixed per-query session "
+               "costs still dominate many entries; the interesting signal "
+               "is the tail above.\n")
+
+with open("BENCH_SF1.md", "w") as f:
+    f.writelines(out)
+json.dump({"sf": 1, "total_sec": round(total, 1),
+           "n_queries": len(sf1), "n_errors": len(errors),
+           "queries": {num(k): round(v, 2) for k, v in sorted(sf1.items())},
+           "errors": errors},
+          open("BENCH_SF1.json", "w"), indent=0)
+print(f"wrote BENCH_SF1.md / BENCH_SF1.json: {len(sf1)} queries, "
+      f"{len(errors)} errors, total {total:.1f}s")
