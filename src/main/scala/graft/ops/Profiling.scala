@@ -633,11 +633,17 @@ object Profiling {
         .withColumn("bucket",
           least(expr("((rn - 1) * 10) div nd"), lit(9L)).cast("int"))
         .select(col("bucket"), col("text"))
-      def toks = ranked
+      // ONE tokenize+explode, reduced map-side to the (bucket, token)
+      // frame (≤ 10×|vocabulary| rows); both the per-bucket token totals
+      // and the per-type first-bucket reduction then run on that compact
+      // frame instead of re-scanning the token stream
+      val g = ranked
         .select(col("bucket"), explode(TextOps.tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
-      val tc = toks.groupBy("bucket").agg(count(lit(1)).as("n_toks"))
-      val nt = toks.groupBy("tok").agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket"), col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val tc = g.groupBy("bucket").agg(sum(col("c")).as("n_toks"))
+      val nt = g.groupBy("tok").agg(min(col("bucket")).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n_new"))
       val spine = s.range(0, 10).select(col("id").cast("int").as("bucket"))
       val wCum = Window.orderBy(col("bucket"))
