@@ -28,6 +28,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Contention tripwire: a bench sharing the box with another heavy JVM
+    // measures the weather, not the code (BENCH_r10 was contaminated by a
+    // stray 32-thread sf1 run). Warn loudly when the 1-min load average
+    // already exceeds half the requested cores at startup.
+    try {
+      val load1 = scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      if (load1 > cpus.toInt / 2.0)
+        System.err.println(s"[bench] WARNING: 1-min load average $load1 at startup " +
+          s"with local[$cpus] requested — results will reflect CPU contention, not code")
+    } catch { case _: Throwable => () }
     // Warm-up (uncounted): first query in a fresh JVM otherwise absorbs
     // one-time costs — noop-sink init, codegen/JIT, parquet footer reads —
     // that belong to the session, not that query. Warm against the BENCH
@@ -81,6 +92,12 @@ object Bench {
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         recordError: Boolean): Double = {
+      // Flushed start marker BEFORE the work: a query that crashes the JVM
+      // or hangs past the driver's timeout is attributable from stderr.
+      // Round 10's sf1 probe had an unattributable keyed-sum overflow
+      // precisely because only the completion line existed.
+      System.err.println(s"[bench] start $name")
+      System.err.flush()
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column. A bare
       // count() lets Catalyst prune expensive expressions (a global

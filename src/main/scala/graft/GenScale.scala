@@ -104,6 +104,11 @@ object GenScale {
     Tables.names.foreach { t =>
       val base = Tables.load(spark, src, t)
       val keys = keyCols(t)
+      // rotation by r >= dim would produce a negative slice length
+      // (runtime failure with no pointer at the cause) or, at r == dim,
+      // a degenerate identity rotation — guard once per table, lazily
+      // (only the embeddings branch forces it)
+      lazy val embDim = base.selectExpr("min(size(embedding))").head().getInt(0)
       val scaled =
         if (keys.isEmpty || mult == 1) base
         else (0 until mult).map { i =>
@@ -118,6 +123,9 @@ object GenScale {
               shifted.withColumn("text",
                 regexp_replace(col("text"), "(\\S+)", s"r$r$$1"))
             case ("embeddings", r) if r > 0 =>
+              require(mult - 1 < embDim,
+                s"mult=$mult needs rotation offsets up to ${mult - 1} but the " +
+                  s"embedding dim is only $embDim; replica rotations would wrap")
               shifted.withColumn("embedding", concat(
                 slice(col("embedding"), lit(r + 1),
                   size(col("embedding")) - lit(r)),
@@ -129,8 +137,11 @@ object GenScale {
       val tmp = s"$out/_tmp_$t"
       scaled.coalesce(1).write.mode("overwrite").parquet(tmp)
       import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .iterator().asScala.filter(_.toString.endsWith(".parquet")).next()
+      // close the directory stream (fd leak otherwise — one per table)
+      val part = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { st =>
+        st.iterator().asScala.filter(_.toString.endsWith(".parquet")).next()
+      }
       java.nio.file.Files.move(part,
         java.nio.file.Paths.get(s"$out/$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

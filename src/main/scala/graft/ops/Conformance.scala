@@ -657,37 +657,53 @@ object Conformance {
     // Spark emulation: subtract the current row from the INCLUSIVE frame's
     // sum/count, honoring NULL semantics (a NULL value contributes to
     // neither; an all-NULL-after-exclusion frame yields NULL, like the
-    // native avg over an empty exclusion frame). Per-user min/max of the
-    // per-row rounded averages keep the output at |users| rows with only
-    // order-insensitive aggregation over the rounded values. One user_id
-    // exchange serves the window and the final group-by.
+    // native avg over an empty exclusion frame). Cross-engine float
+    // safety (round-11): values enter as EXACT integer cents, so the
+    // inclusive-sum-minus-current emulation is integer-exact and the only
+    // float op left is ONE division of identical integer operands in both
+    // engines — the ulp-level cancellation a double-sum emulation carries
+    // (a peer_avg landing on a .00005 boundary at 4-dp rounding could
+    // diverge from the native 6-peer sum) is structurally impossible.
+    // The oracle spells the native frame as sum/count (not avg) so DuckDB
+    // also divides the exact integer pair rather than its own running
+    // accumulation. Per-user min/max of the per-row rounded averages keep
+    // the output at |users| rows with only order-insensitive aggregation
+    // over the rounded values. One user_id exchange serves the window and
+    // the final group-by.
     Q("q296_frame_exclusion",
-      """WITH w AS (
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
         |  SELECT user_id,
-        |         round(avg(value) OVER (
-        |           PARTITION BY user_id ORDER BY ts, event_id
-        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
-        |           EXCLUDE CURRENT ROW), 4) AS peer_avg
-        |  FROM events)
+        |         round(CAST(sum(cents) OVER x AS DOUBLE)
+        |               / count(cents) OVER x, 4) AS peer_avg_cents
+        |  FROM e
+        |  WINDOW x AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+        |               EXCLUDE CURRENT ROW))
         |SELECT user_id,
-        |       CAST(count(peer_avg) AS BIGINT) AS n_scored,
-        |       round(min(peer_avg), 4) AS min_peer,
-        |       round(max(peer_avg), 4) AS max_peer
+        |       CAST(count(peer_avg_cents) AS BIGINT) AS n_scored,
+        |       round(min(peer_avg_cents), 4) AS min_peer_cents,
+        |       round(max(peer_avg_cents), 4) AS max_peer_cents
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(-3, 3)
-      val exclSum = sum(col("value")).over(w) - coalesce(col("value"), lit(0.0))
-      val exclCnt = count(col("value")).over(w) -
-        when(col("value").isNotNull, 1L).otherwise(0L)
+      val cents = round(col("value") * 100, 0).cast("long")
+      val exclSum = sum(cents).over(w) - coalesce(cents, lit(0L))
+      val exclCnt = count(cents).over(w) -
+        when(cents.isNotNull, 1L).otherwise(0L)
       Tables.events(s, d)
         .select(col("user_id"),
-          round(when(exclCnt > 0, exclSum / exclCnt), 4).as("peer_avg"))
+          round(when(exclCnt > 0, exclSum.cast("double") / exclCnt), 4)
+            .as("peer_avg_cents"))
         .groupBy(col("user_id"))
-        .agg(count(col("peer_avg")).cast("long").as("n_scored"),
-          round(min(col("peer_avg")), 4).as("min_peer"),
-          round(max(col("peer_avg")), 4).as("max_peer"))
+        .agg(count(col("peer_avg_cents")).cast("long").as("n_scored"),
+          round(min(col("peer_avg_cents")), 4).as("min_peer_cents"),
+          round(max(col("peer_avg_cents")), 4).as("max_peer_cents"))
         .orderBy(col("user_id"))
     }
   )

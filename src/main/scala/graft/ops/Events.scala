@@ -437,8 +437,11 @@ object Events {
       // check, which would not compose across micro-batches anyway.
       val idChk = sum(pmod(xxhash64(col("event_id")), lit(1L << 31)))
         .cast("long")
+      // full-width XOR fold alongside the sum (see q145's rationale)
+      val idXor = bit_xor(xxhash64(col("event_id"))).cast("long")
       val st = EventStreams.runFolded(s, feed.select(col("event_id")),
-        Seq(count(lit(1)), idChk), shufflePartitions = Some(8))
+        Seq(count(lit(1)), idChk, idXor), shufflePartitions = Some(8),
+        combine = Seq(_ + _, _ + _, _ ^ _))
       // the dedup passing is only evidence if duplicates actually flowed:
       // count the PRE-dedup stream too (a glob/source regression that fed
       // each event once would otherwise green-light an unexercised path)
@@ -449,10 +452,11 @@ object Events {
           countDistinct(col("event_id")).as("n_unique"),
           // n_rows===n_unique (asserted below via n_stream) makes this
           // the checksum of the DISTINCT id set
-          idChk.as("id_chk"))
+          idChk.as("id_chk"), idXor.as("id_xor"))
         .select(col("n_unique"),
           (lit(st(0)) === col("n_unique") &&
             lit(st(1)) === col("id_chk") &&
+            lit(st(2)) === col("id_xor") &&
             lit(st(0)) === col("n_rows") &&
             lit(nFeed) === col("n_rows") * 2).as("dedup_ok"))
     },
@@ -720,17 +724,25 @@ object Events {
       val chkCols = Seq(col("user_id"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")))
       val chk = sum(pmod(xxhash64(chkCols: _*), lit(1L << 31))).cast("long")
+      // a bit_xor of the FULL-width hash rides alongside the sum: a
+      // differing and a phantom row could in principle cancel in one sum,
+      // but simultaneously cancelling an additive and an XOR fold of
+      // independent 64-bit hashes is vanishingly unlikely
+      val xchk = bit_xor(xxhash64(chkCols: _*)).cast("long")
       val st = withRocksDbStateStore(s) {
         EventStreams.runFolded(s,
           TwsPatterns.run(s, EventStreams.readEvents(s, d)).toDF(),
-          Seq(count(lit(1)), chk), shufflePartitions = Some(8))
+          Seq(count(lit(1)), chk, xchk), shufflePartitions = Some(8),
+          combine = Seq(_ + _, _ + _, _ ^ _))
       }
-      val b = batch.agg(count(lit(1)), chk).head()
+      val b = batch.agg(count(lit(1)), chk, xchk).head()
       require(st(0) == b.getLong(0) &&
-        st(1) == (if (b.isNullAt(1)) 0L else b.getLong(1)),
-        s"q145 stream/batch divergence: streamed (n=${st(0)}, chk=${st(1)})" +
-          s" vs batch (n=${b.getLong(0)}) — the transformWithState pattern" +
-          " matcher and the window-lag reference disagree")
+        st(1) == (if (b.isNullAt(1)) 0L else b.getLong(1)) &&
+        st(2) == (if (b.isNullAt(2)) 0L else b.getLong(2)),
+        s"q145 stream/batch divergence: streamed (n=${st(0)}, chk=${st(1)}," +
+          s" xor=${st(2)}) vs batch (n=${b.getLong(0)}) — the" +
+          " transformWithState pattern matcher and the window-lag" +
+          " reference disagree")
       batch.orderBy("user_id", "event_id")
     },
 
@@ -791,17 +803,22 @@ object Events {
         unix_micros(col("ts").cast("timestamp")),
         col("n_views"), col("n_clicks"))
       val chk = sum(pmod(xxhash64(chkCols: _*), lit(1L << 31))).cast("long")
+      // full-width XOR fold alongside the sum (see q145's rationale)
+      val xchk = bit_xor(xxhash64(chkCols: _*)).cast("long")
       val st = withRocksDbStateStore(s) {
         EventStreams.runFolded(s,
           TwsAttribution.run(s, EventStreams.readEvents(s, d)).toDF(),
-          Seq(count(lit(1)), chk), shufflePartitions = Some(8))
+          Seq(count(lit(1)), chk, xchk), shufflePartitions = Some(8),
+          combine = Seq(_ + _, _ + _, _ ^ _))
       }
-      val b = batch.agg(count(lit(1)), chk).head()
+      val b = batch.agg(count(lit(1)), chk, xchk).head()
       require(st(0) == b.getLong(0) &&
-        st(1) == (if (b.isNullAt(1)) 0L else b.getLong(1)),
-        s"q146 stream/batch divergence: streamed (n=${st(0)}, chk=${st(1)})" +
-          s" vs batch (n=${b.getLong(0)}) — the transformWithState" +
-          " attribution and the windowed-group reference disagree")
+        st(1) == (if (b.isNullAt(1)) 0L else b.getLong(1)) &&
+        st(2) == (if (b.isNullAt(2)) 0L else b.getLong(2)),
+        s"q146 stream/batch divergence: streamed (n=${st(0)}, chk=${st(1)}," +
+          s" xor=${st(2)}) vs batch (n=${b.getLong(0)}) — the" +
+          " transformWithState attribution and the windowed-group" +
+          " reference disagree")
       batch.orderBy("user_id", "event_id")
     },
 

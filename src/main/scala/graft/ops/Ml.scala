@@ -598,6 +598,11 @@ object Ml {
       // k = ceil((1-alpha) * (n_cal + 1))
       val k = math.ceil(0.9 * (nCal + 1)).toLong
       require(k <= nCal, s"n_cal=$nCal too small for alpha=0.1")
+      // same corpus-dependence hazard on the test split: n_test = 0 would
+      // make coverage NaN and fail the oracle's hardcoded TRUE as an opaque
+      // hash mismatch — fail loudly at the cause instead
+      require(nTest > 0,
+        s"n_test=$nTest — the md5 split left no test rows at this corpus size")
       val parted = scored.filter(col("split") === "cal").select(col("r"))
         .repartitionByRange(16, col("r"))
         .withColumn("pid", spark_partition_id())

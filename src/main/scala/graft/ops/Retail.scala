@@ -349,9 +349,12 @@ object Retail {
     // remainders (F·h mod R), ties to the lower nation key. Scale shape:
     // the fact table reduces to one row per nation in a partial-aggregated
     // scan; every window runs on that ≤|nations| frame partitioned by
-    // region. (F·h stays in BIGINT through ~30× this corpus' top SF;
-    // beyond that the two mul/div steps move to DECIMAL(38,0) —
-    // DuckDB's HUGEINT already covers it.)
+    // region. The F·h product scales QUADRATICALLY with data (both factors
+    // are linear in revenue): at sf1 it reaches ~4e20 > 2^63 and crashed
+    // the round-10 scale smoke as a BIGINT — so the two mul/div steps run
+    // in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), which holds to ~1e38,
+    // i.e. ~1e9× this corpus' revenue. Only base/frac/alloc — all < rtot
+    // or < fcast, linear quantities — come back down to BIGINT.
     Q("q178_topdown_allocation",
       """WITH nt AS (
         |  SELECT n_regionkey AS rk, c_nationkey AS nk,
@@ -366,8 +369,8 @@ object Retail {
         |  FROM nt GROUP BY 1),
         |a AS (
         |  SELECT nt.rk, nk, hist, rtot, fcast,
-        |         CAST((fcast * hist) // rtot AS BIGINT) AS base,
-        |         CAST((fcast * hist) % rtot AS BIGINT) AS frac
+        |         CAST((CAST(fcast AS HUGEINT) * hist) // rtot AS BIGINT) AS base,
+        |         CAST((CAST(fcast AS HUGEINT) * hist) % rtot AS BIGINT) AS frac
         |  FROM nt JOIN rt ON nt.rk = rt.rk),
         |rmd AS (
         |  SELECT rk, CAST(max(fcast) - sum(base) AS BIGINT) AS extra
@@ -402,8 +405,9 @@ object Retail {
           expr("CAST((sum(hist) * 107) div 100 AS BIGINT)").as("fcast"))
       val a = nt.join(broadcast(rt), "rk")
         .withColumn("base",
-          expr("CAST((fcast * hist) div rtot AS BIGINT)"))
-        .withColumn("frac", expr("CAST((fcast * hist) % rtot AS BIGINT)"))
+          expr("CAST((CAST(fcast AS DECIMAL(38,0)) * hist) div rtot AS BIGINT)"))
+        .withColumn("frac",
+          expr("CAST((CAST(fcast AS DECIMAL(38,0)) * hist) % rtot AS BIGINT)"))
       val rmd = a.groupBy(col("rk"))
         .agg((max(col("fcast")) - sum(col("base"))).cast("long").as("extra"))
       val rn = org.apache.spark.sql.functions.row_number()

@@ -129,8 +129,12 @@ object EventStreams {
   private def landSingle(df: DataFrame, dir: String): Unit = {
     df.coalesce(1).write.mode("overwrite").parquet(dir)
     import scala.jdk.CollectionConverters._
-    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    // Files.list holds the directory fd until the stream is closed —
+    // multi-landing replays in a long-lived JVM would leak one per batch
+    val parts = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir))) { st =>
+      st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
     require(parts == 1,
       s"file-replay landing at $dir produced $parts parquet part files; " +
         "the one-file-per-batch replay contract (watermark ordering under " +
@@ -184,8 +188,16 @@ object EventStreams {
     */
   def runFolded(spark: SparkSession, rows: DataFrame, aggs: Seq[Column],
       shufflePartitions: Option[Int] = None,
-      feed: StreamingQuery => Unit = _.processAllAvailable()): Seq[Long] = {
+      feed: StreamingQuery => Unit = _.processAllAvailable(),
+      // cross-batch combiner per aggregate (default: +). A bit_xor
+      // aggregate must fold with ^ across micro-batches — XOR's identity
+      // is also 0, so the zero-initialised totals work for both.
+      combine: Seq[(Long, Long) => Long] = Nil): Seq[Long] = {
     require(aggs.nonEmpty)
+    require(combine.isEmpty || combine.size == aggs.size,
+      s"combine (${combine.size}) must match aggs (${aggs.size}) when given")
+    val comb: Array[(Long, Long) => Long] =
+      if (combine.isEmpty) Array.fill(aggs.size)(_ + _) else combine.toArray
     val totals = Array.fill(aggs.size)(0L)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -202,7 +214,7 @@ object EventStreams {
           val r = reduced.head()
           var i = 0
           while (i < totals.length) {
-            if (!r.isNullAt(i)) totals(i) += r.getLong(i)
+            if (!r.isNullAt(i)) totals(i) = comb(i)(totals(i), r.getLong(i))
             i += 1
           }
         }

@@ -443,4 +443,63 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"no broadcast join in the scoring path:\n$p")
   }
+
+  test("global (unpartitioned) windows only ever run on bounded frames (repo-wide)") {
+    // A WindowExec with an empty partitionSpec requires SinglePartition:
+    // the whole input funnels through ONE sorting task. That is only
+    // acceptable when the input is a bounded frame — post-aggregation
+    // output (day/month/bucket spines, per-key reductions), a checkpointed
+    // reduction (localCheckpoint(true) of a ≤|keys| frame — plans read it
+    // back as an ExistingRDD scan), a top-k, or a literal/local relation.
+    // A raw-table global window would be a 100 TB single-task sort. This
+    // sweep walks every registered query's pre-AQE physical plan and
+    // demands bounded-cardinality evidence on EVERY leaf path below every
+    // global window (the round-10 sf1 log showed 426 single-partition
+    // WindowExec warnings; this pin proves each one is a bounded frame,
+    // not an accident).
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // bounded-cardinality evidence, leaf-ward: an aggregate bounds its
+    // output by its group count; a limit/top-k bounds it literally; a
+    // LocalTableScan/Range is a driver-built spine; an ExistingRDD scan is
+    // a localCheckpoint — the repo convention (comment-pinned at each
+    // site) is that only reduced frames are ever checkpointed. Everything
+    // else (project/filter/generate/join/union/exchange/sort/window)
+    // passes the question through to ALL its children.
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => true
+      case _: LocalTableScanExec | _: RDDScanExec | _: RangeExec => true
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: LocalLimitExec | _: CollectLimitExec => true
+      case _: WindowGroupLimitExec => true
+      case s: FileSourceScanExec => false
+      case other =>
+        other.children.nonEmpty && other.children.forall(bounded)
+    }
+    // model fits / full streaming runs are excluded for test-minute cost,
+    // exactly like the cartesian sweep above; their windows run on frames
+    // pinned by their own specs
+    val heavyEager = Set("q40_rf_regression", "q41_kmeans_embeddings",
+      "q76_stream_sessions", "q106_stream_dedup",
+      "q127_tws_sessions", "q128_walmart_dag")
+    var seen = 0
+    val offenders = SparkEntry.registry
+      .filterNot(q => heavyEager(q.name)).flatMap { q =>
+        val plan = q.fn(spark, sf0001).queryExecution.sparkPlan
+        val globals = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        seen += globals.size
+        if (globals.exists(w => !bounded(w.child))) Some(q.name) else None
+      }
+    assert(offenders.isEmpty,
+      s"global window over an unbounded frame in: ${offenders.mkString(", ")}")
+    // vacuity guard: the registry HAS global-window plans (rank CDFs, day
+    // spines, top-k lists) — zero sightings would mean the sweep stopped
+    // looking (e.g. an API change hid WindowExec), not that the repo is clean
+    assert(seen > 0, "sweep saw no global WindowExec at all — detector broken?")
+  }
 }
