@@ -108,7 +108,12 @@ object GenScale {
       // (runtime failure with no pointer at the cause) or, at r == dim,
       // a degenerate identity rotation — guard once per table, lazily
       // (only the embeddings branch forces it)
-      lazy val embDim = base.selectExpr("min(size(embedding))").head().getInt(0)
+      lazy val embDim = {
+        val v = base.selectExpr("min(size(embedding))").head().getAs[Any](0)
+        require(v != null, s"table '$t': min(size(embedding)) is NULL — " +
+          "empty table or all-NULL embedding column; cannot derive dim")
+        v.asInstanceOf[Int]
+      }
       val scaled =
         if (keys.isEmpty || mult == 1) base
         else (0 until mult).map { i =>

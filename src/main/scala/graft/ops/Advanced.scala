@@ -868,10 +868,11 @@ object Advanced {
     // row_number tie-break never moves the sum. Ranking is the q130
     // topology (range partitions + per-partition row_number + broadcast
     // block offsets): no per-customer row crosses a SinglePartition
-    // exchange. The rank·cents sum fits int64 through ~10⁷ customers ×
-    // ~10⁹ cents; past that, switch the accumulator to DECIMAL(38,0) —
-    // the topology is unchanged. Floats appear only in the 3 final
-    // divisions, identical operand grouping both engines.
+    // exchange. The rank·cents sum grows QUADRATICALLY with customer
+    // count (Σrk·m ≈ m̄·n²/2 ≈ 1.7e16 at sf1 → int64 gone by ~sf23), so
+    // it accumulates in DECIMAL(38,0) / HUGEINT; it is only ever read
+    // back as a double in the gini division. Floats appear only in the
+    // 3 final divisions, identical operand grouping both engines.
     Q("q161_revenue_concentration",
       """WITH c AS (
         |  SELECT o_custkey AS ck,
@@ -882,7 +883,7 @@ object Advanced {
         |  SELECT ck, m, row_number() OVER (ORDER BY m, ck) AS rk FROM c),
         |t AS (
         |  SELECT count(*) AS n, CAST(sum(m) AS BIGINT) AS total,
-        |         CAST(sum(rk * m) AS BIGINT) AS s
+        |         sum(CAST(rk * m AS HUGEINT)) AS s
         |  FROM r),
         |s1 AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS top1_cents
         |       FROM r, t WHERE rk > n - n // 100),
@@ -915,7 +916,7 @@ object Advanced {
         .localCheckpoint(true)
       val t = ranked.agg(count(lit(1)).as("n"),
         sum(col("m")).cast("long").as("total"),
-        sum(col("rk") * col("m")).cast("long").as("s"))
+        sum((col("rk") * col("m")).cast("decimal(38,0)")).as("s"))
       def topShare(div: Int, out: String) = ranked
         .crossJoin(broadcast(t.select(col("n"))))
         .filter(col("rk") > col("n") - expr(s"n div $div"))

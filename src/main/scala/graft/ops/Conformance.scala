@@ -661,9 +661,11 @@ object Conformance {
     // safety (round-11): values enter as EXACT integer cents, so the
     // inclusive-sum-minus-current emulation is integer-exact and the only
     // float op left is ONE division of identical integer operands in both
-    // engines — the ulp-level cancellation a double-sum emulation carries
-    // (a peer_avg landing on a .00005 boundary at 4-dp rounding could
-    // diverge from the native 6-peer sum) is structurally impossible.
+    // engines — both engines then round() the same input doubles; only
+    // the round() implementations differ (Spark's BigDecimal HALF_UP on
+    // the shortest decimal repr vs DuckDB's scaled-double round), a far
+    // narrower channel than the ulp-level cancellation a double-sum
+    // emulation carries.
     // The oracle spells the native frame as sum/count (not avg) so DuckDB
     // also divides the exact integer pair rather than its own running
     // accumulation. Per-user min/max of the per-row rounded averages keep

@@ -898,7 +898,7 @@ object Events {
         |  FROM events WHERE event_type = 'purchase'),
         |g AS (
         |  SELECT v, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
-        |         CAST(sum(cents * cents) AS BIGINT) AS s2
+        |         sum(CAST(cents * cents AS HUGEINT)) AS s2
         |  FROM p GROUP BY 1),
         |w AS (
         |  SELECT
@@ -931,7 +931,11 @@ object Events {
           round(col("value") * 100, 0).cast("long").as("cents"))
       val g = p.groupBy(col("v"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("s"),
-          sum(col("cents") * col("cents")).cast("long").as("s2"))
+          // Σcents² over HALF the purchase corpus grows linearly with SF
+          // (~1e17 at sf1) — DECIMAL(38,0) / HUGEINT removes the BIGINT
+          // ceiling; downstream reads it as DOUBLE, outputs unchanged.
+          sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+            .as("s2"))
       val w = g.agg(
         max(when(col("v") === 0, col("n"))).as("n_a"),
         max(when(col("v") === 0, col("s"))).as("sum_a_cents"),
@@ -1975,9 +1979,9 @@ object Events {
         |  SELECT a.day, count(*) AS n,
         |         CAST(sum(b.v) AS BIGINT) AS sv,
         |         CAST(sum(b.p) AS BIGINT) AS sp,
-        |         CAST(sum(b.v * b.v) AS BIGINT) AS svv,
-        |         CAST(sum(b.p * b.p) AS BIGINT) AS spp,
-        |         CAST(sum(b.v * b.p) AS BIGINT) AS svp
+        |         sum(CAST(b.v * b.v AS HUGEINT)) AS svv,
+        |         sum(CAST(b.p * b.p AS HUGEINT)) AS spp,
+        |         sum(CAST(b.v * b.p AS HUGEINT)) AS svp
         |  FROM days a JOIN days b
         |    ON b.day BETWEEN a.day - 27 AND a.day
         |  GROUP BY 1)
@@ -2005,12 +2009,16 @@ object Events {
         .agg(count(lit(1)).as("n"),
           sum(col("v")).cast("long").as("sv"),
           sum(col("p")).cast("long").as("sp"),
-          sum(col("v") * col("v")).cast("long").as("svv"),
-          sum(col("p") * col("p")).cast("long").as("spp"),
-          sum(col("v") * col("p")).cast("long").as("svp"))
-      val num = col("n") * col("svp") - col("sv") * col("sp")
-      val dv = col("n") * col("svv") - col("sv") * col("sv")
-      val dp = col("n") * col("spp") - col("sp") * col("sp")
+          // daily counts scale linearly with SF, so their squared sums
+          // scale quadratically — DECIMAL(38,0) / HUGEINT accumulators
+          // keep the sufficient sums exact at any SF.
+          sum((col("v") * col("v")).cast("decimal(38,0)")).as("svv"),
+          sum((col("p") * col("p")).cast("decimal(38,0)")).as("spp"),
+          sum((col("v") * col("p")).cast("decimal(38,0)")).as("svp"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val num = col("n") * col("svp") - dec(col("sv")) * col("sp")
+      val dv = col("n") * col("svv") - dec(col("sv")) * col("sv")
+      val dp = col("n") * col("spp") - dec(col("sp")) * col("sp")
       w.select(col("day"), col("n").cast("long").as("n_win"),
           when(col("n") >= 3 && dv > 0 && dp > 0,
             round(num / (sqrt(dv.cast("double")) * sqrt(dp.cast("double"))),

@@ -405,25 +405,27 @@ object Stats {
         |                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy,
         |         CAST(sum(CAST(l_quantity AS BIGINT)
         |                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
-        |SELECT p_brand, n,
-        |       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
-        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-        |            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |dd AS (
+        |  SELECT p_brand, n,
+        |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cn,
+        |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+        |         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy,
+        |         CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS ic
+        |  FROM st)
+        |SELECT p_brand, n, CAST(cn AS BIGINT) AS cov_num,
+        |       CASE WHEN dx = 0 THEN NULL
+        |            ELSE round(CAST(cn AS DOUBLE) / CAST(dx AS DOUBLE), 6)
         |       END AS slope,
-        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-        |            ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-        |                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        |       CASE WHEN dx = 0 THEN NULL
+        |            ELSE round(CAST(ic AS DOUBLE) / CAST(dx AS DOUBLE), 6)
         |       END AS intercept,
-        |       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
-        |            THEN NULL
-        |            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |                       * CAST(n * sxy - sx * sy AS DOUBLE)
-        |                       / (CAST(n * sxx - sx * sx AS DOUBLE)
-        |                          * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+        |            ELSE round(CAST(cn AS DOUBLE) * CAST(cn AS DOUBLE)
+        |                       / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)),
+        |                       6)
         |       END AS r2
-        |FROM st ORDER BY p_brand""".stripMargin) { (s, d) =>
+        |FROM dd ORDER BY p_brand""".stripMargin) { (s, d) =>
       val x = round(col("l_discount") * 100, 0).cast("long")
       val y = col("l_quantity").cast("long")
       val st = Tables.lineitem(s, d)
@@ -437,20 +439,23 @@ object Stats {
           sum(x * x).cast("long").as("sxx"),
           sum(x * y).cast("long").as("sxy"),
           sum(y * y).cast("long").as("syy"))
-      val denX = col("n") * col("sxx") - col("sx") * col("sx")
-      val denY = col("n") * col("syy") - col("sy") * col("sy")
-      val covN = col("n") * col("sxy") - col("sx") * col("sy")
+      // the six sufficient sums are linear in group size (safe BIGINTs to
+      // ~sf1e9), but the n·Σxy-style PRODUCTS grow quadratically (~1.4e14
+      // per brand at sf1 → BIGINT gone by ~sf250) — form them in
+      // DECIMAL(38,0) / HUGEINT and only then drop to double
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val denX = dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx")
+      val denY = dec(col("n")) * col("syy") - dec(col("sy")) * col("sy")
+      val covN = dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy")
       st.select(col("p_brand"), col("n"),
           covN.cast("long").as("cov_num"),
           when(denX === 0, lit(null))
             .otherwise(round(covN.cast("double") / denX.cast("double"), 6))
             .as("slope"),
           when(denX === 0, lit(null))
-            .otherwise(round((col("sy") * col("sxx")
-              - col("sx") * col("sxy")).cast("double")
+            .otherwise(round((dec(col("sy")) * col("sxx")
+              - dec(col("sx")) * col("sxy")).cast("double")
               / denX.cast("double"), 6)).as("intercept"),
-          // each variance factor tested separately: their PRODUCT overflows
-          // long at ~600k rows/group even though each factor is safe
           when(denX === 0 || denY === 0, lit(null))
             .otherwise(round(covN.cast("double") * covN.cast("double")
               / (denX.cast("double") * denY.cast("double")), 6)).as("r2"))
@@ -1115,8 +1120,9 @@ object Stats {
         |         CAST(month(o_orderdate) AS INT) AS mo,
         |         count(*) AS n,
         |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s,
-        |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
-        |             * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s2
+        |         sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |             * CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |             AS HUGEINT)) AS s2
         |  FROM orders GROUP BY 1, 2),
         |t AS (
         |  SELECT CAST(sum(n) AS BIGINT) AS nn,
@@ -1153,7 +1159,10 @@ object Stats {
         .groupBy(dayofweek(col("o_orderdate")).cast("int").as("dw"),
           month(col("o_orderdate")).cast("int").as("mo"))
         .agg(count(lit(1)).as("n"), sum(cents).as("s"),
-          sum(cents * cents).as("s2"))
+          // per-row cents² ≈ 3e15 fits BIGINT; the SUM does not at sf≥1
+          // (~18k orders/cell × 3e15 ≈ 5e19 > 2⁶³) — accumulate in
+          // DECIMAL(38,0), mirroring the oracle's HUGEINT.
+          sum((cents * cents).cast("decimal(38,0)")).as("s2"))
         .localCheckpoint(true) // totals + three fits share the cell frame
       def fit(df: org.apache.spark.sql.DataFrame) =
         df.agg(sum(col("s").cast("double") * col("s") / col("n")))

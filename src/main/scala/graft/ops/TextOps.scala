@@ -955,8 +955,13 @@ object TextOps {
     // (16 shards), position within shard = rank in hash order: exactly
     // `repartition(nShards, h).sortWithinPartitions(h)` — an all-to-all
     // exchange plus a PER-SHARD sort, never a single global sort. The
-    // position-weighted checksum Σ pos·doc_id pins the within-shard ORDER
-    // (not just membership) to the oracle, and the seed in the hash makes
+    // position-weighted checksum Σ pos·doc_id mod 1e9+7 pins the
+    // within-shard ORDER (not just membership) to the oracle while
+    // staying BIGINT-safe at any SF (the raw sum grows ~cubically: pos,
+    // doc_id, and shard size all scale with the corpus — ~2e14 at sf1,
+    // int64 gone by ~sf30; the mod is taken on an exact DECIMAL(38,0) /
+    // HUGEINT accumulation so both engines reduce the same integer).
+    // The seed in the hash makes
     // epoch-to-epoch reshuffles a one-literal change that provably
     // re-permutes every shard.
     Q("q104_shuffle_shards",
@@ -970,7 +975,8 @@ object TextOps {
         |  FROM h)
         |SELECT shard, count(*) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS member_checksum,
-        |       CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+        |       CAST(sum(CAST(pos AS HUGEINT) * doc_id) % 1000000007
+        |            AS BIGINT) AS order_checksum
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val hk = md5(concat(lit("42:"), col("doc_id").cast("string")).cast("binary"))
@@ -982,7 +988,8 @@ object TextOps {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).cast("long").as("member_checksum"),
-          sum(col("pos") * col("doc_id")).cast("long").as("order_checksum"))
+          (sum(col("pos").cast("decimal(38,0)") * col("doc_id"))
+            % lit(1000000007L)).cast("long").as("order_checksum"))
         .orderBy(col("shard"))
     },
 
@@ -1073,7 +1080,8 @@ object TextOps {
         |       count(*) AS n_emitted,
         |       round(count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE), 4)
         |         AS realized_rate,
-        |       CAST(sum(copy * doc_id) AS BIGINT) AS copy_checksum
+        |       CAST(sum(CAST(copy AS HUGEINT) * doc_id) % 1000000007
+        |            AS BIGINT) AS copy_checksum
         |FROM e GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       val h = docHashPrefix
       val tier = sourceTier(3)
@@ -1089,7 +1097,11 @@ object TextOps {
           count(lit(1)).as("n_emitted"),
           round(count(lit(1)) / countDistinct(col("doc_id")).cast("double"), 4)
             .as("realized_rate"),
-          sum(col("copy") * col("doc_id")).cast("long").as("copy_checksum"))
+          // copy·doc_id sums grow ~quadratically with SF (doc_id and the
+          // per-source count both scale) — reduce mod 1e9+7 over an exact
+          // DECIMAL(38,0)/HUGEINT accumulation, like q104's order checksum
+          (sum(col("copy").cast("decimal(38,0)") * col("doc_id"))
+            % lit(1000000007L)).cast("long").as("copy_checksum"))
         .orderBy(col("source"))
     },
 

@@ -211,12 +211,13 @@ class ConformanceSpec extends SparkSpec {
     users.foreach { u =>
       val vs = ev.filter(col("user_id") === u)
         .orderBy(col("ts"), col("event_id")).collect()
-        .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+        .map(r => if (r.isNullAt(3)) None
+                  else Some(math.round(r.getDouble(3) * 100)))
       val peer = vs.indices.flatMap { i =>
         val frame = (math.max(0, i - 3) to math.min(vs.length - 1, i + 3))
           .filter(_ != i).flatMap(vs(_))
         if (frame.isEmpty) None
-        else Some(BigDecimal(frame.sum / frame.size)
+        else Some(BigDecimal(frame.sum.toDouble / frame.size)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       val (n, mn, mx) = rows(u)

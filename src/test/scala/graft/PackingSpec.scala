@@ -72,7 +72,7 @@ class PackingSpec extends SparkSpec {
       .groupBy(_._2.head)
       .map { case (shard, ds) =>
         shard.toString -> ds.sortBy(d => (d._2, d._1)).zipWithIndex
-          .map { case ((id, _), i) => (i + 1L) * id }.sum
+          .map { case ((id, _), i) => (i + 1L) * id }.sum % 1000000007L
       }
     rows.foreach { r =>
       assert(r.getLong(3) == expected(r.getString(0)), s"shard ${r.getString(0)}")
@@ -132,7 +132,8 @@ class PackingSpec extends SparkSpec {
         })
       }
       src -> ((copies.size.toLong, copies.map(_._2.toLong).sum,
-        copies.map { case (id, k) => (1L to k).map(_ * id).sum }.sum))
+        copies.map { case (id, k) => (1L to k).map(_ * id).sum }
+          .sum % 1000000007L))
     }
     val got = q("q108_source_upsample").collect()
       .map(r => r.getString(0) ->

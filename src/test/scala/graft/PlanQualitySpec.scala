@@ -460,7 +460,6 @@ class PlanQualitySpec extends SparkSpec {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     // bounded-cardinality evidence, leaf-ward: an aggregate bounds its
     // output by its group count; a limit/top-k bounds it literally; a
     // LocalTableScan/Range is a driver-built spine; an ExistingRDD scan is
@@ -475,9 +474,15 @@ class PlanQualitySpec extends SparkSpec {
       case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
            _: LocalLimitExec | _: CollectLimitExec => true
       case _: WindowGroupLimitExec => true
-      case s: FileSourceScanExec => false
-      case other =>
-        other.children.nonEmpty && other.children.forall(bounded)
+      case _: FileSourceScanExec => false
+      case leaf if leaf.children.isEmpty =>
+        // an unlisted leaf (ReusedExchange, InMemoryTableScan, BatchScan…)
+        // is a detector gap, not evidence either way — fail loudly so the
+        // new node type gets classified instead of silently counting as
+        // unbounded (false offender) or bounded (missed offender)
+        fail(s"bounded(): unknown leaf node ${leaf.getClass.getSimpleName}" +
+          " — classify it explicitly in this match")
+      case other => other.children.forall(bounded)
     }
     // model fits / full streaming runs are excluded for test-minute cost,
     // exactly like the cartesian sweep above; their windows run on frames
