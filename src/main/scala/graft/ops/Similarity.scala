@@ -1354,31 +1354,106 @@ object Similarity {
     * cosine ≥ `threshold`. Exposed for the recall unit test.
     *
     * 32 bands × 6 bits targets the mid-similarity regime this corpus has
-    * (top pairs ≈ 0.5–0.6 cosine): recall ≈ 95% at sim 0.51, ≈ 99% at 0.6,
-    * with ~2× fewer exact-cosine evaluations than brute force at sf0.1. A
-    * production near-dup dedup (threshold ≥ 0.9) would raise bits to 12–16,
-    * where candidate counts drop by orders of magnitude. */
+    * (top pairs ≈ 0.5–0.6 cosine): recall ≈ 95% at sim 0.51, ≈ 99% at 0.6.
+    * A production near-dup dedup (threshold ≥ 0.9) would raise bits to
+    * 12–16, where candidate counts drop by orders of magnitude; at the
+    * mid-similarity threshold the (1−θ/π) hyperplane gap is intrinsically
+    * narrow, so bucket collisions stay a large fraction of all pairs and
+    * the candidate ENUMERATION is the whole cost.
+    *
+    * Execution (round 12): the old shape materialized every colliding pair
+    * as a join row (candidate stream → distinct → two embedding re-joins →
+    * cosine), which at sf1 meant 1.1e8 join rows each carrying two 256-byte
+    * float arrays — row assembly, not arithmetic, was 95% of the 166 s
+    * wall. The rework co-locates each (band, bucket) with ONE shuffle of
+    * n·bands signature rows (embeddings ride along once per band, not once
+    * per pair) and runs the pairwise verify as a primitive-array loop per
+    * bucket inside mapPartitions — the blocked-kernel constant a native
+    * engine gets, ~7e9 fused multiply-adds for the same 1.1e8 pairs instead
+    * of 1.1e8 row materializations. Only pairs within 1e-6 of the threshold
+    * survive the kernel (a conservative raw-sim prefilter); the EXACT
+    * round-at-6-then-filter contract — and therefore the emitted pair set,
+    * bit-identical sims included — is unchanged, applied on the surviving
+    * ~1e3-row stream. The kernel replicates CosineSim's float semantics
+    * exactly (ascending-index double accumulation, sqrt(xx)*sqrt(yy)
+    * denominator, NULL→skip on ragged pairs and zero norms); vectors with
+    * null elements never reach it (their signature is NULL, so posexplode
+    * drops them — same as before). mapPartitions is justified here the same
+    * way the multimodal decode is: Catalyst has no operator for "pairwise
+    * kernel within a group without materializing the pairs as rows".
+    * At much larger dim the embedding ride-along would dominate the
+    * shuffle; there the signature-only join + re-join-on-verified-stream
+    * shape wins — for dim 64 the ride-along is 32× n·256B ≈ tiny. */
   def annLsh(s: SparkSession, d: String, threshold: Double,
       bands: Int = 32, bits: Int = 6): DataFrame = {
+    import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val sigs = emb.select(col("vec_id"),
-      graft.functions.Lsh.hyperplaneBands(col("embedding"), bands, bits, 64).as("bands"))
-    val exploded = sigs.select(col("vec_id"), posexplode(col("bands")))
-      .toDF("vec_id", "band", "bh")
-    val a = exploded.select(col("vec_id").as("vec_a"), col("band"), col("bh"))
-    val b = exploded.select(col("vec_id").as("vec_b"), col("band"), col("bh"))
-    val cand = a.join(b, Seq("band", "bh")).filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val exploded = emb.select(col("vec_id"),
+        posexplode(graft.functions.Lsh.hyperplaneBands(
+          col("embedding"), bands, bits, 64)),
+        col("embedding"))
+      .toDF("vec_id", "band", "bh", "embedding")
+    val pairs = exploded
+      .repartition(col("band"), col("bh"))
+      .sortWithinPartitions(col("band"), col("bh"), col("vec_id"))
+      .select(col("band"), col("bh"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Array[(Long, Array[Float])]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Array[(Long, Array[Float])] = {
+            val head = buf.head
+            val members = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Array[Float])]
+            while (buf.hasNext &&
+                buf.head._1 == head._1 && buf.head._2 == head._2) {
+              val r = buf.next(); members += ((r._3, r._4))
+            }
+            members.toArray
+          }
+        }.flatMap { members =>
+          val res = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Double)]
+          val m = members.length
+          var i = 0
+          while (i < m) {
+            val (ia, ea) = members(i)
+            var j = i + 1
+            while (j < m) {
+              val (ib, eb) = members(j)
+              val n = ea.length
+              if (n == eb.length) {
+                var dd = 0.0; var xx = 0.0; var yy = 0.0
+                var k = 0
+                while (k < n) {
+                  val xv = ea(k).toDouble; val yv = eb(k).toDouble
+                  dd += xv * yv; xx += xv * xv; yy += yv * yv
+                  k += 1
+                }
+                val denom = math.sqrt(xx) * math.sqrt(yy)
+                if (denom != 0.0) {
+                  val sim = dd / denom
+                  if (sim >= threshold - 1e-6) res += ((ia, ib, sim))
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          res.iterator
+        }
+      }
+      .toDF("vec_a", "vec_b", "sim_raw")
     // unordered for the same reason as minHashCandidatesFrom: q35/q95 and
     // the recall specs filter/aggregate the pairs, and the sort survived
     // into the materialized plan (EliminateSorts only prunes under
     // joins/aggregates, not under a localCheckpoint)
-    cand.join(ea, "vec_a").join(eb, "vec_b")
-      .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
+    pairs
+      .select(col("vec_a"), col("vec_b"),
+        round(col("sim_raw"), 6).as("sim"))
       .filter(col("sim") >= threshold)
-      .select("vec_a", "vec_b", "sim")
+      .distinct()
   }
 
   /** IVF: k-means centroids as the coarse quantizer; every corpus vector is
