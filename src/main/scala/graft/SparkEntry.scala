@@ -23,7 +23,8 @@ object SparkEntry {
     ops.Profiling.queries ++
     ops.Retail.queries ++
     ops.Stats.queries ++
-    ops.Conformance.queries
+    ops.Conformance.queries ++
+    ops.Training.queries
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")

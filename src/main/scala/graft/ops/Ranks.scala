@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * map-side arithmetic on (rank, n) — no further shuffle, no window. */
 object Ranks {
 
-  /** Exact integer division a div b for nonnegative operands (b > 0):
-    * (a − a mod b) is exactly divisible by b, so the double division is
-    * exact for quotients below 2^53 — no float-misrounding hazard at any
-    * realistic row count. Lazy inside when/otherwise branches, so callers
-    * may guard the b = 0 case structurally (see [[ntileExpr]]). */
-  private def intDiv(a: Column, b: Column): Column =
+  /** Exact integer FLOOR division a div b (b > 0): (a − a mod b) is
+    * exactly divisible by b, so the double division is exact for quotients
+    * below 2^53 — no float-misrounding hazard at any realistic row count.
+    * pmod keeps the remainder nonnegative, so negative dividends floor
+    * (like DuckDB's `//` on nonnegative operands; NOTE DuckDB truncates
+    * negatives — callers that cross engines must keep operands ≥ 0 or
+    * guard the sign structurally, see q300). Lazy inside when/otherwise
+    * branches, so callers may guard the b = 0 case structurally (see
+    * [[ntileExpr]]). */
+  def intDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
   /** `ntile(buckets)` of 1-based rank `r` among `n` rows — the SQL-standard
@@ -67,5 +71,34 @@ object Ranks {
     parted.join(broadcast(offsets), "pid")
       .withColumn("idx", col("off") + row_number().over(wLoc))
       .drop("pid", "off")
+  }
+
+  /** Global inclusive running sum of `value` under the total order
+    * `sortExprs` — `sum(value) OVER (ORDER BY … ROWS UNBOUNDED
+    * PRECEDING..CURRENT ROW)` in the same block-offset topology as
+    * [[globalIndex]]: range-repartition on the sort expressions, run the
+    * prefix sum per block in a fully parallel pid-partitioned window, and
+    * broadcast the ≤`parts`-row running block-total table back. The only
+    * SinglePartition in the plan carries `parts` aggregate rows. `value`
+    * must reference columns of `df`; callers should project the frame down
+    * to the columns they need BEFORE calling (the parted frame is
+    * localCheckpointed for its two consumers — block totals and the local
+    * window). Returns the input plus a `cum` column (LongType). */
+  def globalCumSum(df: DataFrame, parts: Int, value: Column,
+      sortExprs: Column*): DataFrame = {
+    val parted = df.repartitionByRange(parts, sortExprs: _*)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("cs_v", value.cast("long"))
+      .localCheckpoint(true)
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("pid")).agg(sum(col("cs_v")).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val wLoc = Window.partitionBy(col("pid")).orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    parted.join(broadcast(offsets), "pid")
+      .withColumn("cum", col("off") + sum(col("cs_v")).over(wLoc))
+      .drop("pid", "off", "cs_v")
   }
 }
