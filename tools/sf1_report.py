@@ -61,9 +61,9 @@ def tag(name):
 
 total = sum(t for t in sf1.values() if t > 0)
 out = []
-out.append("# BENCH_SF1 — 10x scale smoke (round 10)\n")
+out.append("# BENCH_SF1 — 10x scale smoke\n")
 out.append("Corpus: `/tmp/sf1` = GenScale 10x key-shifted replication of "
-           "`/root/testdata/sf0.1` (6M lineitem rows, 1.5M orders, 500k "
+           "`/root/testdata/sf0.1` (6M lineitem rows, 1.5M orders, 1M "
            "events, 50k documents, 20k embeddings; FK spot-checks clean). "
            "`SPARK_GRAFT_CPUS=32`, 48g heap, same Bench main the driver "
            "runs.\n")
