@@ -1085,6 +1085,96 @@ object Similarity {
         .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
           col("int_dot"), coalesce(col("n_common"), lit(0L)).as("n_common"))
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // LSH candidate-workload forecast — the parameter-sweep a dedup run
+    // does BEFORE committing to a (bands, rows-per-band) config at corpus
+    // scale: for each config over one shared 16-minhash signature, the
+    // exact bucket-occupancy profile and the candidate-pair workload
+    // Σ_buckets n(n−1)/2 the verify stage would have to pay, plus that
+    // workload as a millionth-share of all N(N−1)/2 pairs (brute force
+    // = 1e6). Complements q36 (recall at ONE config) and q232 (exact
+    // threshold sweep): this is the COST axis of the recall/cost trade.
+    // Hash family is md5 end-to-end — not xxhash64 — deliberately: DuckDB
+    // has md5, so bucket structure is bit-identical cross-engine and the
+    // oracle is a FULL hash match, not a property check (hex min/concat
+    // compare identically as ASCII in both engines); at production scale
+    // the family is swappable for any 64-bit hash without changing shape.
+    // Scale shape: signatures reduce the shingle explode ONCE with
+    // map-side partial min-aggregation; the 30 per-doc band rows (Σ bands
+    // over 4 configs) fan out map-side from the reduced signature frame,
+    // so the planner's one real exchange — the (config, band, key) bucket
+    // reduce — carries the SAME key traffic the chosen LSH job itself
+    // would, which is exactly the quantity being forecast. Per-bucket
+    // n(n−1) is a product of two SF-scaling quantities → summed in
+    // DECIMAL(38,0)/HUGEINT per the overflow rule; n(n−1) is always even
+    // so the final halving is exact in both engines.
+    Q("q310_lsh_workload",
+      s"""WITH ${TextOps.jaccardCtes},
+        |hs AS (SELECT unnest(range(16)) AS h),
+        |m AS (SELECT doc_id, h,
+        |             min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+        |      FROM sh CROSS JOIN hs GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY h) AS sg FROM m GROUP BY 1),
+        |cfg AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1))
+        |        c(b, r)),
+        |bs AS (SELECT unnest(range(16)) AS band),
+        |bk AS (SELECT c.b, c.r, s.doc_id, bs.band,
+        |              md5(array_to_string(
+        |                s.sg[(bs.band * c.r + 1):(bs.band * c.r + c.r)],
+        |                '|')) AS key
+        |       FROM sig s CROSS JOIN cfg c CROSS JOIN bs
+        |       WHERE bs.band < c.b),
+        |bu AS (SELECT b, r, band, key, count(*) AS n
+        |       FROM bk GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT count(*) AS nd FROM sig)
+        |SELECT b AS bands, r AS rows_per_band,
+        |       CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(max(n) AS BIGINT) AS max_bucket,
+        |       CAST(sum(CAST(n AS HUGEINT) * (n - 1)) // 2 AS BIGINT)
+        |         AS cand_pairs,
+        |       CAST(sum(CAST(n AS HUGEINT) * (n - 1)) // 2 * 1000000
+        |            // (CAST(nd AS HUGEINT) * (nd - 1) // 2) AS BIGINT)
+        |         AS workload_share_micro
+        |FROM bu CROSS JOIN tot GROUP BY 1, 2, nd ORDER BY 1""".stripMargin) {
+      (s, d) =>
+      val sh = TextOps.shingles(Tables.documents(s, d), "text", 3)
+      val mins = (0 until 16).map(i =>
+        min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary")))
+          .as(s"mh_$i"))
+      val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        .localCheckpoint(true) // shared by the band fan-out and the count
+      val cfgs = Seq(2 -> 8, 4 -> 4, 8 -> 2, 16 -> 1)
+      val bandRows = array(cfgs.flatMap { case (b, r) =>
+        (0 until b).map { j =>
+          struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            lit(j).as("band"),
+            md5(concat_ws("|", (0 until r).map(x => col(s"mh_${j * r + x}")): _*)
+              .cast("binary")).as("key"))
+        }
+      }: _*)
+      val bu = sig.select(explode(bandRows).as("x")).select(col("x.*"))
+        .groupBy(col("bands"), col("rows_per_band"), col("band"), col("key"))
+        .agg(count(lit(1)).as("n"))
+      val nd = sig.agg(count(lit(1)).as("nd"))
+      val nDec = col("n").cast("decimal(19,0)")
+      val pairsDec = sum(nDec * (nDec - 1)) // 2·pairs; even, halved below
+      def floorDiv(x: Column, y: Column): Column =
+        ((x - pmod(x, y)) / y).cast("long")
+      val ndDec = col("nd").cast("decimal(19,0)")
+      // share works on the UNhalved numerator/denominator — the /2s cancel
+      // as exact rationals, so the floor matches the oracle's halved form
+      // while every intermediate stays a scale-0 DECIMAL(38,0)
+      bu.groupBy(col("bands"), col("rows_per_band"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
+          pairsDec.as("pr"))
+        .crossJoin(broadcast(nd))
+        .select(col("bands"), col("rows_per_band"), col("n_buckets"),
+          col("max_bucket").cast("long").as("max_bucket"),
+          floorDiv(col("pr"), lit(2)).as("cand_pairs"),
+          floorDiv(col("pr") * 1000000L, ndDec * (ndDec - 1))
+            .as("workload_share_micro"))
+        .orderBy(col("bands"))
     }
   )
 

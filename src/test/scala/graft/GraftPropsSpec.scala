@@ -90,6 +90,31 @@ class GraftPropsSpec extends SparkSpec {
     })
   }
 
+  test("property: block-offset global cumsum equals the single-window form") {
+    // Ranks.globalCumSum (q299's topology) against the direct
+    // SQL-semantics reference — a driver-side prefix sum over the sorted
+    // rows — on random values INCLUDING duplicate sort keys resolved by
+    // the id tie-break, and partition counts that leave some range
+    // partitions empty (parts > n). Few trials: each is a Spark job with
+    // a shuffle + checkpoint.
+    val rnd = new scala.util.Random(13L)
+    (1 to 3).foreach { trial =>
+      val n = 40 + rnd.nextInt(60)
+      val rows = (0 until n).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, 1L + rnd.nextInt(50)))
+      val df = rows.toDF("id", "key", "v")
+      val got = graft.ops.Ranks
+        .globalCumSum(df, 7, col("v"), col("key").desc, col("id"))
+        .select(col("id"), col("cum")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var acc = 0L
+      val want = rows.sortBy { case (id, k, _) => (-k, id) }.map { r =>
+        acc += r._3; r._1 -> acc
+      }.toMap
+      assert(got == want, s"trial $trial ($n rows)")
+    }
+  }
+
   test("property: bloom pre-filter never drops a member on random key sets") {
     // beyond the corpus-key spec in ScalePatternsSpec: arbitrary long keys,
     // including negatives and near-collisions, must all survive a filter

@@ -51,4 +51,41 @@ class LshSpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
     assert(lsh == brute, s"LSH missed pairs: ${brute -- lsh}")
   }
+
+  test("q310 workload forecast matches a driver md5 LSH brute force") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val w = r.getString(1).replaceAll("^ +", "").replaceAll(" +$", "")
+          .toLowerCase.split("[ \\t\\n\\f\\r]+", -1)
+        if (w.length < 3) None
+        else Some(r.getLong(0) ->
+          (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).distinct)
+      }
+    val sigs = docs.map { case (id, sh) =>
+      id -> (0 until 16).map(h => sh.map(x => md5hex(s"$h:$x")).min)
+    }
+    val nd = sigs.length.toLong
+    val want = Seq(2 -> 8, 4 -> 4, 8 -> 2, 16 -> 1).map { case (b, r) =>
+      val buckets = sigs.flatMap { case (_, sg) =>
+        (0 until b).map(j => (j, md5hex(sg.slice(j * r, j * r + r).mkString("|"))))
+      }.groupBy(identity).map(_._2.length.toLong)
+      val pairs2 = buckets.map(n => n * (n - 1)).sum // 2·cand_pairs
+      (b, r) -> (buckets.size.toLong, buckets.max, pairs2 / 2,
+        (BigInt(pairs2) * 1000000 / (BigInt(nd) * (nd - 1))).toLong)
+    }.toMap
+    val got = SparkEntry.queries("q310_lsh_workload")(
+      spark, "/root/testdata/sf0.001").collect().map(r =>
+      (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")) ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("max_bucket"),
+          r.getAs[Long]("cand_pairs"),
+          r.getAs[Long]("workload_share_micro"))).toMap
+    assert(got == want)
+    // monotone cost axis: more, narrower bands can only add candidates
+    val costs = Seq(2 -> 8, 4 -> 4, 8 -> 2, 16 -> 1).map(c => want(c)._3)
+    assert(costs == costs.sorted, s"cost not monotone in band count: $costs")
+  }
 }
