@@ -816,6 +816,164 @@ object Training {
           Ranks.intDiv(byK(k => col(s"ff$k")) * 1000000L, col("n"))
             .as("drop_share_micro"))
         .orderBy(col("k"))
+    },
+
+    // Hash-shard skew forecast — the write-layout planning table for a
+    // training corpus: if the corpus shards by a hash of doc_id into
+    // S ∈ {16, 256, 4096} files, how even is the TOKEN mass per shard?
+    // imbalance = max_shard_mass · S / total (1e6 micro = perfect), the
+    // number a data-loader team reads before picking S (a skewed shard is
+    // the straggler every epoch). Shard key = leading hex chars of
+    // md5(doc_id) — the repo's split convention (q137/q239), identical in
+    // both engines. Scale shape: ONE corpus scan reduces map-side to the
+    // ≤4096 finest-granularity shard masses; the coarser S values ROLL UP
+    // from that 4096-row frame by prefix truncation — the corpus is never
+    // re-scanned or re-shuffled per S. All mass arithmetic is integer;
+    // max·S·1e6 multiplies two SF-scaling-adjacent magnitudes →
+    // DECIMAL(38,0)/HUGEINT per the overflow rule.
+    Q("q311_shard_skew",
+      """WITH t AS (
+        |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS h3,
+        |         len(string_split_regex(trim(lower(text)), '\s+')) AS ntok
+        |  FROM documents),
+        |g3 AS (SELECT h3, CAST(sum(ntok) AS BIGINT) AS mass
+        |       FROM t GROUP BY 1),
+        |ks AS (SELECT * FROM (VALUES (16, 1), (256, 2), (4096, 3)) v(s, p)),
+        |r AS (SELECT ks.s, substr(g3.h3, 1, ks.p) AS shard,
+        |             sum(mass) AS mass
+        |      FROM g3 CROSS JOIN ks GROUP BY 1, 2)
+        |SELECT s AS n_shards,
+        |       CAST(count(*) AS BIGINT) AS n_used,
+        |       CAST(max(mass) AS BIGINT) AS max_mass,
+        |       CAST(min(mass) AS BIGINT) AS min_mass,
+        |       CAST(sum(mass) AS BIGINT) AS total_mass,
+        |       CAST(CAST(max(mass) AS HUGEINT) * s * 1000000 // sum(mass)
+        |         AS BIGINT) AS imbalance_micro
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val g3 = Tables.documents(s, d)
+        .select(
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 3)
+            .as("h3"),
+          size(toks(col("text"))).cast("long").as("ntok"))
+        .groupBy(col("h3")).agg(sum(col("ntok")).as("mass"))
+        .localCheckpoint(true) // ≤4096 rows; three rollups share it
+      val perS = Seq(16 -> 1, 256 -> 2, 4096 -> 3).map { case (ns, p) =>
+        g3.groupBy(substring(col("h3"), 1, p).as("shard"))
+          .agg(sum(col("mass")).as("mass"))
+          .agg(lit(ns).as("n_shards"),
+            count(lit(1)).as("n_used"),
+            max(col("mass")).as("max_mass"),
+            min(col("mass")).as("min_mass"),
+            sum(col("mass")).as("total_mass"))
+      }
+      perS.reduce(_ unionAll _)
+        .select(col("n_shards"), col("n_used"), col("max_mass"),
+          col("min_mass"), col("total_mass"),
+          fdiv(dec(col("max_mass")) * dec(col("n_shards")) *
+            dec(lit(1000000L)), dec(col("total_mass")))
+            .as("imbalance_micro"))
+        .orderBy(col("n_shards"))
+    },
+
+    // Good-Turing unseen-mass estimate — the coverage number next to
+    // q291's Heaps fit and q306's truncation table: per source, the
+    // Good-Turing probability mass of UNSEEN tokens P₀ ≈ N₁/N (hapax
+    // count over token mass), plus the hapax share of the vocabulary —
+    // how much of each source's distribution a model trained on it has
+    // literally never seen twice. Pure integer end-to-end: N, V, N₁, N₂
+    // are exact counts from one (source, token) reduction (map-side
+    // partial combine; the corpus never reshuffles after it), and both
+    // shares cross the boundary as exact floor millionths. N₁·1e6 at
+    // 100 TB ≈ 1e12·1e6 = 1e18 — inside BIGINT but with <10× headroom,
+    // so promoted to DECIMAL(38,0)/HUGEINT per the overflow rule.
+    Q("q312_good_turing",
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |           AS token
+        |  FROM documents),
+        |v AS (SELECT source, token, CAST(count(*) AS BIGINT) AS ct
+        |      FROM tk GROUP BY 1, 2)
+        |SELECT source,
+        |       CAST(sum(ct) AS BIGINT) AS n_tok,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n1,
+        |       CAST(sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n2,
+        |       CAST(CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |         * 1000000 // sum(ct) AS BIGINT) AS unseen_mass_micro,
+        |       CAST(CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |         * 1000000 // count(*) AS BIGINT) AS hapax_share_micro
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(toks(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("ct"))
+        .groupBy(col("source"))
+        .agg(sum(col("ct")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("ct") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("ct") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("source"), col("n_tok"), col("n_types"), col("n1"),
+          col("n2"),
+          fdiv(dec(col("n1")) * dec(lit(1000000L)), dec(col("n_tok")))
+            .as("unseen_mass_micro"),
+          fdiv(dec(col("n1")) * dec(lit(1000000L)), dec(col("n_types")))
+            .as("hapax_share_micro"))
+        .orderBy(col("source"))
+    },
+
+    // Join-skew salting plan — the mitigation table next to q85 (heavy-
+    // hitter DETECTION) and q266 (join-size estimation): for candidate
+    // per-task row targets T ∈ {100, 250, 1000} on the lineitem supplier
+    // key, the exact cost of salting every key k into ⌈c_k/T⌉ virtual
+    // partitions — total virtual-partition count, the worst key's salt
+    // factor, the key-expansion ratio, and the heaviest key's share of
+    // all rows (the straggler bound salting removes). The numbers an
+    // engineer reads before setting a skew-join salt width or trusting
+    // AQE's skewedPartitionFactor. Scale shape: ONE key reduce with
+    // map-side combine to |keys| rows; the 3-T sweep is conditional
+    // aggregation over that reduced frame (map-side fan-out, 3 output
+    // rows). Ceil division spelled (c+T−1)//T on nonnegative operands —
+    // identical in both engines; n_virtual·1e6 ≤ |keys|·1e6 stays inside
+    // BIGINT with ≥1e3 headroom at 100 TB, per-key products never form.
+    Q("q313_salt_plan",
+      """WITH c AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS ct
+        |  FROM lineitem GROUP BY 1),
+        |ts AS (SELECT * FROM (VALUES (100), (250), (1000)) v(t))
+        |SELECT t AS t_target,
+        |       CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(ct) AS BIGINT) AS n_rows,
+        |       CAST(sum((ct + t - 1) // t) AS BIGINT) AS n_virtual,
+        |       CAST(max((ct + t - 1) // t) AS BIGINT) AS max_factor,
+        |       CAST(sum((ct + t - 1) // t) * 1000000 // count(*) AS BIGINT)
+        |         AS expand_micro,
+        |       CAST(max(ct) * 1000000 // sum(ct) AS BIGINT)
+        |         AS top_key_share_micro
+        |FROM c CROSS JOIN ts GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("ct"))
+        .localCheckpoint(true) // |keys| rows; the 3-T sweep shares it
+      val ts = s.range(1).select(
+        explode(array(lit(100), lit(250), lit(1000))).as("t"))
+      def ceilDiv(a: Column, b: Column): Column =
+        Ranks.intDiv(a + b - 1, b)
+      c.crossJoin(broadcast(ts))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("ct")).as("n_rows"),
+          sum(ceilDiv(col("ct"), col("t"))).as("n_virtual"),
+          max(ceilDiv(col("ct"), col("t"))).as("max_factor"),
+          max(col("ct")).as("max_ct"))
+        .select(col("t").as("t_target"), col("n_keys"), col("n_rows"),
+          col("n_virtual"), col("max_factor"),
+          Ranks.intDiv(col("n_virtual") * 1000000L, col("n_keys"))
+            .as("expand_micro"),
+          Ranks.intDiv(col("max_ct") * 1000000L, col("n_rows"))
+            .as("top_key_share_micro"))
+        .orderBy(col("t_target"))
     }
   )
 }

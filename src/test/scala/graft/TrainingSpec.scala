@@ -348,4 +348,78 @@ class TrainingSpec extends SparkSpec {
     assert((1 to 4).forall(fa(_) > 0), s"degenerate rule (fail-any) in $fa")
     assert((1 to 3).forall(ffc(_) > 0), s"degenerate first-fail in $ffc")
   }
+
+  test("q311: shard masses match a driver md5-prefix rollup at all three S") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dm = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        (md5hex(r.getLong(0).toString).take(3),
+          r.getString(1).replaceAll("^ +", "").replaceAll(" +$", "")
+            .split("[ \\t\\n\\f\\r]+", -1).length.toLong)
+      }
+    val total = dm.map(_._2).sum
+    val want = Seq(16 -> 1, 256 -> 2, 4096 -> 3).map { case (ns, p) =>
+      val m = dm.groupBy(_._1.take(p)).map { case (_, xs) => xs.map(_._2).sum }
+      ns.toLong -> (m.size.toLong, m.max, m.min, total,
+        (BigInt(m.max) * ns * 1000000 / total).toLong)
+    }.toMap
+    val got = run("q311_shard_skew").collect().map(r =>
+      r.getAs[Long]("n_shards") -> (r.getAs[Long]("n_used"),
+        r.getAs[Long]("max_mass"), r.getAs[Long]("min_mass"),
+        r.getAs[Long]("total_mass"), r.getAs[Long]("imbalance_micro"))).toMap
+    assert(got == want)
+    // finer sharding can only grow imbalance (a max-mass shard splits into
+    // pieces whose max · S is at least the parent's max · S/“16ths”)
+    val imb = Seq(16L, 256L, 4096L).map(got(_)._5)
+    assert(imb.forall(_ >= 1000000L), "imbalance below the perfect floor")
+  }
+
+  test("q312: Good-Turing counts match a driver per-source tally") {
+    val toksBySrc = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1)
+        .replaceAll("^ +", "").replaceAll(" +$", "").toLowerCase
+        .split("[ \\t\\n\\f\\r]+", -1).map(r.getString(0) -> _))
+      .groupBy(_._1)
+    val want = toksBySrc.map { case (src, xs) =>
+      val cnt = xs.groupBy(_._2).map { case (_, ys) => ys.length.toLong }
+      val n = xs.length.toLong
+      val n1 = cnt.count(_ == 1L).toLong
+      src -> (n, cnt.size.toLong, n1, cnt.count(_ == 2L).toLong,
+        n1 * 1000000L / n, n1 * 1000000L / cnt.size)
+    }
+    val got = run("q312_good_turing").collect().map(r =>
+      r.getString(0) -> (r.getAs[Long]("n_tok"), r.getAs[Long]("n_types"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        r.getAs[Long]("unseen_mass_micro"),
+        r.getAs[Long]("hapax_share_micro"))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._3 > 0), "no hapax tokens at sf0.001")
+  }
+
+  test("q313: salt plan matches a driver per-key ceil-division sweep") {
+    val cnt = Tables.lineitem(spark, sf0001)
+      .select(col("l_suppkey")).collect().map(_.getLong(0))
+      .groupBy(identity).map { case (_, xs) => xs.length.toLong }.toSeq
+    val rows = cnt.sum
+    val got = run("q313_salt_plan").collect().map(r =>
+      r.getAs[Int]("t_target") -> (r.getAs[Long]("n_keys"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("n_virtual"),
+        r.getAs[Long]("max_factor"), r.getAs[Long]("expand_micro"),
+        r.getAs[Long]("top_key_share_micro"))).toMap
+    Seq(100, 250, 1000).foreach { t =>
+      val nv = cnt.map(c => (c + t - 1) / t).sum
+      val want = (cnt.size.toLong, rows, nv,
+        cnt.map(c => (c + t - 1) / t).max,
+        nv * 1000000L / cnt.size, cnt.max * 1000000L / rows)
+      assert(got(t) == want, s"T=$t: ${got(t)} vs $want")
+    }
+    // the plan must be non-degenerate at the tight target: some key salts
+    assert(got(100)._4 > 1, "T=100 produced no salting at sf0.001")
+    // and virtual partitions shrink monotonically as T loosens
+    val nvs = Seq(100, 250, 1000).map(got(_)._3)
+    assert(nvs == nvs.sorted.reverse, s"n_virtual not monotone: $nvs")
+  }
 }
