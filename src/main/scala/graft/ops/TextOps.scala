@@ -63,13 +63,94 @@ object TextOps {
     exactJaccardPairsFrom(
       shingles(Tables.documents(s, d), "text", 3).localCheckpoint(true), minJac)
 
+  /** Shingle-row count above which the exact self-join switches from
+    * direct shared-shingle enumeration to the prefix-filtered plan. Set
+    * at the MEASURED crossover, not the theoretical one (q27, idle box):
+    * sf0.1 (2.7M rows) direct 5.0s vs prefix 12.9s; sf1 (27M) direct
+    * 22.5s vs prefix 25.9s; sf3 (81M) direct 92.4s vs prefix 90.1s —
+    * and the prefix plan SCALES better (3.5× vs 4.1× per 3× data), so
+    * past the crossover the gap widens. The crossover is late here
+    * because this corpus's shingle document-frequency distribution is
+    * FLAT (content-distinct synthetic text): the prefix filter's win is
+    * pruning hot shingles from candidate enumeration, and a Zipfian
+    * real-text corpus (hot boilerplate shingles with df in the millions,
+    * quadratic enumeration cost) crosses over far earlier — tune DOWN
+    * via the Spark conf `spark.graft.jaccard.prefixThreshold` there. */
+  private val PrefixPathDefault = 50L * 1000 * 1000
+
   /** Same, over an already-materialized (doc_id, shingle) frame — callers
     * that also feed a hash pipeline from the same shingles (q36, q44) pass
-    * one shared localCheckpoint so the tokenize+explode runs once. */
-  def exactJaccardPairsFrom(sh: DataFrame, minJac: Double): DataFrame =
-    jaccardPairsAcross(sh, sh,
-      sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
-      minJac, col("doc_a") < col("doc_b"))
+    * one shared localCheckpoint so the tokenize+explode runs once.
+    *
+    * ADAPTIVE plan choice (both plans are EXACT — identical output):
+    * below [[PrefixPathDefault]] shingle rows, the direct shared-shingle
+    * self-join; above it, [[prefixJaccardSelfJoin]] (PPJoin-style prefix
+    * filter). The row count is one cheap job against the caller's
+    * checkpointed frame — the stand-in for the table statistics a
+    * catalog-backed engine would consult (the same statistic AQE reads
+    * to pick join strategies at runtime). */
+  def exactJaccardPairsFrom(sh: DataFrame, minJac: Double): DataFrame = {
+    val threshold = sh.sparkSession.conf
+      .getOption("spark.graft.jaccard.prefixThreshold").map(_.toLong)
+      .getOrElse(PrefixPathDefault)
+    if (sh.count() <= threshold)
+      jaccardPairsAcross(sh, sh,
+        sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
+        minJac, col("doc_a") < col("doc_b"))
+    else prefixJaccardSelfJoin(sh, minJac)
+  }
+
+  /** Prefix-filtered exact Jaccard self-join (the PPJoin family: Bayardo
+    * et al. WWW'07, Xiao et al. ICDE'08 — see PAPERS.md): order each
+    * doc's shingles by ascending (document frequency, shingle) — rarest
+    * first, deterministic — and join only on each doc's first
+    * n − ⌈t·n⌉ + 1 shingles. Exactness lemma: if J(x,y) ≥ t then
+    * |x∩y| ≥ ⌈t·max(nx,ny)⌉ (J ≥ t forces ny ≥ t·nx), and a tail of
+    * ⌈t·n⌉ − 1 elements cannot hold all common elements, so the
+    * canonically-smallest common shingle sits in BOTH prefixes and the
+    * pair survives candidate generation. Verification recomputes the
+    * exact intersection per candidate via array_intersect on the
+    * collected per-doc sets, so the emitted (doc_a, doc_b, jac_raw) rows
+    * are bit-identical to the direct plan's.
+    *
+    * Scale shape: hot shingles (the superlinear term of the direct
+    * plan's Σ df² enumeration) have HIGH document frequency, so the
+    * rarest-first prefix systematically excludes them — candidate volume
+    * grows near-linearly with the corpus where the direct plan's grows
+    * ~n^1.25 (sf3 spot-run). ⌈t·n⌉ is computed in exact integer
+    * arithmetic (t scaled to millionths) — a double ceil(0.9·n) rounds
+    * UP on IEEE error (0.9·10 = 9.000…002) and would silently SHORTEN
+    * the prefix below the lemma's bound. */
+  private[graft] def prefixJaccardSelfJoin(sh: DataFrame,
+      minJac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tMicro = math.round(minJac * 1000000L)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val need = Ranks.intDiv(col("n_sh") * tMicro + 999999L, lit(1000000L))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .withColumn("rn",
+        row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
+      .filter(col("rn") <= col("n_sh") - need + 1)
+      .select(col("shingle"), col("doc_id"))
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("ss"))
+      .select(col("doc_id"), col("ss"), size(col("ss")).as("n_sh"))
+      .localCheckpoint(true) // both verify endpoints read it
+    val cand = prefix.toDF("shingle", "doc_a")
+      .join(prefix.toDF("shingle", "doc_b"), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
+        col("n_sh").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
+        col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(rawJaccard >= minJac)
+      .select(col("doc_a"), col("doc_b"), rawJaccard.as("jac_raw"))
+  }
 
   /** The one Jaccard pair pipeline, between two (possibly pre-filtered)
     * shingle sides: shared-shingle equi join → `pairPred` (dedup/orientation

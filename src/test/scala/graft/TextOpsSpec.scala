@@ -523,4 +523,41 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(eces.head - ece) < 1e-3,
       s"ECE ${eces.head} inconsistent with per-bin fold $ece")
   }
+
+  test("prefix-filtered Jaccard self-join ≡ direct plan at t=0.5 and t=0.9") {
+    // the adaptive-plan exactness pin: the PPJoin prefix plan (taken above
+    // the shingle-row threshold, i.e. at sf1+) must emit BIT-IDENTICAL
+    // pairs to the direct shared-shingle enumeration the oracle gate
+    // exercises at sf0.01 — doc ids, and the jac_raw double itself
+    val sh = TextOps.shingles(
+      Tables.documents(spark, "/root/testdata/sf0.01"), "text", 3)
+      .localCheckpoint(true)
+    Seq(0.5, 0.9).foreach { t =>
+      val direct = TextOps.jaccardPairsAcross(sh, sh,
+        sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
+        t, col("doc_a") < col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefixed = TextOps.prefixJaccardSelfJoin(sh, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(direct.nonEmpty, s"no pairs at t=$t — vacuous equivalence")
+      assert(prefixed == direct,
+        s"t=$t: prefix plan diverged (missing ${direct -- prefixed}, " +
+          s"extra ${prefixed -- direct})")
+    }
+  }
+
+  test("adaptive kernel honors the prefixThreshold conf switch") {
+    val sh = TextOps.shingles(
+      Tables.documents(spark, sf0001), "text", 3).localCheckpoint(true)
+    val key = "spark.graft.jaccard.prefixThreshold"
+    try {
+      spark.conf.set(key, "0") // force the prefix plan
+      val forced = TextOps.exactJaccardPairsFrom(sh, 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.unset(key)    // default: sf0.001 takes the direct plan
+      val default = TextOps.exactJaccardPairsFrom(sh, 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(forced == default)
+    } finally spark.conf.unset(key)
+  }
 }
