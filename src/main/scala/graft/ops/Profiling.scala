@@ -668,6 +668,118 @@ object Profiling {
           round(exp((col("sy") - slope * col("sx")) / col("n")), 4)
             .as("heaps_k"))
         .orderBy(col("bucket"))
+    },
+
+    // Integer fixed-point PageRank over the near-dup graph — canonical-doc
+    // selection by authority: within a dedup cluster the doc most linked
+    // by near-duplicates is the natural keeper (an alternative to q82's
+    // min-id rule that prefers the most-copied version). Five unrolled
+    // power iterations of r'(v) = 0.15 + 0.85·Σ r(u)/deg(u) in EXACT
+    // MILLIONTH fixed point: each contribution is
+    // (r·850000) // (deg·1e6) — floor division on nonnegative integers,
+    // identical in both engines, so the oracle is a FULL hash match (the
+    // q140 Markov stationary unrolls the same way but in rounded doubles
+    // on a bounded 12-node chain; THIS graph is corpus-sized). Scale
+    // shape: the classic distributed PageRank plan — per iteration ONE
+    // join of the edge list with the rank frame on the source key and ONE
+    // reduce on the destination key, both hash-partitioned by node so AQE
+    // reuses the exchange across iterations; 5 iterations = a fixed
+    // 10-shuffle pipeline over the (sparse) near-dup edge set, never over
+    // the corpus. r·850000 ≤ deg_max·1e6·8.5e5 stays far inside BIGINT
+    // for any realistic near-dup degree; mass is NOT renormalized (the
+    // floor drift stays in the output's exactness contract).
+    Q("q314_dedup_pagerank", {
+      val head =
+        s"""WITH ${TextOps.jaccardCtes},
+          |pr AS (
+          |  SELECT doc_a, doc_b FROM p
+          |  JOIN cnt ca ON p.doc_a = ca.doc_id
+          |  JOIN cnt cb ON p.doc_b = cb.doc_id
+          |  WHERE inter * 2 >= ca.n_sh + cb.n_sh - inter),
+          |e AS (SELECT doc_a AS u, doc_b AS v FROM pr
+          |      UNION ALL SELECT doc_b, doc_a FROM pr),
+          |n AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+          |      FROM e GROUP BY 1),
+          |r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS r FROM n)""".stripMargin
+      val steps = (1 to 5).map { i =>
+        s"""r$i AS (
+          |  SELECT n.node, n.deg,
+          |         150000 + coalesce(s.m, 0) AS r
+          |  FROM n LEFT JOIN (
+          |    SELECT e.v AS node,
+          |           CAST(sum((pr.r * 850000) // (pr.deg * 1000000))
+          |             AS BIGINT) AS m
+          |    FROM e JOIN r${i - 1} pr ON e.u = pr.node GROUP BY 1) s
+          |  USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+        |$steps
+        |SELECT node AS doc_id, deg, CAST(r AS BIGINT) AS rank_micro
+        |FROM r5 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val pairs = TextOps.exactJaccardPairs(s, d, 0.5)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      val e = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("u", "v").localCheckpoint(true) // sparse; reused 5×
+      val n = e.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      var r = n.select(col("node"), col("deg"), lit(1000000L).as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = e
+          .join(r.select(col("node").as("u"), col("deg"), col("r")), "u")
+          .select(col("v").as("node"),
+            Ranks.intDiv(col("r") * 850000L, col("deg") * 1000000L).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("m"))
+        r = n.join(contrib, Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            (lit(150000L) + coalesce(col("m"), lit(0L))).as("r"))
+      }
+      r.select(col("node").as("doc_id"), col("deg"),
+        col("r").as("rank_micro")).orderBy(col("doc_id"))
+    },
+
+    // k-anonymity / l-diversity audit — the privacy screen a corpus runs
+    // before release: treating (source, lang) as the quasi-identifier and
+    // the exact document length as the sensitive attribute, how many rows
+    // sit in equivalence classes smaller than k (re-identifiable at that
+    // k), and does any class have fewer than l distinct sensitive values
+    // (attribute disclosure even when k holds)? One corpus scan reduces
+    // to ≤|source|·|lang| classes (count + distinct-length per class,
+    // map-side partial); the k ∈ {2, 5, 10} sweep is conditional
+    // aggregation over that broadcast-sized frame. All-integer, FULL hash
+    // oracle.
+    Q("q315_k_anonymity",
+      """WITH g AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS sz,
+        |         CAST(count(DISTINCT n_chars) AS BIGINT) AS l_div
+        |  FROM documents GROUP BY 1, 2),
+        |ks AS (SELECT * FROM (VALUES (2), (5), (10)) v(k))
+        |SELECT k,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_violating,
+        |       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |         AS rows_at_risk,
+        |       CAST(min(sz) AS BIGINT) AS min_class,
+        |       CAST(min(l_div) AS BIGINT) AS min_l_diversity
+        |FROM g CROSS JOIN ks GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("n_chars")).as("l_div"))
+        .localCheckpoint(true) // ≤|src|·|lang| rows; 3-k sweep shares it
+      val ks = s.range(1).select(
+        explode(array(lit(2), lit(5), lit(10))).as("k"))
+      g.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("sz") < col("k"), 1L).otherwise(0L))
+            .as("n_violating"),
+          sum(when(col("sz") < col("k"), col("sz")).otherwise(0L))
+            .as("rows_at_risk"),
+          min(col("sz")).as("min_class"),
+          min(col("l_div")).as("min_l_diversity"))
+        .orderBy(col("k"))
     }
   )
 

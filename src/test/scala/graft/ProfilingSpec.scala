@@ -290,4 +290,54 @@ class ProfilingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("heaps_beta")).distinct.length == 1,
       "beta must repeat identically on every row")
   }
+
+  test("q314: fixed-point PageRank matches a driver 5-iteration recompute") {
+    val pairs = graft.ops.TextOps
+      .exactJaccardPairs(spark, sf0001, 0.5)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup edges at sf0.001 — vacuous")
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).toSeq }
+    val deg = adj.map { case (u, vs) => u -> vs.length.toLong }
+    var r = adj.keys.map(_ -> 1000000L).toMap
+    (1 to 5).foreach { _ =>
+      val m = adj.toSeq.flatMap { case (u, vs) =>
+        val c = r(u) * 850000L / (deg(u) * 1000000L)
+        vs.map(_ -> c)
+      }.groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+      r = adj.keys.map(v => v -> (150000L + m.getOrElse(v, 0L))).toMap
+    }
+    val got = run("q314_dedup_pagerank").collect().map(x =>
+      x.getLong(0) -> (x.getAs[Long]("deg"), x.getAs[Long]("rank_micro")))
+      .toMap
+    assert(got.keySet == r.keySet)
+    got.foreach { case (v, (d, rk)) =>
+      assert(d == deg(v), s"node $v deg")
+      assert(rk == r(v), s"node $v rank ${rk} vs ${r(v)}")
+    }
+    // authority must differentiate: a graph with edges has rank spread
+    assert(got.values.map(_._2).toSet.size > 1 || got.size <= 2)
+  }
+
+  test("q315: k-anonymity audit matches a driver class tally") {
+    val cls = Tables.documents(spark, sf0001)
+      .select(col("source"), col("lang"), col("n_chars")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (_, xs) => (xs.length.toLong, xs.map(_._2).distinct.length.toLong) }
+    val got = run("q315_k_anonymity").collect().map(r =>
+      r.getAs[Int]("k") -> (r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_violating"), r.getAs[Long]("rows_at_risk"),
+        r.getAs[Long]("min_class"), r.getAs[Long]("min_l_diversity"))).toMap
+    Seq(2, 5, 10).foreach { k =>
+      val want = (cls.size.toLong, cls.count(_._1 < k).toLong,
+        cls.filter(_._1 < k).map(_._1).sum,
+        cls.map(_._1).min, cls.map(_._2).min)
+      assert(got(k) == want, s"k=$k: ${got(k)} vs $want")
+    }
+    // rows_at_risk is monotone in k (larger k can only add violators)
+    val risk = Seq(2, 5, 10).map(got(_)._3)
+    assert(risk == risk.sorted, s"risk not monotone: $risk")
+  }
 }
