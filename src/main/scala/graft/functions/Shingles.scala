@@ -19,9 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Tokenization replicates TextOps.tokens exactly — space-only trim
   * (Spark/DuckDB `trim` semantics, NOT Java's control-character trim),
   * UTF8String lowercasing, and a split on the explicit class [ \t\n\f\r]
-  * (RE2's \s; Java's \s also matches vertical tab, which DuckDB's
-  * string_split_regex('\s+') does not) — so shingle strings stay
-  * bit-identical to the DuckDB oracle's on any input.
+  * (the house convention — shorthand \s differs between Java, old RE2 and
+  * new RE2 on vertical tab, so every oracle spells the same explicit
+  * class) — so shingle strings stay bit-identical to the DuckDB oracle's
+  * on any input.
   * Fewer than n tokens → empty array (the SQL filter `size(w) >= n`).
   * First-occurrence order, deterministic.
   */

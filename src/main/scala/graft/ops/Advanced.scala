@@ -883,7 +883,7 @@ object Advanced {
         |  SELECT ck, m, row_number() OVER (ORDER BY m, ck) AS rk FROM c),
         |t AS (
         |  SELECT count(*) AS n, CAST(sum(m) AS BIGINT) AS total,
-        |         sum(CAST(rk * m AS HUGEINT)) AS s
+        |         sum(CAST(rk AS HUGEINT) * m) AS s
         |  FROM r),
         |s1 AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS top1_cents
         |       FROM r, t WHERE rk > n - n // 100),
@@ -916,7 +916,7 @@ object Advanced {
         .localCheckpoint(true)
       val t = ranked.agg(count(lit(1)).as("n"),
         sum(col("m")).cast("long").as("total"),
-        sum((col("rk") * col("m")).cast("decimal(38,0)")).as("s"))
+        sum(col("rk").cast("decimal(19,0)") * col("m")).as("s"))
       def topShare(div: Int, out: String) = ranked
         .crossJoin(broadcast(t.select(col("n"))))
         .filter(col("rk") > col("n") - expr(s"n div $div"))

@@ -898,7 +898,7 @@ object Events {
         |  FROM events WHERE event_type = 'purchase'),
         |g AS (
         |  SELECT v, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
-        |         sum(CAST(cents * cents AS HUGEINT)) AS s2
+        |         sum(CAST(cents AS HUGEINT) * cents) AS s2
         |  FROM p GROUP BY 1),
         |w AS (
         |  SELECT
@@ -934,7 +934,7 @@ object Events {
           // Σcents² over HALF the purchase corpus grows linearly with SF
           // (~1e17 at sf1) — DECIMAL(38,0) / HUGEINT removes the BIGINT
           // ceiling; downstream reads it as DOUBLE, outputs unchanged.
-          sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+          sum(col("cents").cast("decimal(19,0)") * col("cents"))
             .as("s2"))
       val w = g.agg(
         max(when(col("v") === 0, col("n"))).as("n_a"),
@@ -1979,9 +1979,9 @@ object Events {
         |  SELECT a.day, count(*) AS n,
         |         CAST(sum(b.v) AS BIGINT) AS sv,
         |         CAST(sum(b.p) AS BIGINT) AS sp,
-        |         sum(CAST(b.v * b.v AS HUGEINT)) AS svv,
-        |         sum(CAST(b.p * b.p AS HUGEINT)) AS spp,
-        |         sum(CAST(b.v * b.p AS HUGEINT)) AS svp
+        |         sum(CAST(b.v AS HUGEINT) * b.v) AS svv,
+        |         sum(CAST(b.p AS HUGEINT) * b.p) AS spp,
+        |         sum(CAST(b.v AS HUGEINT) * b.p) AS svp
         |  FROM days a JOIN days b
         |    ON b.day BETWEEN a.day - 27 AND a.day
         |  GROUP BY 1)
@@ -2012,9 +2012,9 @@ object Events {
           // daily counts scale linearly with SF, so their squared sums
           // scale quadratically — DECIMAL(38,0) / HUGEINT accumulators
           // keep the sufficient sums exact at any SF.
-          sum((col("v") * col("v")).cast("decimal(38,0)")).as("svv"),
-          sum((col("p") * col("p")).cast("decimal(38,0)")).as("spp"),
-          sum((col("v") * col("p")).cast("decimal(38,0)")).as("svp"))
+          sum(col("v").cast("decimal(19,0)") * col("v")).as("svv"),
+          sum(col("p").cast("decimal(19,0)") * col("p")).as("spp"),
+          sum(col("v").cast("decimal(19,0)") * col("p")).as("svp"))
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val num = col("n") * col("svp") - dec(col("sv")) * col("sp")
       val dv = col("n") * col("svv") - dec(col("sv")) * col("sv")

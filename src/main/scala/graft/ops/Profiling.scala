@@ -39,7 +39,7 @@ object Profiling {
       (x, y) => concat_ws(" ", x, y))
 
   /** DuckDB side of the same tokenize (shared with q135's oracle). */
-  private val duckToks = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val duckToks = "string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')"
 
   val queries: Seq[Q] = Seq(
 
@@ -394,7 +394,7 @@ object Profiling {
     Q("q225_zipf_fit",
       """WITH v AS (
         |  SELECT tok, count(*) AS freq
-        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'))
         |               AS tok
         |        FROM documents)
         |  WHERE tok <> '' GROUP BY tok),
@@ -466,7 +466,7 @@ object Profiling {
     Q("q243_unseen_mass",
       """WITH v AS (
         |  SELECT tok, count(*) AS f
-        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'))
         |               AS tok
         |        FROM documents)
         |  WHERE tok <> '' GROUP BY tok),
@@ -585,7 +585,7 @@ object Profiling {
         |  FROM dr),
         |t AS (
         |  SELECT bucket,
-        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |         unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS tok
         |  FROM db),
         |tc AS (SELECT bucket, count(*) AS n_toks
         |       FROM t WHERE tok <> '' GROUP BY 1),

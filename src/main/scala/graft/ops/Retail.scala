@@ -1299,8 +1299,8 @@ object Retail {
         |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
         |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s,
         |         sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
-        |             * CAST(round(o_totalprice * 100, 0) AS BIGINT)
-        |             AS HUGEINT)) AS s2
+        |               AS HUGEINT)
+        |             * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s2
         |  FROM orders GROUP BY 1),
         |t AS (
         |  SELECT CAST(sum(n) AS BIGINT) AS nn,
@@ -1330,7 +1330,7 @@ object Retail {
         .agg(count(lit(1)).as("n"), sum(cents).as("s"),
           // per-day Σcents² ≈ 2e18 at sf1 (~5× BIGINT headroom, gone by
           // sf5) — accumulate in DECIMAL(38,0) / HUGEINT like q178/q246.
-          sum((cents * cents).cast("decimal(38,0)")).as("s2"))
+          sum(cents.cast("decimal(19,0)") * cents).as("s2"))
         .localCheckpoint(true) // totals + per-day z share the day frame
       val t = dd.agg(sum(col("n")).cast("long").as("nn"),
         sum(col("s")).cast("long").as("ss"),

@@ -94,7 +94,7 @@ object Retrieval {
     """t AS (
       |  SELECT doc_id, tok FROM (
       |    SELECT doc_id,
-      |           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |           unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS tok
       |    FROM documents)
       |  WHERE tok <> ''),
       |qt AS (SELECT DISTINCT tok FROM t WHERE doc_id = 0),

@@ -936,8 +936,9 @@ object Similarity {
     // with ≥ 1.5× margin at every test SF). Scale shape: signatures are
     // the q36 per-doc 16-long aggregate (shingles never shuffle past it),
     // the estimate is a zip_with fold over 16-element arrays on the
-    // bounded candidate frame, and the exact Jaccard joins in from the
-    // shared shingle frame. Oracle: n_docs and the exact j ≥ 0.5 pair
+    // bounded candidate frame, and the exact Jaccard is verified per
+    // candidate against the collected per-doc shingle sets (no global
+    // pair enumeration anywhere). Oracle: n_docs and the exact j ≥ 0.5 pair
     // count are DuckDB-recomputed (the q36 anchors); the calibration
     // bands are in-engine booleans (signatures are engine-seeded).
     Q("q285_minhash_estimator",
@@ -967,21 +968,32 @@ object Similarity {
         "q285 needs at least one LSH candidate pair to calibrate the " +
           "MinHash estimator; this corpus's banding produced none, so the " +
           "bias/mae bands would be NULL and fail the oracle opaquely")
-      // exact Jaccard for every candidate (threshold 0: a candidate pair
-      // sharing no shingle coalesces to exact = 0 — those pairs belong in
-      // the calibration, they are the banding's false positives)
-      val exact = TextOps.jaccardPairsAcross(sh, sh,
-        sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
-        minJac = 0.0, pairPred = col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("jac_raw"))
+      // exact Jaccard for every candidate, computed PER CANDIDATE against
+      // the collected shingle sets (the q95 verify shape) — NOT by global
+      // pair enumeration: a minJac = 0 enumeration admits no prefix
+      // filter (the lemma degenerates at t = 0) and pays the full Σdf²
+      // shared-shingle stream just to score the bounded candidate frame.
+      // Here the corpus-sized work ends at the per-doc set aggregate;
+      // array_intersect runs once per candidate. A candidate sharing no
+      // shingle scores inter = 0 → exact = 0 naturally — the banding's
+      // false positives stay in the calibration.
+      val sets = sh.groupBy("doc_id")
+        .agg(collect_set(col("shingle")).as("ss"),
+          count(lit(1)).as("n_sh"))
+        .localCheckpoint(true)
       val est = cand
         .join(sig.toDF("doc_a", "sig_a"), "doc_a")
         .join(sig.toDF("doc_b", "sig_b"), "doc_b")
+        .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"),
+          col("n_sh").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"),
+          col("n_sh").as("nb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))))
+        .withColumn("jac_raw",
+          col("inter") / (col("na") + col("nb") - col("inter")))
         .withColumn("est", expr(
           """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
             |0, (acc, v) -> acc + v) / 16.0""".stripMargin))
-        .join(exact, Seq("doc_a", "doc_b"), "left")
-        .na.fill(0.0, Seq("jac_raw"))
         .agg(avg(col("est") - col("jac_raw")).as("bias"),
           avg(abs(col("est") - col("jac_raw"))).as("mae"))
       val nExact = TextOps.exactJaccardPairsFrom(sh, minJac = 0.5)

@@ -1121,8 +1121,8 @@ object Stats {
         |         count(*) AS n,
         |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s,
         |         sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
-        |             * CAST(round(o_totalprice * 100, 0) AS BIGINT)
-        |             AS HUGEINT)) AS s2
+        |               AS HUGEINT)
+        |             * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS s2
         |  FROM orders GROUP BY 1, 2),
         |t AS (
         |  SELECT CAST(sum(n) AS BIGINT) AS nn,
@@ -1162,7 +1162,7 @@ object Stats {
           // per-row cents² ≈ 3e15 fits BIGINT; the SUM does not at sf≥1
           // (~18k orders/cell × 3e15 ≈ 5e19 > 2⁶³) — accumulate in
           // DECIMAL(38,0), mirroring the oracle's HUGEINT.
-          sum((cents * cents).cast("decimal(38,0)")).as("s2"))
+          sum(cents.cast("decimal(19,0)") * cents).as("s2"))
         .localCheckpoint(true) // totals + three fits share the cell frame
       def fit(df: org.apache.spark.sql.DataFrame) =
         df.agg(sum(col("s").cast("double") * col("s") / col("n")))

@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of the lowercased, trimmed text. The explicit class
-    * [ \t\n\f\r] is RE2's \s — Java's \s additionally matches vertical tab
-    * (\x0B), so a bare "\\s+" here would tokenize a VT-bearing document
-    * differently from every DuckDB oracle's string_split_regex('\s+') and
-    * silently diverge token counts, shingles, and all downstream dedup. */
+  /** Whitespace tokens of the lowercased, trimmed text. The class is
+    * EXPLICIT in both engines because every shorthand disagrees somewhere:
+    * Java's \s adds vertical tab (\x0B), RE2's \s historically excluded it
+    * and newer RE2 releases (hence newer DuckDB builds) include it — a bare
+    * shorthand on either side tokenizes a VT-bearing document differently
+    * depending on engine AND version, silently diverging token counts,
+    * shingles, and all downstream dedup. [ \t\n\f\r] is the house
+    * convention (VT is a token character); every oracle spells the same
+    * explicit class, and TextOpsSpec pins the VT case. */
   def tokens(c: Column): Column = split(trim(lower(c)), "[ \\t\\n\\f\\r]+")
 
   /** First 16 bits of md5(doc_id) as 4 lowercase hex chars — the shared
@@ -184,9 +188,9 @@ object TextOps {
     * inter / (na + nb − inter). */
   val jaccardCtes: String =
     """toks AS (
-      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w
       |  FROM documents
-      |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+      |  WHERE len(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) >= 3),
       |sh AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id,
@@ -211,7 +215,7 @@ object TextOps {
 
   private def duckStopHits(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> list_contains($list, x)))"
+    s"len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+'), x -> list_contains($list, x)))"
   }
 
   /** DuckDB text of the q28 language classifier (a CASE expression over
@@ -307,17 +311,17 @@ object TextOps {
     Q("q29_quality_score", {
       val en = duckStopHits(stop("en"))
       s"""SELECT doc_id,
-         |       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |       len(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')) AS n_tokens,
          |       length(text) AS n_chars,
          |       round(length(text) /
-         |             greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+         |             greatest(len(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')), 1), 4)
          |         AS chars_per_token,
          |       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-         |       round($en / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+         |       round($en / greatest(len(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')), 1), 4)
          |         AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val nTokens = size(split(trim(col("text")), "\\s+"))
+      val nTokens = size(split(trim(col("text")), "[ \\t\\n\\f\\r]+"))
       val nChars = length(col("text"))
       Tables.documents(s, d)
         .select(
@@ -334,17 +338,17 @@ object TextOps {
     // Token counting, whitespace + BPE-ish regex (letters | digits | other).
     Q("q30_token_count",
       """SELECT source,
-        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
-        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+        |       CAST(sum(len(string_split_regex(trim(text), '[ \t\n\f\r]+'))) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')))
         |            AS BIGINT) AS bpe_tokens,
         |       count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .groupBy(col("source"))
         .agg(
-          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("ws_tokens"),
+          sum(size(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).cast("long")).as("ws_tokens"),
           sum(size(regexp_extract_all(col("text"),
-            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")).as("bpe_tokens"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"), lit(0))).cast("long")).as("bpe_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy(col("source"))
     },
@@ -353,12 +357,12 @@ object TextOps {
     // Oracle checks the collision-free *property* (distinct fingerprints ==
     // distinct normalized texts) since hash algorithms differ across engines.
     Q("q31_fingerprint",
-      """SELECT count(DISTINCT trim(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+      """SELECT count(DISTINCT trim(lower(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))))
         |         AS n_fingerprints,
         |       count(*) AS n_docs
         |FROM documents""".stripMargin) { (s, d) =>
       Tables.documents(s, d).agg(
-        countDistinct(xxhash64(trim(lower(regexp_replace(col("text"), "\\s+", " ")))))
+        countDistinct(xxhash64(trim(lower(regexp_replace(col("text"), "[ \\t\\n\\f\\r]+", " ")))))
           .as("n_fingerprints"),
         count(lit(1)).as("n_docs"))
     },
@@ -446,7 +450,7 @@ object TextOps {
       val en = stop("en").map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH t AS (
          |  SELECT doc_id,
-         |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |         string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS toks
          |  FROM documents),
          |n AS (
          |  SELECT doc_id, len(toks) AS n_toks,
@@ -480,7 +484,7 @@ object TextOps {
     // standard first step of tokenizer training at 100 TB.
     Q("q69_vocab_topk",
       """SELECT tok, count(*) AS freq
-        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS tok
         |      FROM documents)
         |WHERE tok <> ''
         |GROUP BY tok ORDER BY freq DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
@@ -502,7 +506,7 @@ object TextOps {
       """WITH t AS (
         |  SELECT doc_id, tok FROM (
         |    SELECT doc_id,
-        |           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |           unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS tok
         |    FROM documents)
         |  WHERE tok <> ''),
         |tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
@@ -670,7 +674,7 @@ object TextOps {
     Q("q88_corpus_curation",
       s"""WITH cls AS (
         |  SELECT doc_id, source, $duckPredictedLang AS pred,
-        |         len(string_split_regex(trim(text), '\\s+')) AS nt
+        |         len(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')) AS nt
         |  FROM documents),
         |surv AS (SELECT doc_id FROM cls WHERE pred = 'en' AND nt >= 12),
         |$jaccardCtes,
@@ -694,7 +698,7 @@ object TextOps {
     ) { (s, d) =>
       val classified = withPredictedLang(
         Tables.documents(s, d).select("doc_id", "source", "text"))
-        .withColumn("nt", size(split(trim(col("text")), "\\s+")))
+        .withColumn("nt", size(split(trim(col("text")), "[ \\t\\n\\f\\r]+")))
         .withColumn("lang_ok", col("predicted") === "en")
         .withColumn("qual_ok", col("lang_ok") && col("nt") >= 12)
         .localCheckpoint(true) // one classify pass for shingles + accounting
@@ -768,7 +772,7 @@ object TextOps {
     // the lexicographically smallest bigram in both engines.
     Q("q91_doc_repetition",
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w
         |  FROM documents),
         |base AS (
         |  SELECT doc_id, len(w) AS n_toks, len(list_distinct(w)) AS n_distinct
@@ -805,7 +809,7 @@ object TextOps {
     // the matched doc_ids (near-zero cardinality) reach an exchange.
     Q("q92_decontaminate",
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -896,7 +900,7 @@ object TextOps {
     Q("q100_chunk_windows",
       """WITH t AS (
         |  SELECT doc_id, source,
-        |         string_split_regex(trim(lower(text)), '\s+') AS w
+        |         string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w
         |  FROM documents),
         |n AS (SELECT doc_id, source, w, len(w) AS n FROM t WHERE len(w) >= 1),
         |st AS (
@@ -956,7 +960,7 @@ object TextOps {
     Q("q102_sequence_pack",
       """WITH t AS (
         |  SELECT doc_id, source,
-        |         len(string_split_regex(trim(lower(text)), '\s+')) AS n
+        |         len(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS n
         |  FROM documents),
         |p AS (
         |  SELECT source, n,
@@ -1087,7 +1091,7 @@ object TextOps {
     Q("q107_line_dedup",
       """WITH t AS (
         |  SELECT doc_id, source,
-        |         string_split_regex(trim(lower(text)), '\s+') AS w
+        |         string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w
         |  FROM documents),
         |l AS (
         |  SELECT doc_id, source,
@@ -1235,7 +1239,7 @@ object TextOps {
     Q("q112_token_rarity",
       """WITH t AS (
         |  SELECT doc_id, source, unnest(list_distinct(list_filter(
-        |           string_split_regex(trim(lower(text)), '\s+'),
+        |           string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'),
         |           x -> x <> ''))) AS token
         |  FROM documents),
         |tdf AS (SELECT token, count(*) AS dfq FROM t GROUP BY token),
@@ -1251,7 +1255,7 @@ object TextOps {
         |       count(*) AS n_docs,
         |       CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM per, nd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      // tokens(): the RE2-exact class — a bare "\\s+" would re-open the
+      // tokens(): the RE2-exact class — a bare "[ \\t\\n\\f\\r]+" would re-open the
       // Java-vs-RE2 vertical-tab divergence this file's tokenizer exists
       // to close. Materialized ONCE (q70's pattern): the df aggregate and
       // the join probe side would otherwise each re-run the
@@ -1398,7 +1402,7 @@ object TextOps {
       """WITH t AS (
         |  SELECT doc_id, tok FROM (
         |    SELECT doc_id,
-        |           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |           unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS tok
         |    FROM documents)
         |  WHERE tok <> ''),
         |v AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
@@ -1811,7 +1815,7 @@ object TextOps {
       """WITH st AS (
         |  SELECT DISTINCT source, tok FROM (
         |    SELECT source,
-        |           unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |           unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'))
         |             AS tok
         |    FROM documents)
         |  WHERE tok <> ''),
@@ -1868,7 +1872,7 @@ object TextOps {
       """WITH pos AS (
         |  SELECT doc_id, unnest(w) AS tok,
         |         unnest(range(1, len(w) + 1)) AS p
-        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')
         |               AS w
         |        FROM documents)),
         |a AS (SELECT doc_id, p FROM pos WHERE tok = 'sort'),
@@ -2324,7 +2328,7 @@ object TextOps {
       val enHits = duckStopHits(stop("en"))
       s"""WITH t AS (
         |  SELECT lang, $enHits AS hits,
-        |         len(string_split_regex(trim(lower(text)), '\\s+'))
+        |         len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+'))
         |           AS n_toks
         |  FROM documents),
         |b AS (
@@ -2440,9 +2444,30 @@ object TextOps {
         graft.functions.TextHash.simhash64(col("ss")).as("sh"))
       .localCheckpoint(true)
 
-  /** SimHash pairs over a prebuilt shingleSets frame (shareable with the
-    * exact reference and the band membership check in q44). */
-  def simhashPairsFromSets(sets: DataFrame): DataFrame = {
+  /** Document count above which the simhash candidate join switches from
+    * the 8×8-bit chunk scheme to the 4×16-bit one-error-variant scheme
+    * (multi-index Hamming search — the Manku et al. WWW'07 / HmSearch
+    * SIGMOD'13 family; public algorithms, own implementation). Both
+    * schemes are COMPLETE for the ≤7 band, so the plans are
+    * output-identical (TextOpsSpec pins it); the switch is pure cost.
+    * Why it matters: the 8-bit chunk key has only 2048 distinct values,
+    * so enumerated collision pairs grow ~n²/32 — fine for thousands of
+    * docs, the dominant term at millions. The variant scheme pays 17
+    * probe keys per block (the value plus its 16 one-bit flips) to join
+    * on an 18-bit key space, cutting enumeration ~120× and pushing the
+    * quadratic knee two orders of magnitude out. Conf-tunable:
+    * `spark.graft.simhash.variantThreshold`. */
+  private val SimhashVariantDefault = 500L * 1000
+
+  /** Candidate (doc_a, doc_b, hamming ≤ 7) pairs via the 8-chunk exact
+    * scheme: pigeonhole — 7 differing bits can dirty at most 7 of the 8
+    * 8-bit chunks, so some chunk matches exactly and the equi join finds
+    * the pair. The hamming filter runs map-side BEFORE the distinct:
+    * collision pairs (same chunk value, far fingerprints) die in codegen
+    * for the cost of one XOR+popcount instead of riding the distinct's
+    * exchange — at n docs the filter input is ~n²/32 rows and the
+    * exchange input only the band survivors. */
+  private def simhashCandChunk(sets: DataFrame): DataFrame = {
     val chunksN = 8
     val bitsPer = 64 / chunksN
     val mask = (1L << bitsPer) - 1
@@ -2454,14 +2479,66 @@ object TextOps {
       col("chunk"), col("ck"))
     val b = chunks.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
       col("chunk"), col("ck"))
-    val cand = a.join(b, Seq("chunk", "ck")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sha ^ shb)").cast("int").as("hamming"))
-      .distinct()
+    a.join(b, Seq("chunk", "ck")).filter(col("doc_a") < col("doc_b"))
       // <= 7 is the pigeonhole completeness bound for 8 chunks: every pair
       // in the output band is guaranteed found; 8-10 would be found only
       // when a chunk coincidentally matched (opportunistic semantics)
+      .withColumn("hamming", expr("bit_count(sha ^ shb)").cast("int"))
       .filter(col("hamming") <= 7)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** Same ≤7-band candidates via 4×16-bit blocks with one-error probe
+    * expansion: ≤7 errors across 4 blocks put ≤⌊7/4⌋ = 1 error in SOME
+    * block, so either that block matches exactly or flipping exactly one
+    * probe-side bit makes it match — the probe side emits each block
+    * value plus its 16 one-bit flips (68 keys/doc), the build side only
+    * exact values (4 keys/doc), and the join key is (block, 16-bit
+    * value). One-sided expansion suffices because every doc sits on both
+    * sides: for a pair (x < y) the clean block joins x's variant list to
+    * y's exact value. */
+  private def simhashCandVariant(sets: DataFrame): DataFrame = {
+    val blocks = 4
+    val bitsPer = 64 / blocks
+    val mask = (1L << bitsPer) - 1
+    def blockVal(i: Int) =
+      shiftrightunsigned(col("sh"), i * bitsPer).bitwiseAND(lit(mask))
+    val base = sets.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until blocks).map(blockVal): _*)))
+      .toDF("doc_id", "sh", "blk", "bv")
+    val probes = sets.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until blocks).map { i =>
+        val v = blockVal(i)
+        array(v +: (0 until bitsPer).map(j =>
+          v.bitwiseXOR(lit(1L << j))): _*)
+      }: _*)))
+      .toDF("doc_id", "sh", "blk", "vs")
+      .select(col("doc_id"), col("sh"), col("blk"),
+        explode(col("vs")).as("bv"))
+    val a = probes.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+      col("blk"), col("bv"))
+    val b = base.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+      col("blk"), col("bv"))
+    a.join(b, Seq("blk", "bv")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sha ^ shb)").cast("int"))
+      .filter(col("hamming") <= 7)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** SimHash pairs over a prebuilt shingleSets frame (shareable with the
+    * exact reference and the band membership check in q44). ADAPTIVE like
+    * [[exactJaccardPairsFrom]]: candidate generation switches plans at
+    * [[SimhashVariantDefault]] docs — both plans are exact for the ≤7
+    * band, so the output is plan-independent. */
+  def simhashPairsFromSets(sets: DataFrame): DataFrame = {
+    val threshold = sets.sparkSession.conf
+      .getOption("spark.graft.simhash.variantThreshold").map(_.toLong)
+      .getOrElse(SimhashVariantDefault)
+    val cand =
+      if (sets.count() <= threshold) simhashCandChunk(sets)
+      else simhashCandVariant(sets)
     val jac = rawJaccard
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"),

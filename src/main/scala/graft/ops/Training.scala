@@ -41,8 +41,14 @@ object Training {
     * boilerplate/code/noise barely at all. */
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** LONG from the start: size() is IntegerType, and every consumer
+    * multiplies this by a scale constant (×1000 milli-score, ×100 funnel
+    * ratio) — the products must form in 64-bit like the oracles' BIGINT
+    * len(), or a pathological ~2.1M-stop-hit document wraps silently on
+    * the Spark side only. */
   private def stopHits(t: Column): Column =
     size(filter(t, x => array_contains(array(stopEn.map(lit): _*), x)))
+      .cast("long")
 
   /** BIGINT → DECIMAL(19,0): the promotion step of the repo overflow
     * rule (BENCH_NOTES audit table) — products of two of these land in
@@ -56,7 +62,7 @@ object Training {
     ((x - pmod(x, y)) / y).cast("long")
 
   /** DuckDB spellings of the same tokenize + stopword hit count. */
-  private val duckToks = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val duckToks = "string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')"
   private val duckStopList =
     stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -168,8 +174,22 @@ object Training {
     // big ones). L comes from the standard sorted-availability scan: with
     // cells ordered by (avail, source, lang) and pre_i the exclusive
     // prefix sum, the first index where L_i = (budget − pre_i) div
-    // (m − i + 1) fits under avail_i yields L = L_i (TrainingSpec
-    // brute-forces max{L : Σ min(avail, L) ≤ budget} to pin optimality).
+    // (m − i + 1) fits STRICTLY under avail_i yields L = L_i. Strictness
+    // matters: when L_i == avail_i with a nonzero remainder, cell i is
+    // itself exhausted at that level and the true maximum sits at a later
+    // index (avail {2,2,10} at budget 8: i=1 gives L=2/alloc 6, the real
+    // answer is L=4/alloc 8) — and strictness never rejects the true
+    // index i*, since for every j < i* the prefix bound gives
+    // L_j ≥ avail_j. The i = m fallback makes the scan total on the
+    // degenerate all-empty corpus (budget < Σavail holds whenever
+    // Σavail > 0, so i = m strictly accepts on any real data). The
+    // candidate numerator is clamped at 0 in BOTH engines so the
+    // division never sees a negative operand — DuckDB `//` truncates
+    // negatives while Ranks.intDiv floors (Ranks.scala), and the clamp
+    // makes that divergence structurally unreachable instead of relying
+    // on the accept-before-negative-zone invariant. (TrainingSpec
+    // brute-forces max{L : Σ min(avail, L) ≤ budget} to pin optimality,
+    // tie case included.)
     // The corpus reduces to ≤|sources|·|langs| rows in one
     // partial-aggregated scan; every window and join after that runs on
     // that broadcast-sized frame (PlanQualitySpec's global-window sweep
@@ -179,7 +199,7 @@ object Training {
     Q("q300_mixture_waterfill",
       """WITH t AS (
         |  SELECT source, lang,
-        |         len(string_split_regex(trim(lower(text)), '\s+')) AS ntok
+        |         len(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS ntok
         |  FROM documents),
         |d AS (SELECT source, lang, CAST(sum(ntok) AS BIGINT) AS avail
         |      FROM t GROUP BY 1, 2),
@@ -193,9 +213,9 @@ object Training {
         |           AS pre
         |  FROM d),
         |cand AS (
-        |  SELECT i, (budget - pre) // (m - i + 1) AS li
+        |  SELECT i, greatest(0, budget - pre) // (m - i + 1) AS li
         |  FROM o, g
-        |  WHERE (budget - pre) // (m - i + 1) BETWEEN 0 AND avail),
+        |  WHERE greatest(0, budget - pre) // (m - i + 1) < avail OR i = m),
         |lvl AS (SELECT li AS level FROM cand ORDER BY i LIMIT 1)
         |SELECT source, lang, avail AS avail_tok,
         |       least(avail, level) AS alloc_tok,
@@ -214,10 +234,10 @@ object Training {
           sum(col("avail")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
         .crossJoin(broadcast(g))
-      val li = Ranks.intDiv(col("budget") - col("pre"),
+      val li = Ranks.intDiv(greatest(lit(0L), col("budget") - col("pre")),
         col("m") - col("i") + 1)
       val lvl = o.withColumn("li", li)
-        .filter(col("li") >= 0 && col("li") <= col("avail"))
+        .filter(col("li") < col("avail") || col("i") === col("m"))
         .orderBy(col("i")).limit(1)
         .select(col("li").as("level"))
       o.crossJoin(broadcast(lvl))
@@ -362,7 +382,7 @@ object Training {
     Q("q303_curriculum_pacing",
       """WITH t AS (
         |  SELECT doc_id, source,
-        |         len(string_split_regex(trim(lower(text)), '\s+')) AS ntok
+        |         len(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS ntok
         |  FROM documents),
         |g AS (SELECT count(*) AS nn FROM t),
         |r AS (
@@ -479,7 +499,7 @@ object Training {
     Q("q305_source_token_tvd",
       """WITH tk AS (
         |  SELECT source,
-        |         unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |         unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'))
         |           AS token
         |  FROM documents),
         |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
@@ -532,19 +552,19 @@ object Training {
     // {100, 1000, 10000}, what fraction of the corpus TOKEN MASS do the
     // top-k types cover, and what OOV mass falls outside? Types rank by
     // (count desc, token) — a TOTAL order — in the q130 block-offset
-    // topology spelled inline because this consumer needs BOTH the rank
-    // and the running mass from ONE range shuffle (globalIndex and
-    // globalCumSum would each pay their own): range-partition the
-    // vocabulary, take per-block (count, mass) totals, broadcast the
-    // ≤32-row offset table, and one pid-local window yields rank and
-    // cumulative mass together. The corpus reduces to the vocabulary in
+    // topology spelled inline because the rank consumer and the cutoff
+    // sweep share ONE range shuffle (globalIndex would re-shuffle for
+    // its own layout): range-partition the vocabulary, take per-block
+    // row counts, broadcast the ≤32-row offset table, and one pid-local
+    // window yields the global rank; covered mass then falls out of the
+    // CASE sums over rk. The corpus reduces to the vocabulary in
     // one explode+partial-agg pass and is never touched again; the
     // cutoff sweep is a conditional aggregation over the ranked
     // vocabulary (3 CASE sums, one scan) reshaped through a 3-row
     // spine. Coverage crosses the boundary as exact floor millionths.
     Q("q306_vocab_truncation",
       """WITH tk AS (
-        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'))
         |           AS token
         |  FROM documents),
         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS ct
@@ -572,7 +592,7 @@ object Training {
       val wOff = Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = parted.groupBy(col("pid"))
-        .agg(count(lit(1)).as("c"), sum(col("ct")).as("m"))
+        .agg(count(lit(1)).as("c"))
         .withColumn("roff", coalesce(sum(col("c")).over(wOff), lit(0L)))
         .select(col("pid"), col("roff"))
       val wLoc = Window.partitionBy(col("pid"))
@@ -613,7 +633,7 @@ object Training {
     // is SF-scaling × constant — BIGINT per the overflow rule).
     Q("q307_packing_forecast",
       """WITH t AS (
-        |  SELECT len(string_split_regex(trim(lower(text)), '\s+')) AS ntok
+        |  SELECT len(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS ntok
         |  FROM documents),
         |ls AS (SELECT * FROM (VALUES (128), (512), (2048)) v(l)),
         |p AS (
@@ -681,7 +701,7 @@ object Training {
     // and 1e6 → DECIMAL(38,0)/HUGEINT per the overflow rule.
     Q("q308_ngram_dup_mass",
       """WITH t AS (
-        |  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  SELECT source, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w
         |  FROM documents),
         |g AS (
         |  SELECT source,
@@ -783,8 +803,8 @@ object Training {
         |FROM ks CROSS JOIN a ORDER BY k""".stripMargin) { (s, d) =>
       val sig = Tables.documents(s, d)
         .select(toks(col("text")).as("w"))
-        .select(size(col("w")).as("nt"),
-          size(array_distinct(col("w"))).as("nd"),
+        .select(size(col("w")).cast("long").as("nt"),
+          size(array_distinct(col("w"))).cast("long").as("nd"),
           stopHits(col("w")).as("sh"))
       val ff = when(col("nt") < 20, 1)
         .when(col("sh") * 100 < col("nt") * 3, 2)
@@ -834,7 +854,7 @@ object Training {
     Q("q311_shard_skew",
       """WITH t AS (
         |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS h3,
-        |         len(string_split_regex(trim(lower(text)), '\s+')) AS ntok
+        |         len(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS ntok
         |  FROM documents),
         |g3 AS (SELECT h3, CAST(sum(ntok) AS BIGINT) AS mass
         |       FROM t GROUP BY 1),
@@ -889,7 +909,7 @@ object Training {
     Q("q312_good_turing",
       """WITH tk AS (
         |  SELECT source,
-        |         unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |         unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'))
         |           AS token
         |  FROM documents),
         |v AS (SELECT source, token, CAST(count(*) AS BIGINT) AS ct

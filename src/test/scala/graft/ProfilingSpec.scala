@@ -321,11 +321,14 @@ class ProfilingSpec extends SparkSpec {
   }
 
   test("q315: k-anonymity audit matches a driver class tally") {
+    // .values.toSeq BEFORE the per-class map: mapping the groupBy Map to
+    // (size, ndv) pairs would rebuild a Map KEYED BY SIZE and silently
+    // collapse every equal-sized class (99 classes -> 14 at sf0.001)
     val cls = Tables.documents(spark, sf0001)
       .select(col("source"), col("lang"), col("n_chars")).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-      .groupBy(_._1)
-      .map { case (_, xs) => (xs.length.toLong, xs.map(_._2).distinct.length.toLong) }
+      .groupBy(_._1).values.toSeq
+      .map(xs => (xs.length.toLong, xs.map(_._2).distinct.length.toLong))
     val got = run("q315_k_anonymity").collect().map(r =>
       r.getAs[Int]("k") -> (r.getAs[Long]("n_classes"),
         r.getAs[Long]("n_violating"), r.getAs[Long]("rows_at_risk"),

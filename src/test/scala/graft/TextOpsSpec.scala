@@ -560,4 +560,38 @@ class TextOpsSpec extends SparkSpec {
       assert(forced == default)
     } finally spark.conf.unset(key)
   }
+
+  test("tokens(): vertical tab is a token character in BOTH engines (explicit class, not \\s)") {
+    // Java \s includes \x0B; RE2's \s excludes it in old releases and
+    // includes it in new ones. The house class [ \t\n\f\r] is explicit on
+    // both sides, so a VT-bearing document tokenizes identically everywhere:
+    // "alpha<VT>beta gamma" is TWO tokens, the first containing the VT.
+    val df = Seq((1L, "Alpha\u000Bbeta gamma\tdelta\nepsilon")).toDF("doc_id", "text")
+    val got = df.select(TextOps.tokens(col("text")).as("w"))
+      .selectExpr("w", "size(w) AS n").collect().head
+    assert(got.getAs[Int]("n") == 4)
+    assert(got.getSeq[String](0) ==
+      Seq("alpha\u000bbeta", "gamma", "delta", "epsilon"))
+  }
+
+  test("simhash variant-scheme candidates are plan-identical to the chunk scheme") {
+    // Both candidate plans are complete for the hamming <= 7 band, so the
+    // full (doc_a, doc_b, hamming, jaccard) output must be bit-identical.
+    val sets = TextOps.shingleSets(TextOps.shingles(
+      Tables.documents(spark, sf0001), "text", 3).localCheckpoint(true))
+    val key = "spark.graft.simhash.variantThreshold"
+    def pairs() = TextOps.simhashPairsFromSets(sets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    try {
+      spark.conf.set(key, "0") // force the 4x16-bit one-error-variant plan
+      val variant = pairs()
+      spark.conf.unset(key)    // default: sf0.001 takes the 8-chunk plan
+      val chunk = pairs()
+      assert(chunk.nonEmpty, "no simhash pairs at sf0.001 — vacuous equivalence")
+      assert(variant == chunk,
+        s"variant plan diverged (missing ${chunk -- variant}, " +
+          s"extra ${variant -- chunk})")
+    } finally spark.conf.unset(key)
+  }
 }

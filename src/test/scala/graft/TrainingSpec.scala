@@ -422,4 +422,25 @@ class TrainingSpec extends SparkSpec {
     val nvs = Seq(100, 250, 1000).map(got(_)._3)
     assert(nvs == nvs.sorted.reverse, s"n_virtual not monotone: $nvs")
   }
+
+  test("q300: strict acceptance skips the li == avail tie (avail {2,2,10}, budget 8)") {
+    // The first scan index has li = 8 div 3 = 2 == avail exactly — the tie
+    // where a non-strict rule would stop at level 2 (alloc 6 of 8). Cell 1
+    // is itself exhausted there, so the scan must continue: the true
+    // maximum level is 4 (alloc 2 + 2 + 4 = 8).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q300-tie").toString
+    Seq((1L, "w1 w2", "en", "srcA"),
+        (2L, "w1 w2", "en", "srcB"),
+        (3L, "a b c d e f g h i j", "en", "srcC"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Training.queries.find(_.name == "q300_mixture_waterfill").get
+      .fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("avail_tok"),
+        r.getAs[Long]("alloc_tok"), r.getAs[Boolean]("exhausted"))).toMap
+    assert(got == Map("srcA" -> ((2L, 2L, true)),
+      "srcB" -> ((2L, 2L, true)), "srcC" -> ((10L, 4L, false))))
+  }
 }
