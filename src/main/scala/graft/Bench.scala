@@ -22,9 +22,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Scale experiments only (SPARK_GRAFT_INIT_PARTITIONS): start AQE
+    // from more reduce partitions than cores and let coalescing shrink
+    // the small stages — at 10×/30× corpora the fixed cpus-wide shuffle
+    // otherwise packs 3× the rows per partition (sort spill + GC, the
+    // superlinear term of the pair-stream family). Defaults to `cpus`,
+    // so the driver's board config is byte-identical to prior rounds.
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initParts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan rewrites (the (c) tier of the extension ladder): bounded
     // edit-distance predicates — see graft.plans.BoundLevenshtein
     ext.injectOptimizerRule(_ => graft.plans.BoundLevenshtein)
+    // stats-driven choice between exact-equivalent kernel plans — see
+    // graft.plans.AdaptivePlan
+    ext.injectOptimizerRule(_ => graft.plans.AdaptivePlanRule)
     // custom operator: map-side partial top-k-per-key (logical node +
     // strategy + physical operator) — see graft.plans.TopKPerKey
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
@@ -108,6 +111,7 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundLevenshtein))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BoundLevenshtein
+    graft.plans.AdaptivePlan.register(spark)
     graft.plans.TopKPerKey.register(spark)
   }
 }

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{GraftSql, SparkSession}
+
+/** Dev probe: prints the Catalyst size estimates the AdaptivePlan rule
+  * reads, per corpus — used to calibrate the bytes thresholds against
+  * the measured row-count crossovers. Not part of the driver contract. */
+object StatsProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { dir =>
+      val sh = graft.ops.TextOps.shingles(
+        Tables.documents(spark, dir), "text", 3).localCheckpoint(true)
+      val sets = graft.ops.TextOps.shingleSets(sh)
+      val shStats = GraftSql.analyzedPlan(sh).stats.sizeInBytes
+      val setsStats = GraftSql.analyzedPlan(sets).stats.sizeInBytes
+      println(s"[probe] $dir shingleRows=${sh.count()} shBytes=$shStats " +
+        s"docs=${sets.count()} setsBytes=$setsStats")
+    }
+    spark.stop()
+  }
+}

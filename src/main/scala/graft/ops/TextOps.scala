@@ -70,8 +70,11 @@ object TextOps {
   /** Shingle-row count above which the exact self-join switches from
     * direct shared-shingle enumeration to the prefix-filtered plan. Set
     * at the MEASURED crossover, not the theoretical one (q27, idle box):
-    * sf0.1 (2.7M rows) direct 5.0s vs prefix 12.9s; sf1 (27M) direct
-    * 22.5s vs prefix 25.9s; sf3 (81M) direct 92.4s vs prefix 90.1s —
+    * sf0.1 (260k rows) direct 5.0s vs prefix 12.9s; sf1 (2.6M) direct
+    * 22.5s vs prefix 25.9s; sf3 (7.8M) direct 92.4s vs prefix 90.1s —
+    * (round-13 correction: the r12 labels counted 10× high, which put
+    * the default a decade past the crossover, so the prefix path never
+    * engaged on the test corpora) —
     * and the prefix plan SCALES better (3.5× vs 4.1× per 3× data), so
     * past the crossover the gap widens. The crossover is late here
     * because this corpus's shingle document-frequency distribution is
@@ -80,28 +83,63 @@ object TextOps {
     * real-text corpus (hot boilerplate shingles with df in the millions,
     * quadratic enumeration cost) crosses over far earlier — tune DOWN
     * via the Spark conf `spark.graft.jaccard.prefixThreshold` there. */
-  private val PrefixPathDefault = 50L * 1000 * 1000
+  private val PrefixPathDefault = 5L * 1000 * 1000
+
+  /** Estimated-bytes threshold for the optimizer-time plan choice
+    * ([[graft.plans.AdaptivePlan]]): the Catalyst `stats.sizeInBytes`
+    * of the shingle frame at the measured 5M-shingle-row crossover
+    * (see [[PrefixPathDefault]]) — probed: the estimate runs ~0.98
+    * bytes per shingle row on this corpus (2.54MB at sf1's 2.6M rows),
+    * so the crossover sits at ~5MB. Conf-tunable:
+    * `spark.graft.jaccard.prefixThresholdBytes`. */
+  private val PrefixBytesDefault = BigInt(5L * 1000 * 1000)
+
+  /** The direct shared-shingle self-join branch (exact, no prefix). */
+  private def directJaccardSelfJoin(sh: DataFrame,
+      minJac: Double): DataFrame =
+    jaccardPairsAcross(sh, sh,
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
+      minJac, col("doc_a") < col("doc_b"))
 
   /** Same, over an already-materialized (doc_id, shingle) frame — callers
     * that also feed a hash pipeline from the same shingles (q36, q44) pass
     * one shared localCheckpoint so the tokenize+explode runs once.
     *
     * ADAPTIVE plan choice (both plans are EXACT — identical output):
-    * below [[PrefixPathDefault]] shingle rows, the direct shared-shingle
-    * self-join; above it, [[prefixJaccardSelfJoin]] (PPJoin-style prefix
-    * filter). The row count is one cheap job against the caller's
-    * checkpointed frame — the stand-in for the table statistics a
-    * catalog-backed engine would consult (the same statistic AQE reads
-    * to pick join strategies at runtime). */
+    * small corpora take the direct shared-shingle self-join, large ones
+    * [[prefixJaccardSelfJoin]] (PPJoin-style prefix filter). The
+    * decision runs at OPTIMIZER time by default ([[graft.plans
+    * .AdaptivePlan]]): both candidate plans are built lazily (zero jobs
+    * at construction) and the injected rule collapses to one branch by
+    * reading the shingle frame's Catalyst size estimate — the same
+    * statistic Spark's JoinSelection consults. Set
+    * `spark.graft.jaccard.planVia=count` for the driver-side form (one
+    * count() job against the caller's checkpointed frame, row threshold
+    * `spark.graft.jaccard.prefixThreshold`). */
   def exactJaccardPairsFrom(sh: DataFrame, minJac: Double): DataFrame = {
-    val threshold = sh.sparkSession.conf
-      .getOption("spark.graft.jaccard.prefixThreshold").map(_.toLong)
-      .getOrElse(PrefixPathDefault)
-    if (sh.count() <= threshold)
-      jaccardPairsAcross(sh, sh,
-        sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")),
-        minJac, col("doc_a") < col("doc_b"))
-    else prefixJaccardSelfJoin(sh, minJac)
+    val spark = sh.sparkSession
+    spark.conf.getOption("spark.graft.jaccard.planVia")
+        .getOrElse("stats") match {
+      case "count" =>
+        val threshold = spark.conf
+          .getOption("spark.graft.jaccard.prefixThreshold").map(_.toLong)
+          .getOrElse(PrefixPathDefault)
+        if (sh.count() <= threshold) directJaccardSelfJoin(sh, minJac)
+        else prefixJaccardSelfJoin(sh, minJac)
+      case _ =>
+        graft.plans.AdaptivePlan.register(spark)
+        val thresholdBytes = spark.conf
+          .getOption("spark.graft.jaccard.prefixThresholdBytes")
+          .map(BigInt(_)).getOrElse(PrefixBytesDefault)
+        org.apache.spark.sql.GraftSql.ofRows(spark,
+          graft.plans.AdaptivePlan(
+            org.apache.spark.sql.GraftSql.analyzedPlan(
+              directJaccardSelfJoin(sh, minJac)),
+            org.apache.spark.sql.GraftSql.analyzedPlan(
+              prefixJaccardSelfJoin(sh, minJac, eagerShare = false)),
+            org.apache.spark.sql.GraftSql.analyzedPlan(sh),
+            thresholdBytes))
+    }
   }
 
   /** Prefix-filtered exact Jaccard self-join (the PPJoin family: Bayardo
@@ -126,7 +164,7 @@ object TextOps {
     * UP on IEEE error (0.9·10 = 9.000…002) and would silently SHORTEN
     * the prefix below the lemma's bound. */
   private[graft] def prefixJaccardSelfJoin(sh: DataFrame,
-      minJac: Double): DataFrame = {
+      minJac: Double, eagerShare: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tMicro = math.round(minJac * 1000000L)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -138,10 +176,17 @@ object TextOps {
         row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
       .filter(col("rn") <= col("n_sh") - need + 1)
       .select(col("shingle"), col("doc_id"))
-    val sets = sh.groupBy(col("doc_id"))
+    val setsBase = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n_sh"))
-      .localCheckpoint(true) // both verify endpoints read it
+    // eagerShare: checkpoint so both verify endpoints read one
+    // materialization (the count-mode form — construction may run jobs).
+    // Otherwise stay FULLY lazy: under the optimizer-time plan choice
+    // (plans.AdaptivePlan) merely BUILDING this branch must run zero
+    // jobs — under AQE even a lazy checkpoint's toRdd starts stage
+    // materialization. The two endpoints then read the identical
+    // aggregate subtree, which exchange reuse dedupes at execution.
+    val sets = if (eagerShare) setsBase.localCheckpoint(true) else setsBase
     val cand = prefix.toDF("shingle", "doc_a")
       .join(prefix.toDF("shingle", "doc_b"), "shingle")
       .filter(col("doc_a") < col("doc_b"))
@@ -2455,9 +2500,12 @@ object TextOps {
     * docs, the dominant term at millions. The variant scheme pays 17
     * probe keys per block (the value plus its 16 one-bit flips) to join
     * on an 18-bit key space, cutting enumeration ~120× and pushing the
-    * quadratic knee two orders of magnitude out. Conf-tunable:
+    * quadratic knee two orders of magnitude out. The crossover is low —
+    * the chunk scheme's enumeration grows ~n²/64 while the variant
+    * scheme's overhead is a flat 68 probe keys per doc — so the default
+    * switches at 50k docs (≈ sf1 of the test corpus). Conf-tunable:
     * `spark.graft.simhash.variantThreshold`. */
-  private val SimhashVariantDefault = 500L * 1000
+  private val SimhashVariantDefault = 50L * 1000
 
   /** Candidate (doc_a, doc_b, hamming ≤ 7) pairs via the 8-chunk exact
     * scheme: pigeonhole — 7 differing bits can dirty at most 7 of the 8
@@ -2527,18 +2575,46 @@ object TextOps {
       .distinct()
   }
 
+  /** Estimated-bytes twin of [[SimhashVariantDefault]] for the
+    * optimizer-time switch ([[graft.plans.AdaptivePlan]]) — the Catalyst
+    * size estimate of the shingleSets frame at the same document-count
+    * crossover — probed: ~68 bytes/doc (3.39MB at sf1's 50k docs).
+    * Conf: `spark.graft.simhash.variantThresholdBytes`. */
+  private val SimhashBytesDefault = BigInt(3500L * 1000)
+
   /** SimHash pairs over a prebuilt shingleSets frame (shareable with the
     * exact reference and the band membership check in q44). ADAPTIVE like
-    * [[exactJaccardPairsFrom]]: candidate generation switches plans at
-    * [[SimhashVariantDefault]] docs — both plans are exact for the ≤7
-    * band, so the output is plan-independent. */
+    * [[exactJaccardPairsFrom]]: candidate generation switches plans at a
+    * corpus-size threshold — both plans are exact for the ≤7 band, so
+    * the output is plan-independent. The decision defaults to the
+    * optimizer-time stats read ([[graft.plans.AdaptivePlan]], zero jobs
+    * at construction); `spark.graft.simhash.planVia=count` restores the
+    * driver-side count() form with the row threshold
+    * `spark.graft.simhash.variantThreshold`. */
   def simhashPairsFromSets(sets: DataFrame): DataFrame = {
-    val threshold = sets.sparkSession.conf
-      .getOption("spark.graft.simhash.variantThreshold").map(_.toLong)
-      .getOrElse(SimhashVariantDefault)
-    val cand =
-      if (sets.count() <= threshold) simhashCandChunk(sets)
-      else simhashCandVariant(sets)
+    val spark = sets.sparkSession
+    val cand = spark.conf.getOption("spark.graft.simhash.planVia")
+        .getOrElse("stats") match {
+      case "count" =>
+        val threshold = spark.conf
+          .getOption("spark.graft.simhash.variantThreshold").map(_.toLong)
+          .getOrElse(SimhashVariantDefault)
+        if (sets.count() <= threshold) simhashCandChunk(sets)
+        else simhashCandVariant(sets)
+      case _ =>
+        graft.plans.AdaptivePlan.register(spark)
+        val thresholdBytes = spark.conf
+          .getOption("spark.graft.simhash.variantThresholdBytes")
+          .map(BigInt(_)).getOrElse(SimhashBytesDefault)
+        org.apache.spark.sql.GraftSql.ofRows(spark,
+          graft.plans.AdaptivePlan(
+            org.apache.spark.sql.GraftSql.analyzedPlan(
+              simhashCandChunk(sets)),
+            org.apache.spark.sql.GraftSql.analyzedPlan(
+              simhashCandVariant(sets)),
+            org.apache.spark.sql.GraftSql.analyzedPlan(sets),
+            thresholdBytes))
+    }
     val jac = rawJaccard
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"),

@@ -546,19 +546,65 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
-  test("adaptive kernel honors the prefixThreshold conf switch") {
+  test("adaptive kernel honors the plan-choice confs in both modes") {
     val sh = TextOps.shingles(
       Tables.documents(spark, sf0001), "text", 3).localCheckpoint(true)
-    val key = "spark.graft.jaccard.prefixThreshold"
+    def pairs() = TextOps.exactJaccardPairsFrom(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bytesKey = "spark.graft.jaccard.prefixThresholdBytes"
+    val rowsKey = "spark.graft.jaccard.prefixThreshold"
+    val viaKey = "spark.graft.jaccard.planVia"
     try {
-      spark.conf.set(key, "0") // force the prefix plan
-      val forced = TextOps.exactJaccardPairsFrom(sh, 0.5).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      spark.conf.unset(key)    // default: sf0.001 takes the direct plan
-      val default = TextOps.exactJaccardPairsFrom(sh, 0.5).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(forced == default)
-    } finally spark.conf.unset(key)
+      val default = pairs() // stats mode, sf0.001: the direct branch
+      spark.conf.set(bytesKey, "0") // stats mode, prefix branch forced
+      val forcedStats = pairs()
+      spark.conf.unset(bytesKey)
+      spark.conf.set(viaKey, "count") // legacy count() mode, direct
+      val countDirect = pairs()
+      spark.conf.set(rowsKey, "0")    // count() mode, prefix forced
+      val countPrefix = pairs()
+      assert(default.nonEmpty)
+      assert(forcedStats == default && countDirect == default &&
+        countPrefix == default)
+    } finally { spark.conf.unset(bytesKey); spark.conf.unset(rowsKey)
+      spark.conf.unset(viaKey) }
+  }
+
+  test("AdaptivePlan: zero jobs at construction; stats pick the plan shape") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val sh = TextOps.shingles(
+      Tables.documents(spark, sf0001), "text", 3).localCheckpoint(true)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // drain events queued BEFORE the listener registered (the async bus
+      // delivers pending events to late-added listeners), then zero out
+      Thread.sleep(1000)
+      jobs.set(0)
+      val df = TextOps.exactJaccardPairsFrom(sh, 0.5)
+      Thread.sleep(1000) // listener bus drain window
+      assert(jobs.get() == 0,
+        s"plan construction ran ${jobs.get()} job(s); the optimizer-time " +
+          "choice must be free (the count() job the rule exists to remove)")
+      // default at sf0.001: the direct branch — no window anywhere
+      val direct = df.queryExecution.optimizedPlan
+      assert(direct.collect { case w: Window => w }.isEmpty,
+        "sf0.001 default should optimize to the direct (window-free) branch")
+      // bytes threshold 0: the prefix branch — row_number window present
+      val key = "spark.graft.jaccard.prefixThresholdBytes"
+      try {
+        spark.conf.set(key, "0")
+        val prefix = TextOps.exactJaccardPairsFrom(sh, 0.5)
+          .queryExecution.optimizedPlan
+        assert(prefix.collect { case w: Window => w }.nonEmpty,
+          "bytes=0 should optimize to the prefix (windowed) branch")
+      } finally spark.conf.unset(key)
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("tokens(): vertical tab is a token character in BOTH engines (explicit class, not \\s)") {
@@ -579,7 +625,7 @@ class TextOpsSpec extends SparkSpec {
     // full (doc_a, doc_b, hamming, jaccard) output must be bit-identical.
     val sets = TextOps.shingleSets(TextOps.shingles(
       Tables.documents(spark, sf0001), "text", 3).localCheckpoint(true))
-    val key = "spark.graft.simhash.variantThreshold"
+    val key = "spark.graft.simhash.variantThresholdBytes"
     def pairs() = TextOps.simhashPairsFromSets(sets).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .toSet
