@@ -24,7 +24,8 @@ object SparkEntry {
     ops.Retail.queries ++
     ops.Stats.queries ++
     ops.Conformance.queries ++
-    ops.Training.queries
+    ops.Training.queries ++
+    ops.Curation.queries
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")
