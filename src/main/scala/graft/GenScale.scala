@@ -128,13 +128,27 @@ object GenScale {
               shifted.withColumn("text",
                 regexp_replace(col("text"), "(\\S+)", s"r$r$$1"))
             case ("embeddings", r) if r > 0 =>
-              require(mult - 1 < embDim,
-                s"mult=$mult needs rotation offsets up to ${mult - 1} but the " +
-                  s"embedding dim is only $embDim; replica rotations would wrap")
-              shifted.withColumn("embedding", concat(
-                slice(col("embedding"), lit(r + 1),
-                  size(col("embedding")) - lit(r)),
-                slice(col("embedding"), lit(1), lit(r))))
+              // rotation alone distinguishes dim replicas; composing a
+              // global sign flip on every second rotation cycle doubles
+              // that to 2·dim content-distinct replicas (negation
+              // preserves norms and pairwise angles within a replica, so
+              // ANN recall structure is unchanged — cosine to a negated
+              // replica flips sign, which only ADDS spread like the
+              // rotation itself does)
+              require(mult - 1 < 2 * embDim,
+                s"mult=$mult needs ${mult - 1} distinct replicas but " +
+                  s"rotation+negation of dim $embDim yields only " +
+                  s"${2 * embDim}; replicas would collide")
+              val rot = r % embDim
+              val rotated =
+                if (rot == 0) col("embedding")
+                else concat(
+                  slice(col("embedding"), lit(rot + 1),
+                    size(col("embedding")) - lit(rot)),
+                  slice(col("embedding"), lit(1), lit(rot)))
+              shifted.withColumn("embedding",
+                if (r < embDim) rotated
+                else transform(rotated, x => -x))
             case _ => shifted
           }
         }.reduce(_ unionByName _)

@@ -658,14 +658,18 @@ object Conformance {
     // sum/count, honoring NULL semantics (a NULL value contributes to
     // neither; an all-NULL-after-exclusion frame yields NULL, like the
     // native avg over an empty exclusion frame). Cross-engine float
-    // safety (round-11): values enter as EXACT integer cents, so the
-    // inclusive-sum-minus-current emulation is integer-exact and the only
-    // float op left is ONE division of identical integer operands in both
-    // engines — both engines then round() the same input doubles; only
-    // the round() implementations differ (Spark's BigDecimal HALF_UP on
-    // the shortest decimal repr vs DuckDB's scaled-double round), a far
-    // narrower channel than the ulp-level cancellation a double-sum
-    // emulation carries.
+    // safety (round-11, tightened round-13): values enter as EXACT
+    // integer cents, so the inclusive-sum-minus-current emulation is
+    // integer-exact and the only float op left is ONE division of
+    // identical integer operands in both engines. The round(·, 4) after
+    // it cannot diverge between the two implementations ON THESE INPUTS:
+    // the divisor is the exclusion-frame count, 1..6, so the quotient
+    // either terminates within 4 decimals (count ∈ {1,2,4,5} — nothing
+    // to round) or is periodic in 3s/6s (count ∈ {3,6} — never within
+    // an ulp of a scale-4 half boundary), and both engines see the same
+    // IEEE double. This argument is frame-width-specific: widen the
+    // frame past count 16 (a 2^4·k divisor) and exact scale-4 halves
+    // become reachable — re-derive before reusing the pattern.
     // The oracle spells the native frame as sum/count (not avg) so DuckDB
     // also divides the exact integer pair rather than its own running
     // accumulation. Per-user min/max of the per-row rounded averages keep

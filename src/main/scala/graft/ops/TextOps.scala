@@ -127,18 +127,13 @@ object TextOps {
         if (sh.count() <= threshold) directJaccardSelfJoin(sh, minJac)
         else prefixJaccardSelfJoin(sh, minJac)
       case _ =>
-        graft.plans.AdaptivePlan.register(spark)
         val thresholdBytes = spark.conf
           .getOption("spark.graft.jaccard.prefixThresholdBytes")
           .map(BigInt(_)).getOrElse(PrefixBytesDefault)
-        org.apache.spark.sql.GraftSql.ofRows(spark,
-          graft.plans.AdaptivePlan(
-            org.apache.spark.sql.GraftSql.analyzedPlan(
-              directJaccardSelfJoin(sh, minJac)),
-            org.apache.spark.sql.GraftSql.analyzedPlan(
-              prefixJaccardSelfJoin(sh, minJac, eagerShare = false)),
-            org.apache.spark.sql.GraftSql.analyzedPlan(sh),
-            thresholdBytes))
+        graft.plans.AdaptivePlan.choose(spark,
+          directJaccardSelfJoin(sh, minJac),
+          prefixJaccardSelfJoin(sh, minJac, eagerShare = false),
+          sh, thresholdBytes)
     }
   }
 
@@ -2602,18 +2597,12 @@ object TextOps {
         if (sets.count() <= threshold) simhashCandChunk(sets)
         else simhashCandVariant(sets)
       case _ =>
-        graft.plans.AdaptivePlan.register(spark)
         val thresholdBytes = spark.conf
           .getOption("spark.graft.simhash.variantThresholdBytes")
           .map(BigInt(_)).getOrElse(SimhashBytesDefault)
-        org.apache.spark.sql.GraftSql.ofRows(spark,
-          graft.plans.AdaptivePlan(
-            org.apache.spark.sql.GraftSql.analyzedPlan(
-              simhashCandChunk(sets)),
-            org.apache.spark.sql.GraftSql.analyzedPlan(
-              simhashCandVariant(sets)),
-            org.apache.spark.sql.GraftSql.analyzedPlan(sets),
-            thresholdBytes))
+        graft.plans.AdaptivePlan.choose(spark,
+          simhashCandChunk(sets), simhashCandVariant(sets),
+          sets, thresholdBytes)
     }
     val jac = rawJaccard
     cand

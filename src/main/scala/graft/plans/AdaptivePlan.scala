@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -29,11 +29,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * (unknown to every builtin rule, children optimized normally), then
   * the injected rule — `experimental.extraOptimizations` live-session,
   * `injectOptimizerRule` via [[graft.GraftExtensions]] — replaces it
-  * with the chosen child. The small-side branch owns the node's output
-  * attribute ids; choosing the large-side branch re-maps through a
-  * Project of aliases carrying the declared ids, so downstream
-  * attribute references never dangle. The unchosen branch simply drops
-  * out of the tree — never checkpointed, never executed.
+  * with the chosen child.
+  *
+  * `out` pins the node's output attributes at CONSTRUCTION. This is
+  * load-bearing, not bookkeeping: both branches (and often the outer
+  * query) contain the same leaf relations, so the analyzer's
+  * DeduplicateRelations rewrites exprIds INSIDE the children when the
+  * combined plan is analyzed — an output derived from the live child
+  * would drift away from the ids the outer query resolved against, and
+  * the physical planner then fails binding (the round-13
+  * ATTRIBUTE_NOT_FOUND on the first corpus big enough to choose the
+  * prefix branch). The rule therefore always re-maps the chosen
+  * branch's (possibly rewritten) output onto `out` through a Project of
+  * aliases carrying the pinned ids — downstream references never
+  * dangle, whichever branch wins and however analysis renamed it.
   *
   * `statsChild` is the INPUT frame both branches read (not a child of
   * this node — only its statistics are consulted). Thresholds are in
@@ -46,9 +55,22 @@ case class AdaptivePlan(
     small: LogicalPlan,
     large: LogicalPlan,
     statsChild: LogicalPlan,
-    thresholdBytes: BigInt) extends LogicalPlan {
+    thresholdBytes: BigInt,
+    out: Seq[Attribute]) extends LogicalPlan {
   override def children: Seq[LogicalPlan] = Seq(small, large)
-  override def output: Seq[Attribute] = small.output
+  override def output: Seq[Attribute] = out
+  // `out` is a Seq[Attribute] constructor field, so TreeNode reflection
+  // counts it among this node's expressions — declare the attributes as
+  // produced here or CheckAnalysis reports them as missing input.
+  override def producedAttributes: AttributeSet = AttributeSet(out)
+  // The node CONSUMES both children's outputs wholesale: without this,
+  // references = expressions − produced = ∅ and the optimizer's column
+  // pruning decides neither child's columns are demanded — both branch
+  // tops collapse to empty Projects and the rule's remap zips to nothing
+  // (the round-13 empty-Project ATTRIBUTE_NOT_FOUND). Deriving from the
+  // CURRENT children keeps it consistent through analyzer rewrites.
+  override lazy val references: AttributeSet =
+    AttributeSet(small.output ++ large.output)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan =
     copy(small = newChildren(0), large = newChildren(1))
@@ -58,17 +80,34 @@ case class AdaptivePlan(
   * user-rule batch, AFTER the default optimization of both children. */
 object AdaptivePlanRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case AdaptivePlan(small, large, statsChild, thresholdBytes) =>
-      if (statsChild.stats.sizeInBytes <= thresholdBytes) small
-      else Project(small.output.zip(large.output).map { case (o, n) =>
-        Alias(n, o.name)(exprId = o.exprId)
-      }, large)
+    case AdaptivePlan(small, large, statsChild, thresholdBytes, out) =>
+      val chosen =
+        if (statsChild.stats.sizeInBytes <= thresholdBytes) small else large
+      if (chosen.output.map(_.exprId) == out.map(_.exprId)) chosen
+      else Project(out.zip(chosen.output).map[NamedExpression] {
+        case (o, n) if o.exprId == n.exprId => o
+        case (o, n) => Alias(n, o.name)(exprId = o.exprId)
+      }, chosen)
   }
 }
 
 object AdaptivePlan {
-  /** Install [[AdaptivePlanRule]] on a live session (idempotent); the
-    * spark.sql.extensions path goes through [[graft.GraftExtensions]]. */
+  /** Wrap two exact-equivalent frames as one adaptive frame. Registers
+    * the rule on the live session (idempotent); the spark.sql.extensions
+    * path goes through [[graft.GraftExtensions]]. */
+  def choose(spark: SparkSession, small: DataFrame, large: DataFrame,
+      statsOf: DataFrame, thresholdBytes: BigInt): DataFrame = {
+    register(spark)
+    val smallPlan = org.apache.spark.sql.GraftSql.analyzedPlan(small)
+    org.apache.spark.sql.GraftSql.ofRows(spark, AdaptivePlan(
+      smallPlan,
+      org.apache.spark.sql.GraftSql.analyzedPlan(large),
+      org.apache.spark.sql.GraftSql.analyzedPlan(statsOf),
+      thresholdBytes,
+      smallPlan.output))
+  }
+
+  /** Install [[AdaptivePlanRule]] on a live session (idempotent). */
   def register(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(AdaptivePlanRule))
       spark.experimental.extraOptimizations =
