@@ -38,6 +38,11 @@ import graft.functions.{CosineSim, DotProduct, HyperplaneBands, JaroWinklerSim, 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    // NOTE deliberately absent: honest checkpoint statistics
+    // (graft.plans.HonestRddStats) CANNOT be an injected optimizer rule —
+    // LogicalRDD's equality excludes its curried originStats, so
+    // mapChildren discards a stats-only leaf swap; the fix runs at
+    // checkpoint time instead (GraftSql.eagerCkpt)
     // whole-plan rewrites (the (c) tier of the extension ladder): bounded
     // edit-distance predicates — see graft.plans.BoundLevenshtein
     ext.injectOptimizerRule(_ => graft.plans.BoundLevenshtein)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{GraftSql, SparkSession}
+import graft.Ckpt._
 
 /** Dev probe: prints the Catalyst size estimates the AdaptivePlan rule
   * reads, per corpus — used to calibrate the bytes thresholds against
@@ -15,12 +16,17 @@ object StatsProbe {
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { dir =>
       val sh = graft.ops.TextOps.shingles(
-        Tables.documents(spark, dir), "text", 3).localCheckpoint(true)
+        Tables.documents(spark, dir), "text", 3).eagerCkpt
       val sets = graft.ops.TextOps.shingleSets(sh)
       val shStats = GraftSql.analyzedPlan(sh).stats.sizeInBytes
       val setsStats = GraftSql.analyzedPlan(sets).stats.sizeInBytes
+      val shHonest = graft.plans.HonestRddStats
+        .fix(GraftSql.analyzedPlan(sh)).stats.sizeInBytes
+      val setsHonest = graft.plans.HonestRddStats
+        .fix(GraftSql.analyzedPlan(sets)).stats.sizeInBytes
       println(s"[probe] $dir shingleRows=${sh.count()} shBytes=$shStats " +
-        s"docs=${sets.count()} setsBytes=$setsStats")
+        s"shHonestBytes=$shHonest docs=${sets.count()} " +
+        s"setsBytes=$setsStats setsHonestBytes=$setsHonest")
     }
     spark.stop()
   }

@@ -16,10 +16,22 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // compressed parquet bytes understate exploded-text work ~50x: the
+      // 4MB default openCostInBytes floors the scan split target and left
+      // an 18MB documents file at FIVE splits, so the shingle explode and
+      // its eager checkpoint materialized 5-partition RDDs that throttled
+      // every downstream map stage to 5-way parallelism on a 32-core box
+      // (measured: q27-direct sf3 58s at 5 splits vs 43s on 3.3x MORE
+      // data at 15 splits). 256KB lets files.minPartitionNum (defaults to
+      // the core count) win; big tables already split past openCost.
+      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // library init: SQL functions + the injected plan rules (incl.
+    // honest checkpoint statistics) on this live session
+    GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Round-3 operator families extending SURVEY.md §2 coverage: range/theta
   * joins, GROUPING SETS, unpivot (wide→long), map-typed columns, explicit
@@ -689,7 +690,7 @@ object Advanced {
       def digest(df: org.apache.spark.sql.DataFrame) =
         df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
           .agg(expr("bit_xor(h)").as("digest"), count(lit(1)).as("n"))
-      val base = digest(li).localCheckpoint(true)
+      val base = digest(li).eagerCkpt
       val scrambled = digest(li.repartition(7, col("l_partkey"))
         .sortWithinPartitions(col("l_extendedprice")))
       // perturb the rows of the MIN (orderkey, linenumber) pair (one tiny
@@ -780,7 +781,7 @@ object Advanced {
         .select(col("o_orderkey"), col("o_custkey"))
         .repartitionByRange(32, col("o_orderkey"))
         .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true) // offsets + rank consumers share one shuffle
+        .eagerCkpt // offsets + rank consumers share one shuffle
       val wOff = Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
@@ -840,7 +841,7 @@ object Advanced {
       // aggregate and the hot-key threshold scan
       val per = side("view", "cnt_v").join(side("purchase", "cnt_p"), "user_id")
         .select(col("user_id"), (col("cnt_v") * col("cnt_p")).as("est"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val totals = per.agg(
         count(lit(1)).as("n_keys"),
         sum(col("est")).cast("long").as("est_join_rows"),
@@ -903,7 +904,7 @@ object Advanced {
           .cast("long").as("m"))
         .repartitionByRange(32, col("m"), col("ck"))
         .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true) // offsets + rank consumers share one shuffle
+        .eagerCkpt // offsets + rank consumers share one shuffle
       val wOff = Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
@@ -913,7 +914,7 @@ object Advanced {
         .orderBy(col("m"), col("ck"))
       val ranked = parted.join(broadcast(offsets), "pid")
         .withColumn("rk", col("off") + row_number().over(wLocal))
-        .localCheckpoint(true)
+        .eagerCkpt
       val t = ranked.agg(count(lit(1)).as("n"),
         sum(col("m")).cast("long").as("total"),
         sum(col("rk").cast("decimal(19,0)") * col("m")).as("s"))
@@ -962,7 +963,7 @@ object Advanced {
       // per-size minima: |distinct sizes| rows (value-domain-bounded, not
       // data-bounded) — the broadcastable reduction all else hangs off
       val sz = q.groupBy(col("p_size").as("s")).agg(min(col("pc")).as("mn"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val bounds = sz.toDF("s", "mn")
         .join(broadcast(sz.toDF("s2", "mn2")), col("s2") >= col("s"))
         .groupBy(col("s"))
@@ -1006,7 +1007,7 @@ object Advanced {
       val per = e.groupBy(col("event_type").as("scope"))
         .agg(countDistinct(col("user_id")).as("n_exact"),
           hll_sketch_agg(col("user_id")).as("sk"))
-        .localCheckpoint(true) // feeds both the per-type rows and the union
+        .eagerCkpt // feeds both the per-type rows and the union
       val perOut = per.select(col("scope"), col("n_exact"),
         (abs(hll_sketch_estimate(col("sk")).cast("double") - col("n_exact"))
           <= lit(0.02) * col("n_exact")).as("est_ok"))
@@ -1082,7 +1083,7 @@ object Advanced {
       // per-day sketches + per-day exact sets reduced ONCE
       val perDay = days.groupBy(col("d"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val windows = perDay.select(col("d").as("win_day"))
       val merged = windows
         .join(broadcast(perDay),
@@ -1328,7 +1329,7 @@ object Advanced {
       val ev = Tables.events(s, d)
       def side(t: String, cn: String) = ev.filter(col("event_type") === t)
         .groupBy(col("user_id")).agg(count(lit(1)).as(cn))
-        .localCheckpoint(true)
+        .eagerCkpt
       val v = side("view", "cv")
       val p = side("purchase", "cp")
       val b = v.agg(min(col("user_id")).as("vmn"), max(col("user_id")).as("vmx"))

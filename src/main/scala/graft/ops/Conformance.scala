@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Row type for the q207 typed-Dataset path (top-level so the product
   * encoder derives statically). */
@@ -54,7 +55,7 @@ object Conformance {
       val f = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("g"),
           nullif(col("l_quantity").cast("long"), lit(50L)).as("q"))
-        .localCheckpoint(true) // aggregate battery + group census share it
+        .eagerCkpt // aggregate battery + group census share it
       val a = f.groupBy(col("g")).agg(
         count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("q"))).cast("long").as("n_null"),
@@ -213,7 +214,7 @@ object Conformance {
           col("l_quantity").cast("long").as("w"))
         .groupBy(col("v")).agg(sum(col("w")).as("a"))
         .withColumn("b", lit(0L))
-      val cum = Stats.withCumBelow(counts).localCheckpoint(true)
+      val cum = Stats.withCumBelow(counts).eagerCkpt
       val tot = cum.agg(count(lit(1)).cast("long").as("n_values"),
         sum(col("a")).cast("long").as("total_weight"))
       cum.crossJoin(broadcast(tot))
@@ -511,7 +512,7 @@ object Conformance {
         |            END AS BIGINT) AS first_missing
         |FROM b, r""".stripMargin) { (s, d) =>
       val k = Tables.orders(s, d).select(col("o_orderkey").as("key"))
-        .localCheckpoint(true) // bounds + both self-join sides share it
+        .eagerCkpt // bounds + both self-join sides share it
       val b = k.agg(min(col("key")).as("mn"), max(col("key")).as("mx"),
         count(lit(1)).cast("long").as("n"))
       // keys with an absent successor: the max key always qualifies, so

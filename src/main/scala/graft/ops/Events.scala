@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Event-stream analytics over the `events` table (FIXTURES.md §B): JSON
   * property extraction and event-time windowing — tumbling, sliding and
@@ -387,14 +388,14 @@ object Events {
       val keys = Seq("user_id", "session_start", "n_events")
       // the SAME aggregate q25 verifies against DuckDB — a shared def, so
       // the parity baseline cannot drift from the oracle-checked query
-      val batch = sessionAgg(Tables.events(s, d)).localCheckpoint(true)
+      val batch = sessionAgg(Tables.events(s, d)).eagerCkpt
       val stream = graft.streaming.EventStreams.runToMemory(s,
         graft.streaming.EventStreams.sessions(
           graft.streaming.EventStreams.readEvents(s, d)), "q76_sessions",
         shufflePartitions = Some(8))
         .select(col("user_id"), col("session_start"), col("n_events"),
           col("total_value").as("stream_value"))
-        .localCheckpoint(true)
+        .eagerCkpt
       batch.agg(count(lit(1)).as("n_sessions"))
         .crossJoin(stream.join(batch, keys, "left_anti")
           .agg(count(lit(1)).as("n_extra")))
@@ -658,11 +659,11 @@ object Events {
       val stream = emitted
         .select(col("user_id"), col("session_start"), col("n_events"),
           col("total_value").as("stream_value"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val keys = Seq("user_id", "session_start", "n_events")
       val ev = Tables.events(s, d)
       val all = StatefulSessions.batchReference(s, ev, includeOpen = true)
-        .localCheckpoint(true)
+        .eagerCkpt
       val closed = StatefulSessions.batchReference(s, ev, includeOpen = false)
       all.agg(count(lit(1)).as("n_sessions"))
         .crossJoin(closed.join(stream, keys, "left_anti")
@@ -720,7 +721,7 @@ object Events {
           col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
           col("ts").cast("timestamp_ntz").as("ts"))
-        .localCheckpoint(true) // feeds both the result and the checksum
+        .eagerCkpt // feeds both the result and the checksum
       val chkCols = Seq(col("user_id"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")))
       val chk = sum(pmod(xxhash64(chkCols: _*), lit(1L << 31))).cast("long")
@@ -798,7 +799,7 @@ object Events {
         .select(col("user_id"), col("event_id"),
           col("ts").cast("timestamp_ntz").as("ts"),
           col("n_views"), col("n_clicks"))
-        .localCheckpoint(true) // feeds both the result and the checksum
+        .eagerCkpt // feeds both the result and the checksum
       val chkCols = Seq(col("user_id"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")),
         col("n_views"), col("n_clicks"))
@@ -1257,7 +1258,7 @@ object Events {
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val ut = Tables.events(s, d)
         .select(col("user_id"), col("event_type")).distinct()
-        .localCheckpoint(true) // both pair sides + the audience sizes
+        .eagerCkpt // both pair sides + the audience sizes
       val n = ut.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("long").as("na"))
       val pairs = ut.toDF("user_id", "type_a")
@@ -1375,14 +1376,14 @@ object Events {
         .groupBy(col("user_id")).agg(max(col("op")).as("last"))
         .filter(col("last.del") === 1)
         .select(col("user_id"))
-        .localCheckpoint(true) // three cascade hops reuse the erased set
+        .eagerCkpt // three cascade hops reuse the erased set
       val evRows = Tables.events(s, d)
         .join(erased, Seq("user_id"), "left_semi")
         .agg(count(lit(1)).cast("long").as("ev_rows"))
       val ords = Tables.orders(s, d)
         .join(erased.withColumnRenamed("user_id", "o_custkey"),
           Seq("o_custkey"), "left_semi")
-        .localCheckpoint(true) // counted AND joined to lineitem
+        .eagerCkpt // counted AND joined to lineitem
       val ordRows = ords.agg(count(lit(1)).cast("long").as("ord_rows"))
       val liRows = Tables.lineitem(s, d)
         .join(ords.select(col("o_orderkey").as("l_orderkey")),
@@ -1642,7 +1643,7 @@ object Events {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .withColumn("us", unix_micros(col("ts").cast("timestamp")))
-        .localCheckpoint(true) // thirds + the batch reference share it
+        .eagerCkpt // thirds + the batch reference share it
       val Array(lo, hi) = batch.agg(min(col("us")), max(col("us")))
         .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
       val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
@@ -1787,7 +1788,7 @@ object Events {
         .agg(count(lit(1)).as("n"),
           sum(when(col("event_type") === "error", 1L).otherwise(0L))
             .as("k"))
-        .localCheckpoint(true) // baseline + grid share the cell frame
+        .eagerCkpt // baseline + grid share the cell frame
       val t = c.agg((sum(col("k")) / sum(col("n")).cast("double")).as("p0"))
       c.join(broadcast(t), lit(true))
         .filter(col("n") >= 5 && col("p0") > 0)
@@ -1999,7 +2000,7 @@ object Events {
           .as("v"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("p"))
-        .localCheckpoint(true) // both band-join sides read the day frame
+        .eagerCkpt // both band-join sides read the day frame
       val b = days.select(col("day").as("bday"), col("v"), col("p"))
       val w = days.select(col("day").as("day"))
         .join(broadcast(b),
@@ -2114,7 +2115,7 @@ object Events {
         .select(col("user_id"), col("event_id"),
           col("ts").cast("timestamp").cast("long").as("sec"),
           round(col("value") * 100, 0).cast("long").as("cents"))
-        .localCheckpoint(true) // both self-join sides share the reduction
+        .eagerCkpt // both self-join sides share the reduction
       val a = p.toDF("user_id", "id_a", "sec_a", "cents")
       val b = p.toDF("user_id", "id_b", "sec_b", "cents")
       a.join(b, Seq("user_id", "cents"))
@@ -2221,7 +2222,7 @@ object Events {
         .agg(max(col("ts").cast("date")).as("mxd"))
       val f = Tables.events(s, d).groupBy(col("user_id"))
         .agg(min(col("ts").cast("date")).as("fd"))
-        .localCheckpoint(true) // base + active both read it
+        .eagerCkpt // base + active both read it
       val act = Tables.events(s, d)
         .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
       val ks = s.range(1, 9).select(col("id").cast("int").as("k"))
@@ -2240,7 +2241,7 @@ object Events {
           coalesce(col("n_active"), lit(0L)).as("n_active"))
         .withColumn("rr",
           col("n_active") / col("n_base").cast("double"))
-        .localCheckpoint(true) // fit + output rows share it
+        .eagerCkpt // fit + output rows share it
       val fit = r.filter(col("n_active") > 0)
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
           sum(log(col("rr"))).as("sy"),
@@ -2322,7 +2323,7 @@ object Events {
       def nm(i: Int) =
         sum(when(col("mask") === i, 1L).otherwise(0L)).cast("long").as(s"n$i")
       val h = u.agg(nm(0), nm(1), nm(2), nm(3), nm(4), nm(5), nm(6), nm(7))
-        .localCheckpoint(true) // three channel rows read the one-row frame
+        .eagerCkpt // three channel rows read the one-row frame
       val nConv = (col("n0") + col("n1") + col("n2") + col("n3") + col("n4")
         + col("n5") + col("n6") + col("n7")).as("n_conv")
       def row(name: String, sixths: org.apache.spark.sql.Column) =

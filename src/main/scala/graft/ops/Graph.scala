@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Minimal distributed graph connectivity for the dedup pipeline: near-dup
   * PAIRS (q27/q36/q44/q51) become near-dup CLUSTERS, from which a training
@@ -37,10 +38,10 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .eagerCkpt
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint(true)
+      .eagerCkpt
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -62,7 +63,7 @@ object Graph {
         .join(lookup, col("component") === col("lnode"), "left")
         .select(col("node"), coalesce(col("lcomp"), col("component"))
           .as("component"))
-        .localCheckpoint(true)
+        .eagerCkpt
       converged = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.component") =!= col("o.component"))
@@ -95,10 +96,10 @@ object Graph {
     * maxHop−depth full rounds of job overhead; `maxHop` stays the hard
     * bound. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val e = edges.select(col("a"), col("b")).eagerCkpt
     var visited = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0))
-      .localCheckpoint(true)
+      .eagerCkpt
     var frontier = visited
     var h = 1
     var done = false
@@ -108,9 +109,9 @@ object Graph {
         .select(col("b").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
-        .localCheckpoint(true)
+        .eagerCkpt
       done = frontier.isEmpty
-      if (!done) visited = visited.unionByName(frontier).localCheckpoint(true)
+      if (!done) visited = visited.unionByName(frontier).eagerCkpt
       h += 1
     }
     visited

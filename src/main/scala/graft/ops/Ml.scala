@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** MLlib prediction surface (SURVEY.md §2.8) exercised on the test schema.
   * Model internals are not SQL-expressible → rows-only driver checks; exact
@@ -516,7 +517,7 @@ object Ml {
       val l = Tables.embeddings(s, d)
         .groupBy(col("label"))
         .agg(count(lit(1)).cast("long").as("n"))
-        .localCheckpoint(true) // class frame + normalizer share the count
+        .eagerCkpt // class frame + normalizer share the count
       val t = l.agg(count(lit(1)).cast("long").as("k"),
         sum(lit(0.001) / (lit(1.0) - pow(lit(0.999), col("n")))).as("sw"))
       l.join(broadcast(t), lit(true))
@@ -574,7 +575,7 @@ object Ml {
           .map(col): _*)
         .withColumn("split",
           when(hex < "d", "train").when(hex < "f", "cal").otherwise("test"))
-        .localCheckpoint(true) // counts + fit + scoring share one scan
+        .eagerCkpt // counts + fit + scoring share one scan
       val counts = li.groupBy().agg(
         sum(when(col("split") === "train", 1).otherwise(0)).cast("long")
           .as("n_train"),
@@ -593,7 +594,7 @@ object Ml {
       val scored = transformers
         .foldLeft(li.filter(col("split") =!= "train"))((f, t) => t.transform(f))
         .select(col("split"), abs(col(label) - col("prediction")).as("r"))
-        .localCheckpoint(true) // quantile rank + coverage count share it
+        .eagerCkpt // quantile rank + coverage count share it
       // conformal quantile: k-th smallest calibration residual,
       // k = ceil((1-alpha) * (n_cal + 1))
       val k = math.ceil(0.9 * (nCal + 1)).toLong
@@ -606,7 +607,7 @@ object Ml {
       val parted = scored.filter(col("split") === "cal").select(col("r"))
         .repartitionByRange(16, col("r"))
         .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true)
+        .eagerCkpt
       val wOff = Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))

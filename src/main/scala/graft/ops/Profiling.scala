@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.Ckpt._
 
 /** Corpus / feature profiling operators — the statistical companions to the
   * curation pipeline (SURVEY.md §2 extension surface): association between
@@ -83,7 +84,7 @@ object Profiling {
       val c = Tables.documents(s, d)
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_xy"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val mx = c.groupBy("lang").agg(sum(col("n_xy")).cast("long").as("n_x"))
       val my = c.groupBy("source").agg(sum(col("n_xy")).cast("long").as("n_y"))
       val tot = c.agg(sum(col("n_xy")).cast("long").as("n"))
@@ -142,16 +143,16 @@ object Profiling {
         |ORDER BY c_ab DESC, bg""".stripMargin) { (s, d) =>
       val t = Tables.documents(s, d)
         .select(col("doc_id"), toks(col("text")).as("a"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val uc = t.select(explode(col("a")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val ut = uc.agg(sum(col("c")).cast("long").as("tu"))
       val bc = t.filter(size(col("a")) > 1)
         .select(explode(bigrams(col("a"))).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("c_ab"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val bt = bc.agg(sum(col("c_ab")).cast("long").as("tb"))
       val k = bc.orderBy(col("c_ab").desc, col("bg")).limit(100)
       k.crossJoin(broadcast(ut)).crossJoin(broadcast(bt))
@@ -215,11 +216,11 @@ object Profiling {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val t = Tables.documents(s, d)
         .select(col("doc_id"), toks(col("text")).as("a"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val uc = t.select(explode(col("a")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val ut = uc.agg(sum(col("c")).cast("long").as("tu"))
       val bg = t.filter(size(col("a")) > 1)
         .select(col("doc_id"),
@@ -228,7 +229,7 @@ object Profiling {
           col("a"))
         .withColumn("w2", element_at(col("a"), col("i") + 2))
         .select(col("doc_id"), col("w1"), col("w2"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
       bg.join(broadcast(bc), Seq("w1", "w2"))
         .join(broadcast(uc.select(col("tok").as("w1"), col("c").as("ca"))), "w1")
@@ -425,7 +426,7 @@ object Profiling {
         .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       val parted = v.repartitionByRange(32, col("freq").desc, col("tok"))
         .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true)
+        .eagerCkpt
       val wOff = Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
@@ -618,7 +619,7 @@ object Profiling {
       val nd = docs.agg(count(lit(1)).as("nd"))
       val parted = docs.repartitionByRange(32, col("doc_id"))
         .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true)
+        .eagerCkpt
       val wOff = Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
@@ -641,7 +642,7 @@ object Profiling {
         .select(col("bucket"), explode(TextOps.tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy(col("bucket"), col("tok")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val tc = g.groupBy("bucket").agg(sum(col("c")).as("n_toks"))
       val nt = g.groupBy("tok").agg(min(col("bucket")).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n_new"))
@@ -718,11 +719,11 @@ object Profiling {
         |FROM r5 ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       val pairs = TextOps.exactJaccardPairs(s, d, 0.5)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+        .select(col("doc_a"), col("doc_b")).eagerCkpt
       val e = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("u", "v").localCheckpoint(true) // sparse; reused 5×
+        .toDF("u", "v").eagerCkpt // sparse; reused 5×
       val n = e.groupBy(col("u").as("node"))
-        .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+        .agg(count(lit(1)).as("deg")).eagerCkpt
       var r = n.select(col("node"), col("deg"), lit(1000000L).as("r"))
       for (_ <- 1 to 5) {
         val contrib = e
@@ -767,7 +768,7 @@ object Profiling {
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("sz"),
           countDistinct(col("n_chars")).as("l_div"))
-        .localCheckpoint(true) // ≤|src|·|lang| rows; 3-k sweep shares it
+        .eagerCkpt // ≤|src|·|lang| rows; 3-k sweep shares it
       val ks = s.range(1).select(
         explode(array(lit(2), lit(5), lit(10))).as("k"))
       g.crossJoin(broadcast(ks))
@@ -811,11 +812,11 @@ object Profiling {
     * the wedge apex — each triangle exactly once. */
   private def triangleParts(edgeList: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val edges = edgeList.localCheckpoint(true)
+    val edges = edgeList.eagerCkpt
     val deg = edges.select(col("a").as("v"))
       .unionByName(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .eagerCkpt
     // orient every edge from its lower-(degree, id) endpoint: wedges
     // form only at low-degree vertices, bounding fan-out by arboricity
     val withDeg = edges
@@ -827,7 +828,7 @@ object Profiling {
         when(aLow, col("a")).otherwise(col("b")).as("u"),
         when(aLow, col("b")).otherwise(col("a")).as("w"),
         when(aLow, col("db")).otherwise(col("da")).as("dw"))
-      .localCheckpoint(true)
+      .eagerCkpt
     // wedge at u between its out-neighbors x < y in (degree, id) order;
     // the connecting edge, if present, is stored oriented (x, y)
     val e1 = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
@@ -838,7 +839,7 @@ object Profiling {
     val tris = wedges.join(
         oriented.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
       .select(col("u"), col("x"), col("y"))
-      .localCheckpoint(true)
+      .eagerCkpt
     (edges, deg, tris)
   }
 
@@ -901,7 +902,7 @@ object Profiling {
         concat(lit(" "),
           array_join(filter(split(col("tok"), ""), x => x =!= ""), "  "),
           lit(" ")).as("s"))
-      .coalesce(1).localCheckpoint(true)
+      .coalesce(1).eagerCkpt
     var vocab = words
     val out = Seq.newBuilder[(Int, String, String, Long)]
     for (k <- 1 to merges) {
@@ -917,7 +918,7 @@ object Profiling {
       vocab = vocab
         .withColumn("s", replace(col("s"),
           lit(s" $a  $b "), lit(s" $a$b ")))
-        .localCheckpoint(true)
+        .eagerCkpt
     }
     val sq = s
     import sq.implicits._
@@ -1024,10 +1025,10 @@ object Profiling {
       // |event_types|² rows: one partition keeps every iteration's jobs at
       // 1-2 tasks instead of shuffle.partitions-many empty ones (the edge
       // table would be hash-partitioned by src at real graph scale)
-      .coalesce(1).localCheckpoint(true)
+      .coalesce(1).eagerCkpt
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
-      .distinct().coalesce(1).localCheckpoint(true)
+      .distinct().coalesce(1).eagerCkpt
     val nN = nodes.count()
     var rank = nodes.withColumn("r", lit(1.0 / nN))
     for (_ <- 1 to iters) {
@@ -1044,7 +1045,7 @@ object Profiling {
         .select(col("node"),
           (lit(0.15 / nN) + lit(0.85) *
             (coalesce(col("inflow"), lit(0.0)) + col("dm") / nN)).as("r"))
-        .localCheckpoint(true)
+        .eagerCkpt
     }
     rank.select(col("node").as("event_type"), round(col("r"), 6).as("rank"))
       .orderBy("event_type")

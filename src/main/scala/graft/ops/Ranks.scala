@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Shared rank→statistic arithmetic for the scale-safe ranking topology
   * (q130 global index, q148 RFM quartiles, q53 segment windows): once a
@@ -61,7 +62,7 @@ object Ranks {
   def globalIndex(df: DataFrame, parts: Int, sortExprs: Column*): DataFrame = {
     val parted = df.repartitionByRange(parts, sortExprs: _*)
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
+      .eagerCkpt
     val wOff = Window.orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
@@ -89,7 +90,7 @@ object Ranks {
     val parted = df.repartitionByRange(parts, sortExprs: _*)
       .withColumn("pid", spark_partition_id())
       .withColumn("cs_v", value.cast("long"))
-      .localCheckpoint(true)
+      .eagerCkpt
     val wOff = Window.orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy(col("pid")).agg(sum(col("cs_v")).as("c"))

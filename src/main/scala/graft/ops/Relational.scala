@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Core relational operator inventory (SURVEY.md §2.2–§2.7), each exposed as
   * a named, DuckDB-oracle-checked query over the test star schema.
@@ -298,7 +299,7 @@ object Relational {
         .repartitionByRange(parts, col("c_mktsegment"), col("c_acctbal"),
           col("c_custkey"))
         .withColumn("_pid", spark_partition_id())
-        .localCheckpoint(true) // offsets + rank consumers share one shuffle
+        .eagerCkpt // offsets + rank consumers share one shuffle
       val wOff = Window.partitionBy(col("c_mktsegment")).orderBy(col("_pid"))
       val offsets = parted.groupBy(col("c_mktsegment"), col("_pid"))
         .agg(count(lit(1)).as("_cnt"))
@@ -831,7 +832,7 @@ object Relational {
         .select(round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
       val b = q.agg(min(col("pc")).as("mn"),
         (max(col("pc")) - min(col("pc")) + 1).as("span"))
-        .localCheckpoint(true)
+        .eagerCkpt
       q.crossJoin(broadcast(b))
         .groupBy(expr("CAST(((pc - mn) * 20) div span AS INT)").as("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("pc")).cast("long").as("sum_cents"))
@@ -904,7 +905,7 @@ object Relational {
           && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
         .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .agg(sum(col("l_quantity").cast("long")).cast("long").as("q"))
-        .localCheckpoint(true) // per-part totals + the dominance probe
+        .eagerCkpt // per-part totals + the dominance probe
       val tot = pq.groupBy(col("pk"))
         .agg(sum(col("q")).cast("long").as("tq"),
           count(lit(1)).as("n_sup"))

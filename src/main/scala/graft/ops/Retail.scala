@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.Ckpt._
 
 /** Retail-domain analytics over the TPC-H star — the analytics family the
   * reference's Walmart-sales context implies but its 4 scripts stop short
@@ -66,7 +67,7 @@ object Retail {
       math.max(2, df.sparkSession.sparkContext.defaultParallelism))
     val parted = df.repartitionByRange(parts, order: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true) // offset job + rank consumer share one shuffle
+      .eagerCkpt // offset job + rank consumer share one shuffle
     val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum
@@ -113,10 +114,10 @@ object Retail {
         |ORDER BY n_ab DESC, part_a, part_b""".stripMargin) { (s, d) =>
       val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct().localCheckpoint(true)
+        .distinct().eagerCkpt
       val n = b.agg(countDistinct(col("ok")).as("n_baskets"))
       val ic = b.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val pc = b.toDF("ok", "part_a")
         .join(b.toDF("ok", "part_b"), "ok")
         .filter(col("part_a") < col("part_b"))
@@ -204,7 +205,7 @@ object Retail {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100, 0).cast("long"))
             .cast("long").as("rev_cents"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val t = m.agg(sum(col("rev_cents")).cast("long").as("total"))
       m.crossJoin(broadcast(t))
         .select(col("month"), col("n_orders"), col("rev_cents"),
@@ -244,7 +245,7 @@ object Retail {
           month(col("o_orderdate")).cast("int").as("mo"))
         .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
           .cast("long").as("rev"))
-        .localCheckpoint(true)
+        .eagerCkpt
       m.select(col("y"), col("mo"), col("rev").as("actual"))
         .join(broadcast(m.select((col("y") + 1).as("y"), col("mo"),
           col("rev").as("forecast"))), Seq("y", "mo"))
@@ -323,7 +324,7 @@ object Retail {
         .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
           .cast("long").as("rev"))
         .withColumn("idx", col("y") * 12 + col("mo"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val past = broadcast(m.select(col("idx").as("jdx"),
         col("rev").as("jrev")))
       val w = pow(lit(2.0), lit(11) - (col("idx") - col("jdx"))).cast("long")
@@ -399,7 +400,7 @@ object Retail {
         .groupBy(col("n_regionkey").as("rk"), col("c_nationkey").as("nk"))
         .agg(sum(round(col("o_totalprice"), 0).cast("long")).cast("long")
           .as("hist"))
-        .localCheckpoint(true) // ≤|nations| rows drive everything below
+        .eagerCkpt // ≤|nations| rows drive everything below
       val rt = nt.groupBy(col("rk"))
         .agg(sum(col("hist")).cast("long").as("rtot"),
           expr("CAST((sum(hist) * 107) div 100 AS BIGINT)").as("fcast"))
@@ -452,7 +453,7 @@ object Retail {
         .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
           .cast("long").as("ext"),
           sum(col("l_quantity").cast("long")).cast("long").as("qty"))
-        .localCheckpoint(true) // both sides of the base join
+        .eagerCkpt // both sides of the base join
       val b = pm.filter(col("mo") === 1)
         .select(col("pk"), col("ext").as("ext0"), col("qty").as("qty0"))
       pm.join(b, "pk")
@@ -782,7 +783,7 @@ object Retail {
           .cast("long").as("rev"))
       val parted = per.repartitionByRange(32, col("rev").desc, col("pk"))
         .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true) // offsets + cumsum consumers share a shuffle
+        .eagerCkpt // offsets + cumsum consumers share a shuffle
       val wOff = Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = parted.groupBy(col("pid"))
@@ -833,7 +834,7 @@ object Retail {
           month(col("o_orderdate")).cast("int").as("mo"))
         .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
           .cast("long").as("rev"))
-        .localCheckpoint(true) // both join sides read the reduced frame
+        .eagerCkpt // both join sides read the reduced frame
       val p = m.select(col("y").as("py"), col("mo").as("pmo"),
         col("rev").as("prev_rev_cents"))
       m.join(broadcast(p),
@@ -883,7 +884,7 @@ object Retail {
           .otherwise(0L)).cast("long").as("rev97"),
           sum(when(year(col("l_shipdate")) === 1998, cents)
             .otherwise(0L)).cast("long").as("rev98"))
-        .localCheckpoint(true) // median + classification share the frame
+        .eagerCkpt // median + classification share the frame
       val m = b.agg(expr("percentile(rev98, 0.5)").as("med"))
       b.join(broadcast(m), lit(true))
         .select(col("brand"), col("rev97").as("rev97_cents"),
@@ -967,7 +968,7 @@ object Retail {
         .select((round(col("l_extendedprice") * 100, 0).cast("long") % 100)
           .as("ending"))
         .groupBy(col("ending")).agg(count(lit(1)).as("o"))
-        .localCheckpoint(true) // totals + charm cells share the frame
+        .eagerCkpt // totals + charm cells share the frame
       def cell(e: Int) = c.filter(col("ending") === e)
         .agg(coalesce(sum(col("o")), lit(0L)).cast("long").as(s"n_$e"))
       val t = c.agg(sum(col("o")).cast("long").as("n"),
@@ -1063,7 +1064,7 @@ object Retail {
       val top5 = graft.plans.TopKPerKey.topK(yearly, Seq("y"),
           Seq("rev" -> false, "pk" -> true), 5)
         .select(col("y"), col("pk"))
-        .localCheckpoint(true) // both churn-join sides read the top sets
+        .eagerCkpt // both churn-join sides read the top sets
       val mn = top5.agg(min(col("y")).as("mny"))
       val j = top5.toDF("ya", "pk")
         .join(top5.toDF("yb", "pk2"),
@@ -1226,7 +1227,7 @@ object Retail {
         .groupBy(col("p_brand").as("brand"), col("l_suppkey").as("sk"))
         .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
           .cast("long").as("rev"))
-        .localCheckpoint(true) // totals + entropy share the cell frame
+        .eagerCkpt // totals + entropy share the cell frame
       val t = c.groupBy(col("brand")).agg(sum(col("rev")).cast("long")
         .as("tot"))
       val share = col("rev").cast("double") / col("tot")
@@ -1266,7 +1267,7 @@ object Retail {
         .groupBy(year(col("o_orderdate")).cast("int").as("y"),
           col("o_orderpriority").as("p"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // totals + spine + both join sides
+        .eagerCkpt // totals + spine + both join sides
       val t = c.groupBy(col("y")).agg(sum(col("n")).cast("long").as("tot"))
       val spine = c.select(col("y")).distinct()
         .join(broadcast(c.select(col("p")).distinct()), lit(true))
@@ -1276,7 +1277,7 @@ object Retail {
         .select(col("y"), col("p"),
           (coalesce(col("n"), lit(0L)) / col("tot").cast("double"))
             .as("sh"))
-        .localCheckpoint(true)
+        .eagerCkpt
       m.toDF("y", "p", "sh")
         .join(broadcast(m.toDF("yb", "p", "shb")),
           Seq("p")).filter(col("yb") === col("y") - 1)
@@ -1331,7 +1332,7 @@ object Retail {
           // per-day Σcents² ≈ 2e18 at sf1 (~5× BIGINT headroom, gone by
           // sf5) — accumulate in DECIMAL(38,0) / HUGEINT like q178/q246.
           sum(cents.cast("decimal(19,0)") * cents).as("s2"))
-        .localCheckpoint(true) // totals + per-day z share the day frame
+        .eagerCkpt // totals + per-day z share the day frame
       val t = dd.agg(sum(col("n")).cast("long").as("nn"),
         sum(col("s")).cast("long").as("ss"),
         sum(col("s2").cast("double")
@@ -1401,7 +1402,7 @@ object Retail {
         .select(col("o_custkey").as("ck"),
           col("o_orderdate").cast("timestamp").cast("long").as("sec"),
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-        .localCheckpoint(true) // bounds + both halves share the reduction
+        .eagerCkpt // bounds + both halves share the reduction
       val mid = o.agg(expr("(min(sec) + max(sec)) div 2").as("mid"))
         .head().getLong(0)
       def half(cond: org.apache.spark.sql.Column)

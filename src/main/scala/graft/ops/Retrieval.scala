@@ -5,6 +5,7 @@ import graft.functions.ArrayMath
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Retrieval operators over `documents` + `embeddings`: BM25 lexical
   * scoring and hybrid lexical+dense fusion (reciprocal rank fusion) — the
@@ -55,7 +56,7 @@ object Retrieval {
     // it (len = Σc per doc, df = rows per tok) — the q70 pattern.
     val tf = t.filter(col("doc_id") =!= queryDoc)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .eagerCkpt
     val len = tf.groupBy("doc_id").agg(sum(col("c")).as("len"))
     val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.filter(col("doc_id") =!= queryDoc)

@@ -5,6 +5,7 @@ import graft.functions.ArrayMath
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Similarity search over `embeddings.embedding: array<float>`
   * (BASELINE.json north star). All inner kernels run through the codegen'd
@@ -182,12 +183,12 @@ object Similarity {
       val exactAll = exactCosinePairs(s, d, qBound = 200,
         threshold = 0.4 - 1e-6)
         .select(col("vec_a"), col("vec_b"), col("sim_raw"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val exact = exactAll.filter(col("sim_raw") >= 0.4).select("vec_a", "vec_b")
       val exactRelaxed = exactAll.select("vec_a", "vec_b")
       val lsh = annLsh(s, d, threshold = 0.4)
         .filter(col("vec_a") < 200).select("vec_a", "vec_b")
-        .localCheckpoint(true)
+        .eagerCkpt
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(lsh.join(exactRelaxed, Seq("vec_a", "vec_b"), "left_anti")
           .agg(count(lit(1)).as("n_false")))
@@ -347,9 +348,9 @@ object Similarity {
       // ONE tokenize+explode materialization feeds both the banding pipeline
       // and the exact self-join reference
       val sh = TextOps.shingles(Tables.documents(s, d), "text", 3)
-        .localCheckpoint(true)
+        .eagerCkpt
       val exactAll = TextOps.exactJaccardPairsFrom(sh, minJac = 0.5)
-        .localCheckpoint(true)
+        .eagerCkpt
       val exact09 = exactAll.filter(col("jac_raw") >= 0.9)
         .select("doc_a", "doc_b")
       val cand = minHashCandidatesFrom(sh).select("doc_a", "doc_b")
@@ -390,11 +391,11 @@ object Similarity {
       // full-corpus LSH dedup: every candidate pair is exact-verified at
       // sim >= 0.5 inside annLsh, so dropping vec_b needs no re-check
       val lshDropped = annLsh(s, d, threshold = 0.5)
-        .select(col("vec_b")).distinct().localCheckpoint(true)
+        .select(col("vec_b")).distinct().eagerCkpt
       // exact keep-first drops inside the bounded slice (both ends < 200)
       val exactDropped = exactCosinePairs(s, d, qBound = 200, threshold = 0.5)
         .filter(col("vec_b") < 200)
-        .select(col("vec_b")).distinct().localCheckpoint(true)
+        .select(col("vec_b")).distinct().eagerCkpt
       exactDropped.agg(count(lit(1)).as("n_slice_dropped"))
         .crossJoin(exactDropped.join(lshDropped, Seq("vec_b"), "left_semi")
           .agg(count(lit(1)).as("n_hit")))
@@ -530,7 +531,7 @@ object Similarity {
         .select(col("vec_id"),
           transform(col("pv"), x => (x.cast("double") / col("nrm")).cast("float"))
             .as("embedding"))
-        .localCheckpoint(true)
+        .eagerCkpt
       // stage 1: shortlist in prefix space; stage 2: exact rerank of the
       // m candidates (only the shortlist — nQ*m rows — carries full vectors)
       val shortlist = knn(prefix.filter(col("vec_id") < nQ), prefix, m)
@@ -662,7 +663,7 @@ object Similarity {
           .as(Seq("dim", "v")))
         .groupBy(col("label"), col("dim"))
         .agg(sum(col("v").cast("double")).as("cs"))
-        .localCheckpoint(true) // both pair sides + the norm frame
+        .eagerCkpt // both pair sides + the norm frame
       val n2 = cent.groupBy(col("label"))
         .agg(sum(col("cs") * col("cs")).as("n2"))
       val dots = cent.toDF("la", "dim", "sa")
@@ -741,7 +742,7 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           cosine(col("embedding"), col("qv")).as("rel"))
         .orderBy(desc("rel"), asc("vec_id")).limit(20)
-        .localCheckpoint(true)
+        .eagerCkpt
       // bounded 20×20 shortlist similarity matrix, computed in-engine
       val a = cands.select(col("vec_id").as("ia"), col("embedding").as("ea"))
       val pair = a.join(broadcast(cands
@@ -823,7 +824,7 @@ object Similarity {
         .filter(col("label") === label && col("vec_id") < 640)
         .orderBy(col("vec_id")).limit(64)
         .select(col("vec_id"), col("embedding"))
-        .localCheckpoint(true) // each slice feeds two distance passes
+        .eagerCkpt // each slice feeds two distance passes
       val xs = slice(0)
       val ys = slice(1)
       def dist(a: org.apache.spark.sql.DataFrame,
@@ -952,14 +953,14 @@ object Similarity {
         |JOIN cnt cb ON p.doc_b = cb.doc_id
         |WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5""".stripMargin) { (s, d) =>
       val sh = TextOps.shingles(Tables.documents(s, d), "text", 3)
-        .localCheckpoint(true)
+        .eagerCkpt
       val mins = (0 until 16).map(i =>
         min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
       val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
         .select(col("doc_id"),
           array((0 until 16).map(i => col(s"mh_$i")): _*).as("sig"))
-        .localCheckpoint(true)
-      val cand = minHashCandidatesFrom(sh).localCheckpoint(true)
+        .eagerCkpt
+      val cand = minHashCandidatesFrom(sh).eagerCkpt
       // Loud corpus-dependence guard (the q236 shortlist pattern): with
       // ZERO candidate pairs the bias/mae aggregates are NULL, the band
       // booleans evaluate to SQL NULL, and the oracle's hardcoded TRUE
@@ -980,7 +981,7 @@ object Similarity {
       val sets = sh.groupBy("doc_id")
         .agg(collect_set(col("shingle")).as("ss"),
           count(lit(1)).as("n_sh"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val est = cand
         .join(sig.toDF("doc_a", "sig_a"), "doc_a")
         .join(sig.toDF("doc_b", "sig_b"), "doc_b")
@@ -1080,7 +1081,7 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           ArrayMath.quantDot(col("qc"), col("cc")).as("int_dot"),
           ArrayMath.dot(col("qv"), col("cv")).as("fdot"))
-        .localCheckpoint(true) // both rankings + the overlap share one pass
+        .eagerCkpt // both rankings + the overlap share one pass
       graft.plans.TopKPerKey.register(s)
       val approx = graft.plans.TopKPerKey.topK(
         scored.select("query_id", "neighbor_id", "int_dot"),
@@ -1155,7 +1156,7 @@ object Similarity {
         min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary")))
           .as(s"mh_$i"))
       val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-        .localCheckpoint(true) // shared by the band fan-out and the count
+        .eagerCkpt // shared by the band fan-out and the count
       val cfgs = Seq(2 -> 8, 4 -> 4, 8 -> 2, 16 -> 1)
       val bandRows = array(cfgs.flatMap { case (b, r) =>
         (0 until b).map { j =>
@@ -1214,7 +1215,7 @@ object Similarity {
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
       "neighbor_id", "cv", 1)
       .select("cell", "neighbor_id")
-      .localCheckpoint(true)
+      .eagerCkpt
     val queries = emb.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probed = rankCells(cdf, queries, "query_id", "qv", probes)
@@ -1231,7 +1232,7 @@ object Similarity {
     // the IVF stage: only vectors in a probed cell reach the ADC lookup
     val cand = probed.join(assigned, Seq("cell"))
       .select("query_id", "neighbor_id")
-      .localCheckpoint(true)
+      .eagerCkpt
     val adc = cand
       .join(codes.select(col("vec_id").as("neighbor_id"), col("sub"),
         col("code")), "neighbor_id")
@@ -1242,7 +1243,7 @@ object Similarity {
         Window.partitionBy(col("query_id"))
           .orderBy(asc("adc_dist"), asc("neighbor_id"))))
       .filter(col("rank") <= topK)
-      .localCheckpoint(true)
+      .eagerCkpt
     val exact = emb.filter(col("vec_id") >= nQ)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .crossJoin(broadcast(queries))
@@ -1252,7 +1253,7 @@ object Similarity {
           .orderBy(asc("d2"), asc("neighbor_id"))))
       .filter(col("rank") <= topK)
       .select("query_id", "neighbor_id")
-      .localCheckpoint(true)
+      .eagerCkpt
     emb.agg(count(lit(1)).as("n_vectors"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(adc.agg(count(lit(1)).as("n_results"),
@@ -1345,7 +1346,7 @@ object Similarity {
         transform(sequence(lit(0), lit(m - 1)),
           i => slice(col("embedding"), i * subDim + 1, lit(subDim))))
         .as(Seq("sub", "svec")))
-      .localCheckpoint(true)
+      .eagerCkpt
     val spark = s
     import spark.implicits._
     val books = (0 until m).map { sub =>
@@ -1358,7 +1359,7 @@ object Similarity {
         (sub, i, v.toArray.toSeq.map(_.toFloat)) }
     }
     val codebook = books.flatten.toDF("sub", "code", "cvec")
-      .coalesce(1).localCheckpoint(true)
+      .coalesce(1).eagerCkpt
     // encode: argmin squared-L2 over the sub's k centroids, deterministic
     // code tie-break
     val w = Window.partitionBy(col("vec_id"), col("sub"))
@@ -1368,7 +1369,7 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sub"), col("code"), col("e2").as("err2"))
-      .localCheckpoint(true)
+      .eagerCkpt
     (codes, codebook, m, k, subDim)
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import graft.Ckpt._
 
 /** CSV source coverage (SURVEY.md §2.1 S1): the reference ingests CSVs with
   * two hazards our reader must tolerate — bare-CR line endings
@@ -276,7 +277,7 @@ object Sources {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(s"$dir/events_jsonl")
-        .localCheckpoint(true) // two consumers: accounting + quarantine audit
+        .eagerCkpt // two consumers: accounting + quarantine audit
       val acct = read.agg(
         count(lit(1)).as("n_lines"),
         sum(col("_corrupt_record").isNull.cast("int")).cast("long").as("n_parsed"),

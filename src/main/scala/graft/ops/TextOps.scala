@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Ckpt._
 
 /** Text-pipeline operators over `documents` (BASELINE.json north star):
   * exact + near dedup, language ID, quality scoring, token counting,
@@ -65,34 +66,43 @@ object TextOps {
     * consumers — counts + both self-join sides (see q51 for the rationale). */
   def exactJaccardPairs(s: SparkSession, d: String, minJac: Double): DataFrame =
     exactJaccardPairsFrom(
-      shingles(Tables.documents(s, d), "text", 3).localCheckpoint(true), minJac)
+      shingles(Tables.documents(s, d), "text", 3).eagerCkpt, minJac)
 
   /** Shingle-row count above which the exact self-join switches from
-    * direct shared-shingle enumeration to the prefix-filtered plan. Set
-    * at the MEASURED crossover, not the theoretical one (q27, idle box):
-    * sf0.1 (260k rows) direct 5.0s vs prefix 12.9s; sf1 (2.6M) direct
-    * 22.5s vs prefix 25.9s; sf3 (7.8M) direct 92.4s vs prefix 90.1s —
-    * (round-13 correction: the r12 labels counted 10× high, which put
-    * the default a decade past the crossover, so the prefix path never
-    * engaged on the test corpora) —
-    * and the prefix plan SCALES better (3.5× vs 4.1× per 3× data), so
-    * past the crossover the gap widens. The crossover is late here
-    * because this corpus's shingle document-frequency distribution is
-    * FLAT (content-distinct synthetic text): the prefix filter's win is
-    * pruning hot shingles from candidate enumeration, and a Zipfian
-    * real-text corpus (hot boilerplate shingles with df in the millions,
-    * quadratic enumeration cost) crosses over far earlier — tune DOWN
-    * via the Spark conf `spark.graft.jaccard.prefixThreshold` there. */
-  private val PrefixPathDefault = 5L * 1000 * 1000
+    * direct shared-shingle enumeration to the prefix-filtered plan.
+    *
+    * Round-13 recalibration, measured TWICE: the earlier "measured
+    * crossover" (~5M rows, direct 92s vs prefix 90s at sf3) was an
+    * ARTIFACT of two stats bugs fixed this round — the origin-estimate
+    * checkpoint statistics let JoinSelection broadcast an 866 MB shingle
+    * frame (poisoning the direct plan ~4×), and the 4 MB
+    * `files.openCostInBytes` floor left small document files at 5 scan
+    * splits (throttling every checkpoint consumer). On the honest build
+    * (q27, idle box, RunOne): sf3 direct 15.1s vs prefix 28.8s; sf10
+    * (26M rows) direct 44.6s vs prefix 115.8s — DIRECT wins at every
+    * measurable size and scales linearly (3.0× per 3.3× data), because
+    * this corpus's shingle document-frequency is FLAT (max df 25,
+    * Σdf² exactly linear in corpus size), so the direct enumeration has
+    * no quadratic term for the prefix filter to prune. The default
+    * therefore sits far above the test corpora. The prefix plan remains
+    * the ZIPFIAN escape hatch: on real text, boilerplate shingles with
+    * df in the millions make the direct Σdf² term quadratic-in-df and
+    * the rarest-first prefix excludes exactly those — there, tune DOWN
+    * via the Spark conf `spark.graft.jaccard.prefixThreshold`. A size
+    * statistic cannot distinguish flat from Zipfian; the threshold
+    * encodes the measured-flat default and the conf encodes corpus
+    * knowledge the engine cannot infer without a df-sketch job. */
+  private val PrefixPathDefault = 200L * 1000 * 1000
 
-  /** Estimated-bytes threshold for the optimizer-time plan choice
-    * ([[graft.plans.AdaptivePlan]]): the Catalyst `stats.sizeInBytes`
-    * of the shingle frame at the measured 5M-shingle-row crossover
-    * (see [[PrefixPathDefault]]) — probed: the estimate runs ~0.98
-    * bytes per shingle row on this corpus (2.54MB at sf1's 2.6M rows),
-    * so the crossover sits at ~5MB. Conf-tunable:
+  /** Honest-bytes threshold for the optimizer-time plan choice
+    * ([[graft.plans.AdaptivePlan]]): since round 13 the statsChild is a
+    * [[graft.Ckpt]] eager checkpoint carrying its MATERIALIZED
+    * block-manager size (~70 B/shingle row; 866 MB at sf3's 7.8M rows,
+    * 1.82 GB at sf10's 26M), so this is real bytes, not the old ~1 B/row
+    * origin estimate. 16 GB ≈ the 200M-row [[PrefixPathDefault]] at the
+    * measured bytes/row. Conf-tunable:
     * `spark.graft.jaccard.prefixThresholdBytes`. */
-  private val PrefixBytesDefault = BigInt(5L * 1000 * 1000)
+  private val PrefixBytesDefault = BigInt(16L * 1024 * 1024 * 1024)
 
   /** The direct shared-shingle self-join branch (exact, no prefix). */
   private def directJaccardSelfJoin(sh: DataFrame,
@@ -170,7 +180,8 @@ object TextOps {
       .withColumn("rn",
         row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
       .filter(col("rn") <= col("n_sh") - need + 1)
-      .select(col("shingle"), col("doc_id"))
+      .select(col("shingle"), col("doc_id"),
+        col("n_sh").cast("long").as("n_sh"), col("rn").cast("long").as("rn"))
     val setsBase = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n_sh"))
@@ -181,10 +192,31 @@ object TextOps {
     // jobs — under AQE even a lazy checkpoint's toRdd starts stage
     // materialization. The two endpoints then read the identical
     // aggregate subtree, which exchange reuse dedupes at execution.
-    val sets = if (eagerShare) setsBase.localCheckpoint(true) else setsBase
-    val cand = prefix.toDF("shingle", "doc_a")
-      .join(prefix.toDF("shingle", "doc_b"), "shingle")
+    val sets = if (eagerShare) setsBase.eagerCkpt else setsBase
+    // Two more PPJoin prunes, both EXACTNESS-PRESERVING, both killing
+    // candidates before they reach the array-verify join (the expensive
+    // stage — every surviving pair drags two full shingle arrays through
+    // two shuffles). Measured at sf10/t=0.5: 41M raw candidate pairs →
+    // 12.5M after both filters.
+    //  - length filter: J ≥ t forces t·max(na,nb) ≤ min(na,nb)
+    //    (J = inter/union ≤ min/max), occurrence-independent.
+    //  - positional filter: rank shingles by the GLOBAL (df, shingle)
+    //    total order; for the canonically-smallest COMMON shingle of a
+    //    true pair, every common shingle ranks ≥ it in both docs, so
+    //    inter ≤ 1 + min(na − ra, nb − rb) — and J ≥ t needs
+    //    inter·(1+t) ≥ t·(na+nb). The filter runs per OCCURRENCE before
+    //    the distinct: a true pair's canonical-min occurrence always
+    //    passes (proof above), and occurrences it kills are provably
+    //    below t. Exact integer arithmetic in micro units — no double
+    //    ever touches the bound.
+    val cand = prefix.toDF("shingle", "doc_a", "na", "ra")
+      .join(prefix.toDF("shingle", "doc_b", "nb", "rb"), "shingle")
       .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(tMicro) * greatest(col("na"), col("nb")) <=
+        lit(1000000L) * least(col("na"), col("nb")))
+      .filter((lit(1000000L) + lit(tMicro)) *
+          (lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb"))) >=
+        lit(tMicro) * (col("na") + col("nb")))
       .select("doc_a", "doc_b").distinct()
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
@@ -430,12 +462,12 @@ object TextOps {
         |WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.9""".stripMargin) { (s, d) =>
       // ONE tokenize+explode materialization feeds the simhash pipeline,
       // the exact self-join reference AND the band-membership check
-      val sh = shingles(Tables.documents(s, d), "text", 3).localCheckpoint(true)
+      val sh = shingles(Tables.documents(s, d), "text", 3).eagerCkpt
       val sets = shingleSets(sh)
       val found = simhashPairsFromSets(sets).select("doc_a", "doc_b")
       // the tiny pair list feeds three consumers below, so truncate its
       // lineage rather than re-running the self-join
-      val exactAll = exactJaccardPairsFrom(sh, minJac = 0.5).localCheckpoint(true)
+      val exactAll = exactJaccardPairsFrom(sh, minJac = 0.5).eagerCkpt
       val exact05 = exactAll.select("doc_a", "doc_b")
       // exact 0.9-pairs inside the h <= 7 band: the pigeonhole-complete set
       // the chunk join must never miss, at any corpus size
@@ -474,7 +506,7 @@ object TextOps {
         |WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.9""".stripMargin) { (s, d) =>
       val found = winnowPairs(s, d).select("doc_a", "doc_b")
       val exact09 = exactJaccardPairs(s, d, minJac = 0.9).select("doc_a", "doc_b")
-        .localCheckpoint(true)
+        .eagerCkpt
       exact09.agg(count(lit(1)).as("n_exact_09"))
         .crossJoin(exact09.join(found, Seq("doc_a", "doc_b"), "left_anti")
           .agg(count(lit(1)).as("n_missed")))
@@ -576,7 +608,7 @@ object TextOps {
       // Σc per doc; df = rows per tok, since tf is unique per (doc, tok))
       // instead of re-running the explode three times
       val tf = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val len = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
       val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val scored = tf.join(len, "doc_id").join(broadcast(dfT), "tok")
@@ -681,7 +713,7 @@ object TextOps {
             col("n.text") === col("c.text"), "left_semi")
         .select(col("doc_id").as("id")).distinct()
         .withColumn("ex", lit(1))
-      val sh = shingles(docs, "text", 3).localCheckpoint(true)
+      val sh = shingles(docs, "text", 3).eagerCkpt
       val nearDup = jaccardPairsAcross(
         sh.filter(col("doc_id") % 7 === 0),
         sh.filter(col("doc_id") % 7 =!= 0),
@@ -741,10 +773,10 @@ object TextOps {
         .withColumn("nt", size(split(trim(col("text")), "[ \\t\\n\\f\\r]+")))
         .withColumn("lang_ok", col("predicted") === "en")
         .withColumn("qual_ok", col("lang_ok") && col("nt") >= 12)
-        .localCheckpoint(true) // one classify pass for shingles + accounting
+        .eagerCkpt // one classify pass for shingles + accounting
       val surv = classified.filter(col("qual_ok")).select("doc_id", "text")
       val droppedIds = exactJaccardPairsFrom(
-        shingles(surv, "text", 3).localCheckpoint(true), minJac = 0.5)
+        shingles(surv, "text", 3).eagerCkpt, minJac = 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("dropped", lit(1))
       classified.join(droppedIds, Seq("doc_id"), "left")
@@ -1305,7 +1337,7 @@ object TextOps {
         .select(col("doc_id"), col("source"),
           explode(array_distinct(filter(tokens(col("text")),
             t => t =!= ""))).as("token"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val tdf = toks.groupBy(col("token")).agg(count(lit(1)).as("dfq"))
       val nCorpus = Tables.documents(s, d).agg(count(lit(1)).as("n_corpus"))
       toks.join(tdf, "token")
@@ -1379,11 +1411,11 @@ object TextOps {
       // one shingle pass serves all consumers (df counts, prefix ranking,
       // verify arrays) — the q112/q70/q51 materialize-once pattern
       val sh = shingles(Tables.documents(s, d), "text", 3)
-        .localCheckpoint(true)
+        .eagerCkpt
       val sets = sh.groupBy(col("doc_id"))
         .agg(collect_set(col("shingle")).as("ss"))
         .select(col("doc_id"), col("ss"), size(col("ss")).as("n_sh"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       // canonical global order: ascending (document frequency, shingle) —
       // rarest first, deterministic tie-break shared with the oracle.
@@ -1454,7 +1486,7 @@ object TextOps {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
-        .localCheckpoint(true)
+        .eagerCkpt
       val v = t.groupBy("tok").agg(count(lit(1)).as("c"))
       val tot = t.agg(count(lit(1)).as("tot"))
       t.join(broadcast(v), "tok").crossJoin(broadcast(tot))
@@ -1663,7 +1695,7 @@ object TextOps {
         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-        .localCheckpoint(true) // totals + the per-source threshold rows
+        .eagerCkpt // totals + the per-source threshold rows
       val tot = counts.agg(sum(col("n_s")).cast("long").as("n_all"),
         sum(sqrt(col("n_s").cast("double"))).as("sum_w"))
       val rates = counts.crossJoin(broadcast(tot))
@@ -1822,7 +1854,7 @@ object TextOps {
         |         AS pair_checksum
         |FROM j, t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sh = shingles(Tables.documents(s, d), "text", 3)
-        .localCheckpoint(true)
+        .eagerCkpt
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val pairs = sh.toDF("doc_a", "shingle")
         .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
@@ -1879,7 +1911,7 @@ object TextOps {
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
         .distinct()
-        .localCheckpoint(true) // counts + both join sides share it
+        .eagerCkpt // counts + both join sides share it
       val c = st.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
       val p = st.toDF("src_a", "tok")
         .join(st.toDF("src_b", "tok"), Seq("tok"))
@@ -1930,7 +1962,7 @@ object TextOps {
           posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
         .filter(col("tok").isin("sort", "merge")) // postings pruned early
         .select(col("doc_id"), col("tok"), (col("p0") + 1).as("p"))
-        .localCheckpoint(true) // both phrase sides read the pruned frame
+        .eagerCkpt // both phrase sides read the pruned frame
       val a = pos.filter(col("tok") === "sort")
         .select(col("doc_id"), col("p"))
       val b = pos.filter(col("tok") === "merge")
@@ -2018,7 +2050,7 @@ object TextOps {
       import org.apache.spark.sql.expressions.Window
       val jp = exactJaccardPairs(s, d, minJac = 0.5)
         .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true)
+        .eagerCkpt
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
@@ -2033,7 +2065,7 @@ object TextOps {
             element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col")
           .as("shingle"))
-        .localCheckpoint(true) // probe side + member set share it
+        .eagerCkpt // probe side + member set share it
       val bSet = posSh.select(col("doc_id").as("doc_b"),
         col("shingle")).distinct()
       val hits = jp
@@ -2103,17 +2135,17 @@ object TextOps {
       // the pair enumeration feeds BOTH the edge list and the components
       // iteration — materialize it once or the shingle join runs twice
       val pairs = exactJaccardPairs(s, d, minJac = 0.5)
-        .localCheckpoint(true)
+        .eagerCkpt
       val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .distinct()
-        .localCheckpoint(true)
+        .eagerCkpt
       val cc = Graph.connectedComponents(
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-        .localCheckpoint(true)
+        .eagerCkpt
       val roots = cc.select(col("component").as("node")).distinct()
       val hops = Graph.bfsHops(edges, roots, maxHop = 16)
-        .localCheckpoint(true)
+        .eagerCkpt
       val oddEdges = edges
         .join(hops.toDF("a", "ha"), Seq("a"))
         .join(hops.toDF("b", "hb"), Seq("b"))
@@ -2170,7 +2202,7 @@ object TextOps {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .localCheckpoint(true) // pooled rank + per-source rank share it
+        .eagerCkpt // pooled rank + per-source rank share it
       val pooled = Ranks.globalIndex(docs, 32, col("n_chars"), col("doc_id"))
         .select(col("idx").as("g"), col("n_chars").as("after_v"))
       val nn = docs.agg(count(lit(1)).as("nn"))
@@ -2241,7 +2273,7 @@ object TextOps {
         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val pairs = exactJaccardPairs(s, d, minJac = 0.5)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val cc = Graph.connectedComponents(pairs).localCheckpoint(true)
+      val cc = Graph.connectedComponents(pairs).eagerCkpt
       val keyed = Tables.documents(s, d).select(col("doc_id"))
         .join(cc, col("doc_id") === cc("node"), "left")
         .select(col("doc_id"),
@@ -2250,7 +2282,7 @@ object TextOps {
       val sp = keyed
         .withColumn("split", when(hex < "c", "train")
           .when(hex < "e", "val").otherwise("test"))
-        .localCheckpoint(true) // split table + straddle audit share it
+        .eagerCkpt // split table + straddle audit share it
       val straddle = cc.join(sp, cc("node") === sp("doc_id"))
         .groupBy(col("component"))
         .agg(countDistinct(col("split")).as("nsp"))
@@ -2338,7 +2370,7 @@ object TextOps {
         .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
           "doc_id")
         .select(col("source"), col("shingle")).distinct()
-        .localCheckpoint(true) // feeds the source-count agg AND the join
+        .eagerCkpt // feeds the source-count agg AND the join
       val sc = ds.groupBy(col("shingle"))
         .agg(count(lit(1)).as("n_src"))
       ds.join(sc, "shingle")
@@ -2421,7 +2453,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val tok = docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
-      .localCheckpoint(true) // one tokenize pass feeds stats + bigrams
+      .eagerCkpt // one tokenize pass feeds stats + bigrams
     val base = tok.select(col("doc_id"),
       size(col("w")).cast("long").as("n_toks"),
       size(array_distinct(col("w"))).cast("long").as("n_distinct"))
@@ -2482,7 +2514,7 @@ object TextOps {
       .agg(collect_set(col("shingle")).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n_sh"),
         graft.functions.TextHash.simhash64(col("ss")).as("sh"))
-      .localCheckpoint(true)
+      .eagerCkpt
 
   /** Document count above which the simhash candidate join switches from
     * the 8×8-bit chunk scheme to the 4×16-bit one-error-variant scheme
@@ -2491,16 +2523,24 @@ object TextOps {
     * schemes are COMPLETE for the ≤7 band, so the plans are
     * output-identical (TextOpsSpec pins it); the switch is pure cost.
     * Why it matters: the 8-bit chunk key has only 2048 distinct values,
-    * so enumerated collision pairs grow ~n²/32 — fine for thousands of
-    * docs, the dominant term at millions. The variant scheme pays 17
-    * probe keys per block (the value plus its 16 one-bit flips) to join
-    * on an 18-bit key space, cutting enumeration ~120× and pushing the
-    * quadratic knee two orders of magnitude out. The crossover is low —
-    * the chunk scheme's enumeration grows ~n²/64 while the variant
-    * scheme's overhead is a flat 68 probe keys per doc — so the default
-    * switches at 50k docs (≈ sf1 of the test corpus). Conf-tunable:
+    * so enumerated collision pairs grow ~n²/256 — fine for thousands of
+    * docs, the dominant term at many millions. The variant scheme pays
+    * 17 probe keys per block (the value plus its 16 one-bit flips) to
+    * join on an 18-bit key space, cutting enumeration ~3.75× per pair
+    * budget but paying a FLAT 68-keys/doc probe expansion (17× the
+    * chunk scheme's map volume).
+    *
+    * Round-13 recalibration on the honest-stats build (the old 50k-doc
+    * crossover was measured with JoinSelection poisoned by ~1 B/row
+    * checkpoint estimates): q44, idle box — 50k docs chunk 17.2s vs
+    * variant 17.4s; 150k docs 31.5 vs 31.8; 500k docs chunk 96.8s vs
+    * variant 122.8s. The chunk scheme wins through every measurable
+    * size — the variant's probe expansion costs more than the extra
+    * collisions it avoids until the n²/256 term dominates, projected
+    * ~1.5M docs (chunk's enumeration grows 3.75× faster; equal-cost
+    * extrapolation from the 500k gap). Conf-tunable:
     * `spark.graft.simhash.variantThreshold`. */
-  private val SimhashVariantDefault = 50L * 1000
+  private val SimhashVariantDefault = 1500L * 1000
 
   /** Candidate (doc_a, doc_b, hamming ≤ 7) pairs via the 8-chunk exact
     * scheme: pigeonhole — 7 differing bits can dirty at most 7 of the 8
@@ -2573,9 +2613,11 @@ object TextOps {
   /** Estimated-bytes twin of [[SimhashVariantDefault]] for the
     * optimizer-time switch ([[graft.plans.AdaptivePlan]]) — the Catalyst
     * size estimate of the shingleSets frame at the same document-count
-    * crossover — probed: ~68 bytes/doc (3.39MB at sf1's 50k docs).
+    * crossover — HONEST block-manager bytes since round 13 (the frame is
+    * a [[graft.Ckpt]] eager checkpoint): ~1.9 kB/doc (972 MB at sf10's
+    * 500k docs), so the projected ~1.5M-doc crossover sits at ~3 GB.
     * Conf: `spark.graft.simhash.variantThresholdBytes`. */
-  private val SimhashBytesDefault = BigInt(3500L * 1000)
+  private val SimhashBytesDefault = BigInt(3L * 1024 * 1024 * 1024)
 
   /** SimHash pairs over a prebuilt shingleSets frame (shareable with the
     * exact reference and the band membership check in q44). ADAPTIVE like
@@ -2644,7 +2686,7 @@ object TextOps {
     // the ContextCleaner once the frame is unreachable, so a library
     // caller leaks nothing across queries. A production pipeline at scale
     // would write the fingerprint table to reliable storage instead.
-    val exRare = ex.join(rare, "fp").localCheckpoint(true)
+    val exRare = ex.join(rare, "fp").eagerCkpt
     val cnt = exRare.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val a = exRare.toDF("fp", "doc_a")
     val b = exRare.toDF("fp", "doc_b")

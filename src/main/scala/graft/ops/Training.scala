@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.Ckpt._
 
 /** Training-corpus assembly operators (SURVEY.md §2 extension surface) —
   * the three planning steps that sit between a curated corpus and a
@@ -527,7 +528,7 @@ object Training {
         .select(col("source"), explode(toks(col("text"))).as("token"))
         .groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // three consumers share the one reduction
+        .eagerCkpt // three consumers share the one reduction
       val v = st.groupBy(col("token")).agg(sum(col("c")).as("ct"))
       val tot = st.groupBy(col("source"))
         .agg(sum(col("c")).as("n_s"), count(lit(1)).as("n_types"))
@@ -588,7 +589,7 @@ object Training {
         .groupBy(col("token")).agg(count(lit(1)).as("ct"))
       val parted = v.repartitionByRange(32, col("ct").desc, col("token"))
         .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true)
+        .eagerCkpt
       val wOff = Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = parted.groupBy(col("pid"))
@@ -876,7 +877,7 @@ object Training {
             .as("h3"),
           size(toks(col("text"))).cast("long").as("ntok"))
         .groupBy(col("h3")).agg(sum(col("ntok")).as("mass"))
-        .localCheckpoint(true) // ≤4096 rows; three rollups share it
+        .eagerCkpt // ≤4096 rows; three rollups share it
       val perS = Seq(16 -> 1, 256 -> 2, 4096 -> 3).map { case (ns, p) =>
         g3.groupBy(substring(col("h3"), 1, p).as("shard"))
           .agg(sum(col("mass")).as("mass"))
@@ -975,7 +976,7 @@ object Training {
         |FROM c CROSS JOIN ts GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val c = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey")).agg(count(lit(1)).as("ct"))
-        .localCheckpoint(true) // |keys| rows; the 3-T sweep shares it
+        .eagerCkpt // |keys| rows; the 3-T sweep shares it
       val ts = s.range(1).select(
         explode(array(lit(100), lit(250), lit(1000))).as("t"))
       def ceilDiv(a: Column, b: Column): Column =

@@ -81,8 +81,14 @@ case class AdaptivePlan(
 object AdaptivePlanRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case AdaptivePlan(small, large, statsChild, thresholdBytes, out) =>
+      // statsChild is a detached reference, so the tree-walking
+      // HonestRddStats rule never reaches it — fix it here so the branch
+      // choice reads materialized bytes, the same unit the thresholds
+      // are calibrated in
       val chosen =
-        if (statsChild.stats.sizeInBytes <= thresholdBytes) small else large
+        if (HonestRddStats.fix(statsChild).stats.sizeInBytes <= thresholdBytes)
+          small
+        else large
       if (chosen.output.map(_.exprId) == out.map(_.exprId)) chosen
       else Project(out.zip(chosen.output).map[NamedExpression] {
         case (o, n) if o.exprId == n.exprId => o

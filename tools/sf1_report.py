@@ -65,7 +65,7 @@ out.append("# BENCH_SF1 — 10x scale smoke\n")
 out.append("Corpus: `/tmp/sf1` = GenScale 10x key-shifted replication of "
            "`/root/testdata/sf0.1` (6M lineitem rows, 1.5M orders, 1M "
            "events, 50k documents, 20k embeddings; FK spot-checks clean). "
-           "`SPARK_GRAFT_CPUS=32`, 48g heap, same Bench main the driver "
+           "`SPARK_GRAFT_CPUS=32`, 96g heap, same Bench main the driver "
            "runs.\n")
 if machine:
     out.append(f"- sf1 machine line: total {machine['value']}s over "
@@ -74,7 +74,7 @@ if machine:
 out.append(f"- stderr-accounted sf1 total: {total:.1f}s over {len(sf1)} "
            "queries\n")
 r9total = (r9.get("parsed") or r9).get("value")
-out.append(f"- reference point: driver sf0.1 round-9 total {r9total}s "
+out.append(f"- reference point: driver sf0.1 reference-round total {r9total}s "
            "(290 queries)\n")
 if errors:
     out.append(f"\n## ERRORS ({len(errors)})\n")
