@@ -25,7 +25,8 @@ object SparkEntry {
     ops.Stats.queries ++
     ops.Conformance.queries ++
     ops.Training.queries ++
-    ops.Curation.queries
+    ops.Curation.queries ++
+    ops.EmbedDiag.queries
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")
