@@ -32,3 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Dev hook: extra -D flags for forked runs (e.g. forcing one branch of an
+// adaptive plan via -Dspark.graft.jaccard.prefixThresholdBytes=1 when
+// measuring the direct-vs-prefix crossover; SparkConf loads spark.*
+// system properties, and session-state creation merges them into SQLConf).
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -33,10 +33,20 @@ object Verify {
     // honest checkpoint statistics) on this live session
     GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
+    // per-query Spark result schema, dumped alongside the parquet so the
+    // dtype-symmetry gate (tools/check.py) can diff it against the DuckDB
+    // oracle's column types without re-deriving it from the files — the
+    // q300 class of red (HUGEINT oracle vs int64 Spark: values exact,
+    // pandas dtype/hash different) is a schema-contract bug, and this
+    // makes the contract explicit at dump time.
+    val schemas = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        schemas(name) = df.schema.fields
+          .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -55,6 +65,9 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val schemaJson = schemas
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/spark_schema.json"), schemaJson)
     spark.stop()
   }
 }

@@ -19,7 +19,12 @@ import graft.{Q, Tables}
   * node set only — the corpus itself is touched once by the shingle scan;
   * q317 broadcasts the benchmark 4-gram universe (a real pipeline ships
   * eval-suite grams, a few MB) so the corpus side is one map-side explode
-  * + broadcast join, and only (bench, train) hit pairs reach an exchange;
+  * + broadcast join, and only (bench, train) hit pairs reach an exchange
+  * — grams are xxhash64'd to 8-byte keys MAP-SIDE (the q308 dup-mass
+  * pattern: collision odds n²/2⁶⁵, immaterial at corpus scale; the
+  * oracle replays the same joins on the strings), so the broadcast
+  * table, the join hashing, and the hit-pair exchange all move longs
+  * instead of ~40-byte gram strings;
   * q318 reduces the corpus to ≤|sources|·|langs| cells in one
   * partial-aggregated scan (the q300 topology — every window after that
   * runs on a broadcast-sized frame); q319 is one scan into a two-level
@@ -139,9 +144,9 @@ object Curation {
         .filter(size(col("w")) >= 4)
         .select(col("doc_id"), explode(array_distinct(transform(
           sequence(lit(1), size(col("w")) - 3),
-          i => concat_ws(" ", element_at(col("w"), i),
+          i => xxhash64(concat_ws(" ", element_at(col("w"), i),
             element_at(col("w"), i + 1), element_at(col("w"), i + 2),
-            element_at(col("w"), i + 3))))).as("g"))
+            element_at(col("w"), i + 3)))))).as("g"))
       val bench = g4.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bench_id"), col("g"))
       val train = g4.filter(col("doc_id") % 97 =!= 0)

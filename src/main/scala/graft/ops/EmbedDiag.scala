@@ -33,9 +33,10 @@ import graft.functions.ArrayMath
   * orderings; cross-row AGGREGATES stay in exact integers. */
 object EmbedDiag {
 
-  /** Query slice bound shared by the kNN diagnostics: full coverage of
-    * the sf0.001/sf0.01 corpus (500 vectors), a fixed 400-query sample
-    * beyond — the exactness slice, like q34's `vec_id < 200`. */
+  /** Query slice bound shared by the kNN diagnostics: a fixed 400-query
+    * slice at every SF (covers 400 of the 500 sf0.001/sf0.01 embeddings,
+    * identical bound in both engines) — the exactness slice, like q34's
+    * `vec_id < 200`. */
   private val SliceBound = 400
 
   /** The q33 cosine-fold oracle text, parameterized by the CTE names. */

@@ -219,7 +219,7 @@ object Training {
         |  WHERE greatest(0, budget - pre) // (m - i + 1) < avail OR i = m),
         |lvl AS (SELECT li AS level FROM cand ORDER BY i LIMIT 1)
         |SELECT source, lang, avail AS avail_tok,
-        |       least(avail, level) AS alloc_tok,
+        |       CAST(least(avail, level) AS BIGINT) AS alloc_tok,
         |       avail <= level AS exhausted
         |FROM o, lvl ORDER BY source, lang""".stripMargin) { (s, d) =>
       val av = Tables.documents(s, d)

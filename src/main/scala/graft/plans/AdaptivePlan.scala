@@ -89,6 +89,14 @@ object AdaptivePlanRule extends Rule[LogicalPlan] {
         if (HonestRddStats.fix(statsChild).stats.sizeInBytes <= thresholdBytes)
           small
         else large
+      // zip would silently truncate on an arity drift (a future rule
+      // pruning through the node), yielding a short Project and a
+      // confusing downstream ATTRIBUTE_NOT_FOUND — fail loudly instead
+      require(chosen.output.length == out.length,
+        s"AdaptivePlan branch output arity ${chosen.output.length} != " +
+          s"pinned output arity ${out.length} — a rule rewrote the chosen " +
+          s"branch's projection; pinned=${out.mkString(",")} " +
+          s"branch=${chosen.output.mkString(",")}")
       if (chosen.output.map(_.exprId) == out.map(_.exprId)) chosen
       else Project(out.zip(chosen.output).map[NamedExpression] {
         case (o, n) if o.exprId == n.exprId => o

@@ -48,12 +48,25 @@ import org.apache.spark.sql.execution.LogicalRDD
 object HonestRddStats {
 
   /** Rewrite every storage-backed [[LogicalRDD]] in `plan` to carry its
-    * materialized size. Correct only where no parent node has already
-    * captured the leaf by value — i.e. on a just-checkpointed root
-    * (the [[org.apache.spark.sql.GraftSql.eagerCkpt]] path) or on a
-    * detached stats reference (the [[AdaptivePlanRule]] path). */
-  def fix(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    * materialized size.
+    *
+    * Hand-rolled recursion instead of `transformUp`, deliberately:
+    * `mapChildren` keeps the OLD child whenever the replacement is
+    * `==`-equal (LogicalRDD equality spans only its first parameter
+    * list, so a stats-only swap always is) — with `transformUp` this
+    * method was a silent no-op for any leaf below the root (ADVICE r13).
+    * All round-13 call sites passed bare checkpointed frames, where root
+    * == leaf and the trap never fired; a caller passing e.g.
+    * `ckpt.select(...)` as the stats reference would have silently read
+    * the poisoned estimate. Forcing `withNewChildren` when a child's
+    * IDENTITY changed (even though its value compares equal) makes the
+    * rewrite reach every depth. */
+  def fix(plan: LogicalPlan): LogicalPlan = plan match {
     case lr: LogicalRDD => withStorageStats(lr)
+    case p =>
+      val kids = p.children.map(fix)
+      if (kids.zip(p.children).forall { case (n, o) => n eq o }) p
+      else p.withNewChildren(kids)
   }
 
   private def withStorageStats(lr: LogicalRDD): LogicalPlan = {

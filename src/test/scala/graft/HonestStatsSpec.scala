@@ -71,4 +71,59 @@ class HonestStatsSpec extends SparkSpec {
     // same bytes — the AdaptivePlanRule path applies it unconditionally
     assert(honest == GraftSql.analyzedPlan(frame).stats.sizeInBytes)
   }
+
+  test("partial eviction scales the honest estimate to the full partition count") {
+    val frame = explodedFrame.repartition(4).localCheckpoint(true)
+    val lr = GraftSql.analyzedPlan(frame).asInstanceOf[LogicalRDD]
+    val sc = spark.sparkContext
+    // deterministically evict ONE of the four cached partitions
+    org.apache.spark.GraftTestHooks.dropRddBlock(sc, lr.rdd.id, 0)
+    val info = Iterator.range(0, 100).map { _ =>
+        val i = sc.getRDDStorageInfo.find(_.id == lr.rdd.id).get
+        if (i.numCachedPartitions == 4) Thread.sleep(50)
+        i
+      }.find(_.numCachedPartitions < 4)
+      .getOrElse(fail("block drop never reflected in storage info"))
+    assert(info.numCachedPartitions == 3 && info.numPartitions == 4)
+    val cached = info.memSize + info.diskSize
+    val honest = graft.plans.HonestRddStats
+      .fix(GraftSql.analyzedPlan(frame)).stats.sizeInBytes
+    // the contract: scale UP proportionally — an underestimate would
+    // re-poison JoinSelection in exactly the direction fix() prevents
+    assert(honest == BigInt(cached) * 4 / 3,
+      s"expected ${BigInt(cached) * 4 / 3} (=$cached×4/3), got $honest")
+    assert(honest > BigInt(cached), "scaled estimate must exceed cached bytes")
+  }
+
+  test("fix() now reaches a LogicalRDD BELOW the plan root (r13 ADVICE: mapChildren equality trap)") {
+    val frame = explodedFrame.eagerCkpt
+    import spark.implicits._
+    // a non-root shape: Project over the checkpointed leaf — transformUp's
+    // mapChildren would discard the ==-equal stats-only swap here
+    val projected = frame.select($"id", $"s")
+    val unfixed = org.apache.spark.sql.GraftSql.analyzedPlan(
+      explodedFrame.localCheckpoint(true).select(col("id"), col("s")))
+    val fixed = graft.plans.HonestRddStats
+      .fix(GraftSql.analyzedPlan(projected))
+    assert(fixed.stats.sizeInBytes > unfixed.stats.sizeInBytes * 5,
+      s"non-root leaf not rewritten: fixed=${fixed.stats.sizeInBytes} vs " +
+        s"poisoned=${unfixed.stats.sizeInBytes}")
+  }
+
+  test("AdaptivePlanRule picks the LARGE branch when the stats child reports above-threshold bytes") {
+    import spark.implicits._
+    val statsOf = explodedFrame.eagerCkpt // materialized: tens of MB honest
+    val small = Seq(0).toDF("which")
+    val large = Seq(1).toDF("which")
+    // threshold 1 byte → honest bytes exceed it → LARGE branch must win
+    val picked = graft.plans.AdaptivePlan
+      .choose(spark, small, large, statsOf, BigInt(1))
+      .collect().map(_.getInt(0)).toSeq
+    assert(picked == Seq(1), s"expected the large branch (1), got $picked")
+    // and the complement: an effectively-infinite threshold keeps SMALL
+    val pickedSmall = graft.plans.AdaptivePlan
+      .choose(spark, small, large, statsOf, BigInt(Long.MaxValue))
+      .collect().map(_.getInt(0)).toSeq
+    assert(pickedSmall == Seq(0), s"expected the small branch (0), got $pickedSmall")
+  }
 }

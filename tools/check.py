@@ -50,6 +50,58 @@ for name in sorted(oracle):
         for r in onlyt: print(f" oracle only: {r}")
         n_fail += 1
 
+# ---- dtype-symmetry gate (round-14, VERDICT r13 directive 2) ----------
+# The q300 class of red: values exact on both sides but the oracle column
+# lands in pandas as a different dtype than the Spark parquet column
+# (DuckDB HUGEINT -> float64 vs Spark int64), so the driver's dtype-aware
+# hash mismatches. Gate: for every query, fetch the oracle result through
+# the SAME pandas conversion the driver uses and diff each column's pandas
+# kind against the Spark parquet result's pandas kind. integer-vs-float
+# asymmetry = FAIL; DECIMAL-vs-double (both float64 after conversion, but
+# a latent precision trap) = WARN; everything else non-equal = WARN.
+import pandas as pd
+n_dfail = n_dwarn = 0
+for name in sorted(oracle):
+    qdir = f"{out_dir}/{name}"
+    if not os.path.isdir(qdir):
+        continue
+    try:
+        trel = con.sql(oracle[name])
+        ttypes = {c.lower(): str(t).upper() for c, t in zip(trel.columns, trel.types)}
+        tdf = trel.df()
+        mdf = pd.read_parquet(qdir)
+    except Exception as e:
+        print(f"DTYPE-ERR {name}: {e}"); n_dfail += 1; continue
+    tkinds = {c.lower(): d.kind for c, d in tdf.dtypes.items()}
+    mkinds = {c.lower(): d.kind for c, d in mdf.dtypes.items()}
+    for c in sorted(set(tkinds) & set(mkinds)):
+        tk, mk, lt = tkinds[c], mkinds[c], ttypes.get(c, "?")
+        if tk == mk:
+            # same pandas kind, but a DECIMAL/HUGEINT oracle column means
+            # the match is an artifact of pandas coercion — warn so the SQL
+            # gets an explicit cast before the coercion behavior shifts.
+            if lt.startswith(("DECIMAL", "HUGEINT")):
+                print(f"DTYPE-WARN {name}.{c}: oracle {lt} coerced to pandas "
+                      f"'{tk}' happens to match spark '{mk}' — cast explicitly")
+                n_dwarn += 1
+            continue
+        # benign: DuckDB DATE fetches as datetime64 while pandas reads
+        # parquet date32 as object-of-datetime.date — isoformat-equal
+        # values, and the driver's canonicalizer isoformats both
+        if lt == "DATE" and {tk, mk} == {"M", "O"}:
+            continue
+        num = {"i", "u", "f"}
+        if tk in num and mk in num:
+            print(f"DTYPE-FAIL {name}.{c}: oracle {lt} -> pandas '{tk}' vs "
+                  f"spark '{mk}' (driver hash mismatch even if values equal)")
+            n_dfail += 1
+        else:
+            print(f"DTYPE-WARN {name}.{c}: oracle {lt} -> pandas '{tk}' vs "
+                  f"spark '{mk}'")
+            n_dwarn += 1
+print(f"dtype gate: {n_dfail} fail, {n_dwarn} warn")
+n_fail += n_dfail
+
 # rows-only queries
 import pathlib
 for qdir in sorted(glob.glob(f"{out_dir}/*/")):
