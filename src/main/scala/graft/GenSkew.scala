@@ -77,19 +77,30 @@ object GenSkew {
 
     val nBase = Tables.load(spark, src, "documents").count()
     val d = col("doc_id")
-    // filler length 24..56 tokens, split around the three blocks so block
-    // boundaries always meet unique tokens (boundary shingles df≈1; only
-    // the 6 block-INTERNAL shingles per block carry the Zipfian df)
-    val extra = pmod(xxhash64(d, lit("len")), lit(33L))
+    // ~1% of docs are NEAR-DUPS of their predecessor: every keyed part
+    // except the tail derives from `base` = doc_id−1, so the pair shares
+    // its first 48 tokens (46 shingles) and differs only in the two
+    // unique tails (4..36 tokens each) — about half of those pairs land
+    // at Jaccard ≥ 0.5, giving the q27/q44 oracles NONZERO verified
+    // output on this corpus shape (0=0 would be sterile evidence).
+    // Chained dups (base is itself a dup, P≈1e-4) simply don't match —
+    // fewer pairs, never wrong ones.
+    val isDup = d > 0 && pmod(xxhash64(d, lit("dup")), lit(100L)) === 0
+    val base = when(isDup, d - 1).otherwise(d)
+    // tail length 4..36 tokens keyed by the doc's OWN id, split around
+    // the three blocks so block boundaries always meet unique tokens
+    // (boundary shingles df≈1; only the 6 block-INTERNAL shingles per
+    // block carry the Zipfian df)
+    val extra = lit(4L) + pmod(xxhash64(d, lit("len")), lit(33L))
     val docs = spark.range(0, nBase * mult).select(
         col("id").as("doc_id"),
         concat_ws(" ",
-          filler(d, 1, lit(8)),
-          block(zipfRank(d, lit(1), lit("tpl"))),
-          filler(d, 9, lit(8)),
-          block(zipfRank(d, lit(2), lit("tpl"))),
-          filler(d, 17, lit(8)),
-          block(zipfRank(d, lit(3), lit("tpl"))),
+          filler(base, 1, lit(8)),
+          block(zipfRank(base, lit(1), lit("tpl"))),
+          filler(base, 9, lit(8)),
+          block(zipfRank(base, lit(2), lit("tpl"))),
+          filler(base, 17, lit(8)),
+          block(zipfRank(base, lit(3), lit("tpl"))),
           filler(d, 25, extra)).as("text"),
         // same value universes as the driver corpus, en-heavy like it
         element_at(array(Seq("en", "en", "en", "en", "zh", "es", "fr",
