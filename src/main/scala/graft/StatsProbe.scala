@@ -27,6 +27,19 @@ object StatsProbe {
       println(s"[probe] $dir shingleRows=${sh.count()} shBytes=$shStats " +
         s"shHonestBytes=$shHonest docs=${sets.count()} " +
         s"setsBytes=$setsStats setsHonestBytes=$setsHonest")
+      // round-14: exact vs sampled df-amplification (Σdf²/rows) — the
+      // statistic the AmpProbe estimates; exact side for calibration and
+      // estimator-accuracy evidence
+      import org.apache.spark.sql.functions._
+      val exact = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .agg((sum(col("df") * col("df")).cast("double") /
+          sum(col("df"))).as("amp")).collect()(0).getDouble(0)
+      val t0 = System.nanoTime()
+      val sampled = GraftSql.ofRows(spark,
+        graft.ops.TextOps.ampProbePlan(sh, 8L)).collect()(0).getDouble(0)
+      val probeSec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $dir ampExact=$exact%.1f ampSampledMod8=$sampled%.1f " +
+        f"probeSec=$probeSec%.2f")
     }
     spark.stop()
   }

@@ -104,6 +104,74 @@ object TextOps {
     * `spark.graft.jaccard.prefixThresholdBytes`. */
   private val PrefixBytesDefault = BigInt(16L * 1024 * 1024 * 1024)
 
+  /** Shingle-df amplification (Σdf²/rows) above which the pair kernels
+    * abandon their direct plans REGARDLESS of size — the round-14 fix
+    * for the measured Zipfian mis-pick (BENCH_NOTES round 14: the byte
+    * thresholds above are calibrated on the flat-df driver corpus, and
+    * a Zipfian corpus 30× SMALLER in bytes runs the direct plan 5×
+    * slower). Because the direct plans cost ~Σdf² (candidate mass) and
+    * the prefix/variant plans ~rows, the crossover of the RATIO is
+    * scale-invariant; measured (skew corpora, q27+q44, 32 cpus):
+    * amp 75 → plans tie, amp 223 → prefix 3× faster, amp 744 → prefix
+    * 20× faster; the flat corpus sits at amp 2.1–10.7 across sf0.01–sf1
+    * (scale-stable, as a ratio should be). 120 splits the measured tie
+    * point from the first decisive win with margin on both sides.
+    * Conf: `spark.graft.pair.ampThreshold`. */
+  private val AmpThresholdDefault = 120.0
+
+  /** Honest-bytes floor below which the amplification probe is skipped:
+    * under ~32 MB of checkpointed shingle rows even a worst-case-skew
+    * direct plan is cheap (measured: the plans tie at skew01's 36 MB /
+    * amp 75; the flat sf0.1 driver corpus sits at 26.7 MB and so never
+    * pays the probe), so the probe job would cost more than it can
+    * save.
+    * Conf: `spark.graft.pair.ampProbeFloorBytes`. */
+  private val AmpFloorDefault = BigInt(32L * 1024 * 1024)
+
+  /** Row-sampling modulus for the probe (keep 1/mod of shingle rows).
+    * Conf: `spark.graft.pair.ampProbeMod`. */
+  private val AmpProbeModDefault = 8L
+
+  /** Build the lazy amplification-probe plan over a (doc_id, shingle)
+    * stream: estimate amp = Σ_s df(s)² / Σ_s df(s) from a deterministic
+    * 1/mod row-hash sample. Row sampling (not shingle-TYPE sampling) is
+    * the load-bearing choice: Σdf² is dominated by a handful of hot
+    * shingles, and type sampling at 1/8 misses each hot shingle with
+    * probability 7/8 (estimator CV ≈ 2 on a Zipf head); row sampling
+    * keeps every hot shingle, thinned ~df/mod with binomial noise ~2%
+    * of its mean. Unbiasing: m_s ~ Bin(df_s, p) gives
+    * E[m² − (1−p)m] = p²·df², so Σdf̂² = Σ(m² − (1−p)m)/p² and
+    * rowŝ = Σm/p — the probe emits the single column `amp`. Executed
+    * (or skipped) by [[graft.plans.AdaptivePlanRule]], never here:
+    * building it runs zero jobs. */
+  private[graft] def ampProbePlan(keyed: DataFrame, mod: Long)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val p = 1.0 / mod
+    val probe = keyed
+      .filter(pmod(xxhash64(col("doc_id"), col("shingle")), lit(mod)) === 0)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).cast("double").as("m"))
+      .agg(
+        (sum(col("m") * col("m") - lit(1.0 - p) * col("m")) / lit(p * p))
+          .as("s2"),
+        (sum(col("m")) / lit(p)).as("s1"))
+      .select((col("s2") / greatest(col("s1"), lit(1.0))).as("amp"))
+    org.apache.spark.sql.GraftSql.analyzedPlan(probe)
+  }
+
+  /** The pair family's [[graft.plans.AmpProbe]] from the session confs. */
+  private def ampProbe(keyed: DataFrame): graft.plans.AmpProbe = {
+    val spark = keyed.sparkSession
+    graft.plans.AmpProbe(
+      ampProbePlan(keyed, spark.conf
+        .getOption("spark.graft.pair.ampProbeMod").map(_.toLong)
+        .getOrElse(AmpProbeModDefault)),
+      spark.conf.getOption("spark.graft.pair.ampThreshold")
+        .map(_.toDouble).getOrElse(AmpThresholdDefault),
+      spark.conf.getOption("spark.graft.pair.ampProbeFloorBytes")
+        .map(BigInt(_)).getOrElse(AmpFloorDefault))
+  }
+
   /** The direct shared-shingle self-join branch (exact, no prefix). */
   private def directJaccardSelfJoin(sh: DataFrame,
       minJac: Double): DataFrame =
@@ -143,7 +211,7 @@ object TextOps {
         graft.plans.AdaptivePlan.choose(spark,
           directJaccardSelfJoin(sh, minJac),
           prefixJaccardSelfJoin(sh, minJac, eagerShare = false),
-          sh, thresholdBytes)
+          sh, thresholdBytes, Some(ampProbe(sh)))
     }
   }
 
@@ -2642,9 +2710,15 @@ object TextOps {
         val thresholdBytes = spark.conf
           .getOption("spark.graft.simhash.variantThresholdBytes")
           .map(BigInt(_)).getOrElse(SimhashBytesDefault)
+        // the probe key stream is the exploded shingle sets — the same
+        // corpus-shape statistic as the jaccard site (skewed templates
+        // correlate the fingerprints, which is exactly what floods the
+        // chunk join with collisions), at the same measured crossover
         graft.plans.AdaptivePlan.choose(spark,
           simhashCandChunk(sets), simhashCandVariant(sets),
-          sets, thresholdBytes)
+          sets, thresholdBytes,
+          Some(ampProbe(sets.select(col("doc_id"),
+            explode(col("ss")).as("shingle")))))
     }
     val jac = rawJaccard
     cand

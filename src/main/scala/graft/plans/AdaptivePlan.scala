@@ -51,12 +51,33 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * descends from the parquet scan through the projections, so it scales
   * linearly with the corpus exactly like the row counts do.
   */
+/** Deferred data-SHAPE probe for [[AdaptivePlan]] — the round-14 answer
+  * to the measured Zipfian mis-pick (BENCH_NOTES round 14): the direct
+  * shared-key plans cost Σdf² (candidate mass) while the prefix/variant
+  * plans stay ~linear in rows, and a byte statistic cannot tell the two
+  * shapes apart (the skew1 corpus is ~30× smaller than flat sf10 in
+  * bytes yet ~5× slower on the direct plan). `plan` is a PRE-BUILT lazy
+  * single-row aggregate over the (already-checkpointed) key stream that
+  * estimates the amplification Σdf²/rows — built at query construction
+  * (zero jobs), executed by [[AdaptivePlanRule]] only when the byte
+  * statistic alone cannot rule the large branch out (`floorBytes` ≤
+  * bytes ≤ thresholdBytes), and cached per canonical plan so repeated
+  * optimizations of the same frame pay one probe job. `ampThreshold` is
+  * the measured crossover of the ratio: because both plan costs are
+  * ~linear in their respective statistic, the crossover in Σdf²/rows is
+  * scale-invariant, unlike any absolute threshold. */
+case class AmpProbe(
+    plan: LogicalPlan,
+    ampThreshold: Double,
+    floorBytes: BigInt)
+
 case class AdaptivePlan(
     small: LogicalPlan,
     large: LogicalPlan,
     statsChild: LogicalPlan,
     thresholdBytes: BigInt,
-    out: Seq[Attribute]) extends LogicalPlan {
+    out: Seq[Attribute],
+    probe: Option[AmpProbe] = None) extends LogicalPlan {
   override def children: Seq[LogicalPlan] = Seq(small, large)
   override def output: Seq[Attribute] = out
   // `out` is a Seq[Attribute] constructor field, so TreeNode reflection
@@ -79,16 +100,68 @@ case class AdaptivePlan(
 /** Collapses [[AdaptivePlan]] to its chosen branch. Runs in the
   * user-rule batch, AFTER the default optimization of both children. */
 object AdaptivePlanRule extends Rule[LogicalPlan] {
+
+  /** Probe results keyed by the probe plan's canonicalized form, so every
+    * optimization pass (and every consumer) of the same checkpointed
+    * frame pays the sampled-aggregate job ONCE. Bounded LRU — canonical
+    * plans pin the checkpointed RDDs they reference, so an unbounded map
+    * would leak block-manager memory across a long session. */
+  private val probeCache =
+    new java.util.LinkedHashMap[LogicalPlan, Double](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LogicalPlan, Double]): Boolean = size() > 64
+    }
+
+  /** Execute (or recall) an [[AmpProbe]] plan: one tiny single-row
+    * aggregate on the live session. Serialized under the cache lock on
+    * purpose — two concurrent optimizations of the same frame should run
+    * one probe job, not two. A probe failure never fails the query (both
+    * branches are exact): it logs and reports amplification 0, leaving
+    * the byte statistic in charge. */
+  private[graft] def measuredAmp(spark: SparkSession,
+      probePlan: LogicalPlan): Double = probeCache.synchronized {
+    val key = probePlan.canonicalized
+    if (probeCache.containsKey(key)) probeCache.get(key)
+    else {
+      val amp =
+        try {
+          val row = org.apache.spark.sql.GraftSql.ofRows(spark, probePlan)
+            .collect().headOption
+          row.filter(!_.isNullAt(0)).map(_.getDouble(0)).getOrElse(0.0)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"AmpProbe failed, falling back to byte stats: $e")
+            0.0
+        }
+      probeCache.put(key, amp)
+      amp
+    }
+  }
+
+  /** Test hook: number of cached probe results (probe-once evidence). */
+  private[graft] def probeCacheSize: Int =
+    probeCache.synchronized(probeCache.size())
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case AdaptivePlan(small, large, statsChild, thresholdBytes, out) =>
+    case AdaptivePlan(small, large, statsChild, thresholdBytes, out, probe) =>
       // statsChild is a detached reference, so the tree-walking
       // HonestRddStats rule never reaches it — fix it here so the branch
       // choice reads materialized bytes, the same unit the thresholds
       // are calibrated in
+      val bytes = HonestRddStats.fix(statsChild).stats.sizeInBytes
       val chosen =
-        if (HonestRddStats.fix(statsChild).stats.sizeInBytes <= thresholdBytes)
-          small
-        else large
+        if (bytes > thresholdBytes) large
+        else probe match {
+          // Bytes alone say "small", but bytes cannot see df skew: above
+          // the probe floor, ask the data. Below the floor both plans
+          // are cheap even under worst-case skew (measured: the plans
+          // TIE at skew01's 36 MB / Σdf²-per-row 75) — skip the job.
+          case Some(p) if bytes >= p.floorBytes =>
+            if (measuredAmp(SparkSession.active, p.plan) > p.ampThreshold)
+              large
+            else small
+          case _ => small
+        }
       // zip would silently truncate on an arity drift (a future rule
       // pruning through the node), yielding a short Project and a
       // confusing downstream ATTRIBUTE_NOT_FOUND — fail loudly instead
@@ -110,7 +183,8 @@ object AdaptivePlan {
     * the rule on the live session (idempotent); the spark.sql.extensions
     * path goes through [[graft.GraftExtensions]]. */
   def choose(spark: SparkSession, small: DataFrame, large: DataFrame,
-      statsOf: DataFrame, thresholdBytes: BigInt): DataFrame = {
+      statsOf: DataFrame, thresholdBytes: BigInt,
+      probe: Option[AmpProbe] = None): DataFrame = {
     register(spark)
     val smallPlan = org.apache.spark.sql.GraftSql.analyzedPlan(small)
     org.apache.spark.sql.GraftSql.ofRows(spark, AdaptivePlan(
@@ -118,7 +192,8 @@ object AdaptivePlan {
       org.apache.spark.sql.GraftSql.analyzedPlan(large),
       org.apache.spark.sql.GraftSql.analyzedPlan(statsOf),
       thresholdBytes,
-      smallPlan.output))
+      smallPlan.output,
+      probe))
   }
 
   /** Install [[AdaptivePlanRule]] on a live session (idempotent). */

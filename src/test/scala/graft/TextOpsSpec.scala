@@ -640,4 +640,121 @@ class TextOpsSpec extends SparkSpec {
           s"extra ${variant -- chunk})")
     } finally spark.conf.unset(key)
   }
+
+  // ---- round-14: the df-amplification probe (AdaptivePlan.AmpProbe) ----
+  // A byte statistic cannot see df skew (BENCH_NOTES round 14: a Zipfian
+  // corpus 30x smaller in bytes ran the direct plan 5x slower), so below
+  // the byte threshold the rule now runs a sampled sum(df^2)/rows probe
+  // over the checkpointed key stream and escapes to the prefix/variant
+  // branch when the measured amplification crosses the calibrated ratio.
+
+  /** 2000 docs, each carrying one corpus-wide hot shingle plus 4 unique
+    * ones: amp = (2000^2 + 8000) / 10000 ~= 401 — decisively Zipfian. */
+  private def skewedShingleRows() =
+    spark.range(0, 2000).selectExpr("id AS doc_id",
+      "explode(array('hot hot hot', concat('u', id, ' a b'), " +
+        "concat('u', id, ' c d'), concat('u', id, ' e f'), " +
+        "concat('u', id, ' g h'))) AS shingle")
+      .localCheckpoint(true)
+
+  /** Same size/shape, every shingle unique: amp = 1.0 exactly. */
+  private def flatShingleRows() =
+    spark.range(0, 2000).selectExpr("id AS doc_id",
+      "explode(array(concat('u', id, ' a b'), concat('u', id, ' c d'), " +
+        "concat('u', id, ' e f'), concat('u', id, ' g h'), " +
+        "concat('u', id, ' i j'))) AS shingle")
+      .localCheckpoint(true)
+
+  test("amp probe: sampled estimator tracks exact sum(df^2)/rows on a skewed stream") {
+    val sh = skewedShingleRows()
+    val exact = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg((sum(col("df") * col("df")).cast("double") / sum(col("df")))
+        .as("amp")).head().getDouble(0)
+    val sampled = org.apache.spark.sql.GraftSql.ofRows(spark,
+      TextOps.ampProbePlan(sh, 8L)).head().getDouble(0)
+    assert(exact > 300 && exact < 500, s"fixture drifted: exact amp $exact")
+    // row sampling keeps the hot shingle (binomial thinning, ~4% noise at
+    // df=2000/mod=8); type sampling would miss it with probability 7/8
+    assert(math.abs(sampled - exact) / exact < 0.25,
+      s"sampled amp $sampled vs exact $exact — estimator off by >25%")
+  }
+
+  test("amp probe flips the jaccard plan to prefix on a skewed stream below the byte threshold") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val floorKey = "spark.graft.pair.ampProbeFloorBytes"
+    try {
+      spark.conf.set(floorKey, "0") // fixture is tiny; force the probe on
+      val skewPlan = TextOps.exactJaccardPairsFrom(skewedShingleRows(), 0.5)
+      // accessing optimizedPlan runs the rule, which runs the probe job
+      assert(skewPlan.queryExecution.optimizedPlan
+          .collect { case w: Window => w }.nonEmpty,
+        "amp ~401 > 120 must pick the prefix (windowed) branch even " +
+          "though the frame is far below the byte threshold")
+      // the prefix of every 5-shingle doc at t=0.5 is its 3 RAREST
+      // shingles — the hot shingle never enters candidate generation, so
+      // the probe-picked plan also EXECUTES without the n^2 blowup
+      assert(skewPlan.count() == 0)
+      val flatPlan = TextOps.exactJaccardPairsFrom(flatShingleRows(), 0.5)
+      assert(flatPlan.queryExecution.optimizedPlan
+          .collect { case w: Window => w }.isEmpty,
+        "amp 1.0 < 120 must keep the direct (window-free) branch")
+    } finally spark.conf.unset(floorKey)
+  }
+
+  test("amp probe flips the simhash plan to the one-error-variant scheme under skew") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val sets = TextOps.shingleSets(skewedShingleRows())
+    def generates(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case g: Generate => g }.length
+    val bytesKey = "spark.graft.simhash.variantThresholdBytes"
+    val floorKey = "spark.graft.pair.ampProbeFloorBytes"
+    try {
+      // self-calibrate the two branch shapes via the byte-threshold forcing
+      spark.conf.set(bytesKey, "0")
+      val variantShape = generates(TextOps.simhashPairsFromSets(sets))
+      spark.conf.unset(bytesKey)
+      val chunkShape = generates(TextOps.simhashPairsFromSets(sets))
+      assert(variantShape != chunkShape,
+        "fixture cannot distinguish the branches by Generate count")
+      spark.conf.set(floorKey, "0")
+      assert(generates(TextOps.simhashPairsFromSets(sets)) == variantShape,
+        "amp ~401 > 120 must pick the one-error-variant branch")
+      val flatSets = TextOps.shingleSets(flatShingleRows())
+      assert(generates(TextOps.simhashPairsFromSets(flatSets)) == chunkShape,
+        "amp 1.0 < 120 must keep the chunk-join branch")
+    } finally { spark.conf.unset(bytesKey); spark.conf.unset(floorKey) }
+  }
+
+  test("amp probe runs ONE job per frame: cached across consumers, zero jobs at construction") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sh = skewedShingleRows()
+    val floorKey = "spark.graft.pair.ampProbeFloorBytes"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.conf.set(floorKey, "0")
+      Thread.sleep(1000)
+      jobs.set(0)
+      val q1 = TextOps.exactJaccardPairsFrom(sh, 0.5)
+      val q2 = TextOps.exactJaccardPairsFrom(sh, 0.9)
+      Thread.sleep(1000)
+      assert(jobs.get() == 0,
+        s"construction ran ${jobs.get()} job(s); the probe must be deferred")
+      val before = graft.plans.AdaptivePlanRule.probeCacheSize
+      q1.queryExecution.optimizedPlan // triggers the probe job
+      val after1 = graft.plans.AdaptivePlanRule.probeCacheSize
+      q2.queryExecution.optimizedPlan // same canonical probe: cache hit
+      val after2 = graft.plans.AdaptivePlanRule.probeCacheSize
+      assert(after1 == before + 1, s"first optimize cached ${after1 - before}")
+      assert(after2 == after1,
+        "second consumer of the same frame re-ran the probe")
+    } finally {
+      spark.conf.unset(floorKey)
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
 }
