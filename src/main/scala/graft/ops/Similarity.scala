@@ -930,16 +930,38 @@ object Similarity {
     },
 
     // MinHash estimator calibration — the QA pass that justifies trusting
-    // q36's banding: over every LSH candidate pair, the signature-match
-    // estimate ĵ = |matching minhashes|/16 against the EXACT shingle
-    // Jaccard, with bias and mean-absolute-error bands from MinHash
-    // theory (per-pair se = sqrt(j(1−j)/16) ≤ 0.125; the bands below hold
-    // with ≥ 1.5× margin at every test SF). Scale shape: signatures are
-    // the q36 per-doc 16-long aggregate (shingles never shuffle past it),
-    // the estimate is a zip_with fold over 16-element arrays on the
-    // bounded candidate frame, and the exact Jaccard is verified per
-    // candidate against the collected per-doc shingle sets (no global
-    // pair enumeration anywhere). Oracle: n_docs and the exact j ≥ 0.5 pair
+    // q36's banding: the signature-match estimate ĵ = |matching
+    // minhashes|/16 against the EXACT shingle Jaccard, as two separate
+    // claims on two separate populations (a round-14 skew-board find):
+    //  - est_unbiased runs on the GROUND-TRUTH j ≥ 0.5 pairs,
+    //    unconditioned on banding, where MinHash theory (Broder '97)
+    //    gives E[ĵ] = j for ANY pair on ANY corpus shape (per-pair se =
+    //    sqrt(j(1−j)/16) ≤ 0.125, so the 0.1 band on the mean holds with
+    //    wide margin at every measured pair count). The earlier form
+    //    tested bias over the CANDIDATE population — but candidacy
+    //    conditions on a signature band matching, which selects pairs
+    //    whose ĵ fluctuated HIGH: on the Zipfian skew01 corpus (template
+    //    collisions dominate the candidate set) the selection bias
+    //    crossed +0.1 and the in-engine boolean went false against the
+    //    oracle's hardcoded TRUE. Selection bias is a property of the
+    //    banding, not an estimator defect — so the unbiasedness claim
+    //    belongs on the unselected population.
+    //  - est_calibrated is the mean-absolute-error band (≤ 0.2) on the
+    //    SAME ground-truth population: per-pair |ĵ − j| has expectation
+    //    ≤ se ≤ 0.125, so the band holds corpus-independently. It was
+    //    first moved here from the candidate population for the same
+    //    reason as the bias: the SimilaritySpec template-collision
+    //    fixture (30 docs sharing a boilerplate block, pairwise
+    //    j ≈ 0.27, ~46% of those pairs admitted by 2-wide×8-band LSH)
+    //    drives candidate-population mae past 0.2 — every band on the
+    //    SELECTED population is a corpus property, not an engine
+    //    property. The banding's own quality claims (recall of j ≥ 0.9
+    //    pairs) live in q36's oracle, where they belong.
+    // Scale shape: signatures are the q36 per-doc 16-long aggregate
+    // (shingles never shuffle past it), the estimate is a zip_with fold
+    // over 16-element arrays on the bounded ground-truth pair frame
+    // (the adaptive q27 enumeration — no unfiltered global pair
+    // enumeration anywhere). Oracle: n_docs and the exact j ≥ 0.5 pair
     // count are DuckDB-recomputed (the q36 anchors); the calibration
     // bands are in-engine booleans (signatures are engine-seeded).
     Q("q285_minhash_estimator",
@@ -960,51 +982,29 @@ object Similarity {
         .select(col("doc_id"),
           array((0 until 16).map(i => col(s"mh_$i")): _*).as("sig"))
         .eagerCkpt
-      val cand = minHashCandidatesFrom(sh).eagerCkpt
-      // Loud corpus-dependence guard (the q236 shortlist pattern): with
-      // ZERO candidate pairs the bias/mae aggregates are NULL, the band
-      // booleans evaluate to SQL NULL, and the oracle's hardcoded TRUE
-      // fails as an opaque hash mismatch. Fail here with the reason.
-      require(cand.count() > 0,
-        "q285 needs at least one LSH candidate pair to calibrate the " +
-          "MinHash estimator; this corpus's banding produced none, so the " +
-          "bias/mae bands would be NULL and fail the oracle opaquely")
-      // exact Jaccard for every candidate, computed PER CANDIDATE against
-      // the collected shingle sets (the q95 verify shape) — NOT by global
-      // pair enumeration: a minJac = 0 enumeration admits no prefix
-      // filter (the lemma degenerates at t = 0) and pays the full Σdf²
-      // shared-shingle stream just to score the bounded candidate frame.
-      // Here the corpus-sized work ends at the per-doc set aggregate;
-      // array_intersect runs once per candidate. A candidate sharing no
-      // shingle scores inter = 0 → exact = 0 naturally — the banding's
-      // false positives stay in the calibration.
-      val sets = sh.groupBy("doc_id")
-        .agg(collect_set(col("shingle")).as("ss"),
-          count(lit(1)).as("n_sh"))
-        .eagerCkpt
-      val est = cand
+      val estOf = expr(
+        """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+          |0, (acc, v) -> acc + v) / 16.0""".stripMargin)
+      // ground-truth pair frame: shared by the n_exact05 anchor and both
+      // selection-free calibration aggregates (one adaptive enumeration,
+      // checkpointed)
+      val exact = TextOps.exactJaccardPairsFrom(sh, minJac = 0.5).eagerCkpt
+      val nExact = exact.agg(count(lit(1)).as("n_exact05"))
+      val gt = exact
         .join(sig.toDF("doc_a", "sig_a"), "doc_a")
         .join(sig.toDF("doc_b", "sig_b"), "doc_b")
-        .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"),
-          col("n_sh").as("na")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"),
-          col("n_sh").as("nb")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("ssa"), col("ssb"))))
-        .withColumn("jac_raw",
-          col("inter") / (col("na") + col("nb") - col("inter")))
-        .withColumn("est", expr(
-          """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
-            |0, (acc, v) -> acc + v) / 16.0""".stripMargin))
+        .withColumn("est", estOf)
         .agg(avg(col("est") - col("jac_raw")).as("bias"),
           avg(abs(col("est") - col("jac_raw"))).as("mae"))
-      val nExact = TextOps.exactJaccardPairsFrom(sh, minJac = 0.5)
-        .agg(count(lit(1)).as("n_exact05"))
       Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         .crossJoin(broadcast(nExact))
-        .crossJoin(broadcast(est))
+        .crossJoin(broadcast(gt))
+        // coalesce: an empty ground-truth population calibrates
+        // vacuously — n_exact05 = 0 in the same row keeps the vacuity
+        // visible rather than silent
         .select(col("n_docs"), col("n_exact05"),
-          (abs(col("bias")) <= 0.1).as("est_unbiased"),
-          (col("mae") <= 0.2).as("est_calibrated"))
+          coalesce(abs(col("bias")) <= 0.1, lit(true)).as("est_unbiased"),
+          coalesce(col("mae") <= 0.2, lit(true)).as("est_calibrated"))
     },
 
     // INT8-quantized brute-force ANN (round 10): symmetric per-vector

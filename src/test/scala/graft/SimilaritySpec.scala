@@ -193,4 +193,48 @@ class SimilaritySpec extends SparkSpec {
         s"query $q: n_common ${common.head} out of [5, 10]")
     }
   }
+
+  test("q285 calibration survives a template-collision corpus (selection-bias find, round 14)") {
+    // The round-14 skew-board find: testing MinHash unbiasedness over the
+    // CANDIDATE population fails on template-heavy corpora, because
+    // banding selects pairs whose estimate fluctuated high. This fixture
+    // reproduces the adversarial shape in miniature: 30 docs share an
+    // 8-word boilerplate block (pairwise exact j ~= 0.27 — below the 0.5
+    // dedup bar, yet 2-wide/8-band LSH admits ~46% of those pairs as
+    // candidates, each conditioned upward — this very fixture drove
+    // candidate-population mae past 0.2, which is why BOTH bands now
+    // live on the ground-truth population), plus 10 genuine near-dup
+    // pairs at j ~= 0.65. The q285 contract must hold: bias AND mae
+    // measured on the GROUND-TRUTH j >= 0.5 pairs (selection-free).
+    val common = (1 to 8).map(i => s"c$i").mkString(" ")
+    val template = (0 until 30).map { d =>
+      (d.toLong, "tpl", common + " " + (1 to 8).map(i => s"t${d}u$i").mkString(" "))
+    }
+    val dups = (0 until 10).flatMap { i =>
+      val base = (1 to 15).map(j => s"d${i}w$j").mkString(" ")
+      Seq((100L + 2 * i, "dup", base + " endA"),
+        (101L + 2 * i, "dup", base + " endB"))
+    }
+    val docs = (template ++ dups).toDF("doc_id", "source", "text")
+    val dir = ops.Sources.scratchDir(spark, "graft_q285_skew")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q285_minhash_estimator")(spark, dir.toString)
+      .head()
+    assert(r.getAs[Long]("n_docs") == 50)
+    // the 10 crafted near-dup pairs are the ONLY j >= 0.5 pairs
+    assert(r.getAs[Long]("n_exact05") == 10,
+      s"fixture drifted: ${r.getAs[Long]("n_exact05")} ground-truth pairs")
+    // the fixture is adversarial only if template collisions actually
+    // reach the candidate set beyond the 10 true pairs
+    val sh = ops.TextOps.shingles(
+      Tables.documents(spark, dir.toString), "text", 3).localCheckpoint(true)
+    val nCand = ops.Similarity.minHashCandidatesFrom(sh).count()
+    assert(nCand > 30, s"only $nCand candidates — template collisions missing")
+    assert(r.getAs[Boolean]("est_unbiased"),
+      "ground-truth bias crossed 0.1 — the selection-free population " +
+        "must be unbiased on ANY corpus shape (Broder '97)")
+    assert(r.getAs[Boolean]("est_calibrated"),
+      "ground-truth mae crossed 0.2 — per-pair E|est - j| <= se <= 0.125, " +
+        "so the 0.2 band must hold on ANY corpus shape")
+  }
 }
