@@ -139,14 +139,31 @@ object Curation {
         |       CAST(max(shared) AS BIGINT) AS worst_overlap
         |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val w = toks(col("text"))
+      // Probe-side corpus scan IS the whole cost of this query (the
+      // bench side broadcasts), so the scan is kept to ONE tokenizer
+      // evaluation (round-14 profile at sf3: tokenize 5.6 s of the 15 s
+      // total, and it ran TWICE):
+      //  - the short-doc guard is a when() INSIDE the gram projection,
+      //    not a filter: PushPredicateThroughNonJoin substitutes the
+      //    alias into a filter's predicate, so `filter(size(w) >= 4)`
+      //    re-evaluated the split below the projection — the whole
+      //    corpus tokenized twice. (CollapseProject will not inline a
+      //    non-cheap multi-referenced alias, so the two stacked
+      //    projections keep exactly one split.)
+      //  - xxhash64 runs over the four tokens DIRECTLY (seed-chained
+      //    varargs) instead of a concatenated gram string — no 7M+
+      //    string builds; position-fixed hashing has the same
+      //    discriminating power and the oracle's FULL-string-gram
+      //    agreement rests on the same no-64-bit-collision footing.
       val g4 = Tables.documents(s, d)
         .select(col("doc_id"), w.as("w"))
-        .filter(size(col("w")) >= 4)
-        .select(col("doc_id"), explode(array_distinct(transform(
-          sequence(lit(1), size(col("w")) - 3),
-          i => xxhash64(concat_ws(" ", element_at(col("w"), i),
-            element_at(col("w"), i + 1), element_at(col("w"), i + 2),
-            element_at(col("w"), i + 3)))))).as("g"))
+        .select(col("doc_id"), explode(when(size(col("w")) >= 4,
+          array_distinct(transform(
+            sequence(lit(1), size(col("w")) - 3),
+            i => xxhash64(element_at(col("w"), i),
+              element_at(col("w"), i + 1), element_at(col("w"), i + 2),
+              element_at(col("w"), i + 3)))))
+          .otherwise(array().cast("array<bigint>"))).as("g"))
       val bench = g4.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bench_id"), col("g"))
       val train = g4.filter(col("doc_id") % 97 =!= 0)
