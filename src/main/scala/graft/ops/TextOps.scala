@@ -2119,18 +2119,27 @@ object TextOps {
       val jp = exactJaccardPairs(s, d, minJac = 0.5)
         .select(col("doc_a"), col("doc_b"))
         .eagerCkpt
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("w"))
-        .filter(size(col("w")) >= 3)
-      // positional 3-grams for pair MEMBERS only (semi-join prunes the
-      // corpus before the explode fan-out)
       val members = jp.select(col("doc_a").as("doc_id"))
         .union(jp.select(col("doc_b").as("doc_id"))).distinct()
-      val posSh = docs.join(members, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(1), size(col("w")) - 2),
-          i => concat_ws(" ", element_at(col("w"), i),
-            element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
+      // positional 3-grams for pair MEMBERS only. Round-14 reorder: the
+      // semi-join prunes the RAW documents scan, BEFORE tokenize — the
+      // earlier shape (tokenize → filter(size ≥ 3) → semi-join) sat the
+      // join above the projection where Spark cannot push it, so the
+      // whole corpus tokenized (twice, via the pushed-down size filter)
+      // to feed a member set of a few hundred docs. The short-doc guard
+      // is a when() inside the gram projection for the same
+      // single-evaluation reason as q317 (members always have ≥ 3
+      // tokens — they carry shingles — so it is belt-and-braces).
+      val docs = Tables.documents(s, d)
+        .join(members, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+      val posSh = docs
+        .select(col("doc_id"), posexplode(when(size(col("w")) >= 3,
+          transform(
+            sequence(lit(1), size(col("w")) - 2),
+            i => concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+          .otherwise(array().cast("array<string>"))))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col")
           .as("shingle"))
         .eagerCkpt // probe side + member set share it

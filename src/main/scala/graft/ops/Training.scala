@@ -722,12 +722,22 @@ object Training {
         |         * 1000000 // sum(c) AS BIGINT) AS dup_share_micro
         |FROM sg JOIN tot USING (gram)
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // short-doc guard as a CASE inside the gram projection, not a
+      // filter: predicate pushdown substitutes the alias into
+      // filter(size(w) >= 8), tokenizing the whole corpus twice (the
+      // q317 find; this scan is the entire cost of the query)
+      // ... and xxhash64 over the eight tokens directly (seed-chained
+      // varargs) rather than array_join-ing a gram string per window —
+      // tens of millions of string builds at sf3 for hash input only
       val g = Tables.documents(s, d)
         .select(col("source"), toks(col("text")).as("w"))
-        .filter(size(col("w")) >= 8)
         .select(col("source"), explode(expr(
-          "transform(sequence(1, size(w) - 7), " +
-            "i -> xxhash64(array_join(slice(w, i, 8), ' ')))")).as("g"))
+          "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), " +
+            "i -> xxhash64(element_at(w, i), element_at(w, i + 1), " +
+            "element_at(w, i + 2), element_at(w, i + 3), " +
+            "element_at(w, i + 4), element_at(w, i + 5), " +
+            "element_at(w, i + 6), element_at(w, i + 7))) " +
+            "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("g"))
       val sg = g.groupBy(col("g"), col("source"))
         .agg(count(lit(1)).as("c"))
       val tot = sg.groupBy(col("g")).agg(sum(col("c")).as("tc"))
