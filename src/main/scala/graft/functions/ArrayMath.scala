@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
@@ -404,6 +404,134 @@ case class SquaredL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused symmetric int8 quantizer: ONE primitive pass computes the
+  * per-vector scale (max|x| / 127) and the code array
+  * round-half-away-from-zero(x / scale) — the exact values the unfused
+  * two-projection form (`array_max(transform(x, abs))` then
+  * `transform(x, round(x / scale, 0))`) produces, in one codegen loop
+  * pair instead of three interpreted higher-order-function passes plus a
+  * per-element `BigDecimal` round (Spark's `round` on DoubleType routes
+  * every element through `BigDecimal.setScale(0, HALF_UP)`; on a corpus
+  * scan that allocation dominates the quantization).
+  *
+  * Rounding equivalence (why the primitive branch below IS `HALF_UP`):
+  * `BigDecimal(q).setScale(0, HALF_UP)` rounds the EXACT decimal value of
+  * the double `q` away from zero iff its fractional part ≥ 0.5 — and for
+  * `a = |q|`, `a - floor(a)` is exact in double arithmetic (floor(a) is
+  * representable; for a ≥ 1 Sterbenz's lemma applies since
+  * floor(a) ≤ a < 2·floor(a) + 1, for a < 1 the subtraction is by zero),
+  * so `(a - floor(a) >= 0.5 ? floor(a)+1 : floor(a))` with the sign
+  * restored is bit-equivalent, with no allocation. DuckDB's `round()` on
+  * DOUBLE is the same half-away-from-zero on the same exact value, which
+  * is what keeps the q297/q323 oracles FULL-hash green.
+  *
+  * NULL semantics: null input → NULL; all-zero (or empty) vector → NULL —
+  * the callers' `WHERE scale > 0` guard, fused (a NaN max also lands
+  * here: `NaN > 0` is false in Java, and the unfused form would have
+  * thrown in `round`, so no green path changes). A null ELEMENT nulls the
+  * whole result like the kernels above (the unfused form would emit a
+  * null element inside the code array instead; the corpus carries no null
+  * elements, and one NULL contract across the kernel family beats two).
+  * Codes are exact by construction: |q| ≤ 127·(1 + ~2⁻⁵²) so no rounded
+  * code can reach ±128 — the byte cast cannot wrap. */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (supported(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float>/array<double> input, " +
+        s"got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "graft_int8q"
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def elementsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val checkNulls = elementsNullable
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (checkNulls && x.isNullAt(i)) return null
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val a = math.abs(v)
+      if (a > mx) mx = a
+      i += 1
+    }
+    val scale = mx / 127.0
+    if (!(scale > 0)) return null
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val q = (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) / scale
+      val a = math.abs(q)
+      val f = math.floor(a)
+      val r = if (a - f >= 0.5) f + 1.0 else f
+      out(i) = (if (q < 0) -r else r).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx")
+      val sc = ctx.freshName("sc")
+      val out = ctx.freshName("out")
+      val q = ctx.freshName("q")
+      val av = ctx.freshName("av")
+      val fv = ctx.freshName("fv")
+      val rv = ctx.freshName("rv")
+      val nullCheck = if (elementsNullable) {
+        s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      } else ""
+      s"""
+         |final int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  double $av = Math.abs((double) $a.$get($i));
+         |  if ($av > $mx) $mx = $av;
+         |}
+         |final double $sc = $mx / 127.0;
+         |if (${ev.isNull} || !($sc > 0)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  byte[] $out = new byte[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $q = ((double) $a.$get($i)) / $sc;
+         |    double $av = Math.abs($q);
+         |    double $fv = Math.floor($av);
+         |    double $rv = ($av - $fv >= 0.5) ? $fv + 1.0 : $fv;
+         |    $out[$i] = (byte) (long) ($q < 0 ? -$rv : $rv);
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the custom expressions. */
 object ArrayMath {
 
@@ -428,4 +556,11 @@ object ArrayMath {
     * float summation-order hazard; see [[QuantizedDot]]). */
   def quantDot(a: Column, b: Column): Column =
     GraftSql.column(QuantizedDot(GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** Fused symmetric int8 quantization (codegen'd): per-vector scale
+    * max|x|/127 and half-away-from-zero codes in one pass; NULL on an
+    * all-zero vector (the `scale > 0` guard, fused). Value-identical to
+    * the unfused array_max/transform/round form — see [[Int8Quantize]]. */
+  def int8Codes(a: Column): Column =
+    GraftSql.column(Int8Quantize(GraftSql.expression(a)))
 }

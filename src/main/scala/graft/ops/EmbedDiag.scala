@@ -231,13 +231,12 @@ object EmbedDiag {
         |       CAST(sum(code) AS BIGINT) AS sum_code,
         |       CAST(sum(abs(code)) AS BIGINT) AS sum_abs
         |FROM e GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
+      // fused codegen quantizer (scale + codes in one pass, NULL where the
+      // unfused form's `scale > 0` filter would drop the row) — replaces
+      // three interpreted HOF passes + a per-element BigDecimal round
       val codes = Tables.embeddings(s, d)
-        .withColumn("scale",
-          array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-            / 127.0)
-        .filter(col("scale") > 0)
-        .withColumn("codes", transform(col("embedding"),
-          x => round(x.cast("double") / col("scale"), 0).cast("long")))
+        .withColumn("codes", ArrayMath.int8Codes(col("embedding")))
+        .filter(col("codes").isNotNull)
       codes
         .select(posexplode(col("codes")).as(Seq("pos", "code")))
         // posexplode is 0-based; the oracle's range(1, len+1) is 1-based

@@ -1063,14 +1063,14 @@ object Similarity {
         |FROM ra r LEFT JOIN ov ON r.query_id = ov.query_id
         |WHERE r.rank <= 10 ORDER BY r.query_id, r.rank""".stripMargin) { (s, d) =>
       import graft.functions.ArrayMath
+      // fused codegen quantizer (ArrayMath.Int8Quantize): scale + codes in
+      // one pass, NULL where the unfused form's `scale > 0` filter would
+      // drop the row; emits array<tinyint> containsNull=false so the
+      // QuantizedDot loop below stays branch-free
       val withCodes = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("scale",
-          array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-            / 127.0)
-        .filter(col("scale") > 0)
-        .withColumn("codes", transform(col("embedding"),
-          x => round(x.cast("double") / col("scale"), 0).cast("tinyint")))
+        .withColumn("codes", ArrayMath.int8Codes(col("embedding")))
+        .filter(col("codes").isNotNull)
       val q = withCodes.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("codes").as("qc"))

@@ -162,4 +162,58 @@ class ArrayMathSpec extends SparkSpec {
         " array(CAST(1 AS TINYINT), CAST(1 AS TINYINT))) AS d")
     assert(withNull.head().isNullAt(0))
   }
+
+  test("int8Codes matches the unfused array_max/transform/round form") {
+    val rnd = new scala.util.Random(23)
+    // floats spanning sign, magnitude and near-zero — the q297/q323 shape
+    val df = Seq.fill(60)(Array.fill(48)(
+        (rnd.nextFloat() * 2 - 1) * math.pow(10, rnd.nextInt(4) - 2).toFloat))
+      .toDF("embedding")
+    val unfusedScale =
+      array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0
+    val rows = df
+      .withColumn("scale", unfusedScale)
+      .filter(col("scale") > 0)
+      .select(
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("scale"), 0).cast("tinyint"))
+          .as("ref"),
+        ArrayMath.int8Codes(col("embedding")).as("fused"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Byte](0) == r.getSeq[Byte](1))
+    }
+  }
+
+  test("int8Codes: exact HALF_UP edges, codegen == interpreted") {
+    // scale is exactly 1.0 (max|x| = 127), so the quotients hit the
+    // rounding edges undisturbed: +0.5 → 1 (away from zero), −0.5 → −1,
+    // and 0.49999999999999994 (the largest double < 0.5, the classic
+    // `floor(x + 0.5)` trap: 0.4999…94 + 0.5 == 1.0 in double) → 0.
+    val df = Seq(Array(127.0, 0.5, -0.5, 0.49999999999999994,
+        -0.49999999999999994, 1.4999999999999998, 126.5)).toDF("v")
+    def run() = df.select(ArrayMath.int8Codes(col("v"))).head().getSeq[Byte](0)
+    val gen = run()
+    assert(gen == Seq[Byte](127, 1, -1, 0, 0, 1, 127))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(gen == interp)
+  }
+
+  test("int8Codes: all-zero / empty / null-element inputs yield NULL") {
+    val zero = Seq(Array(0.0f, 0.0f), Array.empty[Float])
+      .toDF("v").select(ArrayMath.int8Codes(col("v"))).collect()
+    assert(zero.forall(_.isNullAt(0)), "scale == 0 rows must be NULL (fused filter)")
+    val withNullElem = Seq(Seq(Option(1.0f), None))
+      .toDF("v").select(ArrayMath.int8Codes(col("v"))).head()
+    assert(withNullElem.isNullAt(0))
+    val nullInput = Seq(Option.empty[Array[Float]])
+      .toDF("v").select(ArrayMath.int8Codes(col("v"))).head()
+    assert(nullInput.isNullAt(0))
+  }
 }
