@@ -136,6 +136,16 @@ object Bench {
       // (they'd distort later queries' memory profile) — outside the timer,
       // like the driver's own per-query accounting
       spark.catalog.clearCache()
+      // Checkpoint blocks (eagerCkpt) are reclaimed by the ContextCleaner
+      // only after GC proves the frame unreachable; between back-to-back
+      // heavy queries the heap can fill with dead checkpoint RDDs faster
+      // than a natural GC cycle notices them (measured: a 19-query
+      // text-family sequence at the 12.8M-token long-docs shape killed the
+      // context inside its LAST query at -Xmx8g, while the same query
+      // passed alone — cumulative retention, not a per-query cost). One
+      // explicit GC per query, outside the timer, lets the cleaner run —
+      // the same role the driver's fresh-JVM-per-query accounting plays.
+      System.gc()
       // failed query → negated time: visibly broken in the JSON instead of
       // masquerading as a (suspiciously fast) success. Floor the magnitude
       // so a fast analysis failure can't round to "-0.0" at the 1-decimal
