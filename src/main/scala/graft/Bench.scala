@@ -145,7 +145,11 @@ object Bench {
       // passed alone — cumulative retention, not a per-query cost). One
       // explicit GC per query, outside the timer, lets the cleaner run —
       // the same role the driver's fresh-JVM-per-query accounting plays.
-      System.gc()
+      // Opt-in (big-shape scale runs): a full GC per query stalls all 32
+      // threads and cold-starts the next query's TLABs/code paths, and the
+      // driver's own sf0.1 board never accumulates enough dead checkpoint
+      // mass to need it — so the default board stays GC-free.
+      if (sys.env.contains("SPARK_GRAFT_GC_PER_QUERY")) System.gc()
       // failed query → negated time: visibly broken in the JSON instead of
       // masquerading as a (suspiciously fast) success. Floor the magnitude
       // so a fast analysis failure can't round to "-0.0" at the 1-decimal
