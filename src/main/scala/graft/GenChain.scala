@@ -61,7 +61,11 @@ object GenChain {
 
     val nBase = Tables.load(spark, src, "documents").count()
     val d = col("doc_id")
-    val fam = (d / ChainLen).cast("long")
+    // integer `div`, not `/`: Column `/` is double division, which is only
+    // exact for doc_id < 2^53/ChainLen — family boundaries (and the
+    // adjacent-pair J=0.652 design that depends on them) must hold for
+    // ANY long doc_id (ADVICE r14)
+    val fam = expr(s"doc_id div $ChainLen")
     val pos = pmod(d, lit(ChainLen.toLong))
     val docs = spark.range(0, nBase * mult).select(
         col("id").as("doc_id"),

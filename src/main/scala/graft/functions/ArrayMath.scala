@@ -426,14 +426,21 @@ case class SquaredL2(left: Expression, right: Expression)
   * is what keeps the q297/q323 oracles FULL-hash green.
   *
   * NULL semantics: null input → NULL; all-zero (or empty) vector → NULL —
-  * the callers' `WHERE scale > 0` guard, fused (a NaN max also lands
-  * here: `NaN > 0` is false in Java, and the unfused form would have
-  * thrown in `round`, so no green path changes). A null ELEMENT nulls the
+  * the callers' `WHERE scale > 0` guard, fused. Any NaN element NULLs the
+  * row too: the max uses a NaN-propagating compare (`!(a <= mx)`), so
+  * scale becomes NaN and `NaN > 0` is false — matching the unfused form,
+  * where Spark's `array_max` treats NaN as greater than every value and
+  * the scale guard dropped the row (ADVICE r14). A null ELEMENT nulls the
   * whole result like the kernels above (the unfused form would emit a
   * null element inside the code array instead; the corpus carries no null
   * elements, and one NULL contract across the kernel family beats two).
-  * Codes are exact by construction: |q| ≤ 127·(1 + ~2⁻⁵²) so no rounded
-  * code can reach ±128 — the byte cast cannot wrap. */
+  * Codes cannot wrap the byte cast: for NORMAL scales |q| ≤
+  * 127·(1 + ~2⁻⁵²) so no rounded code reaches ±128, and for the one
+  * escape — a SUBNORMAL scale, where `mx / 127.0` can round down with
+  * unbounded relative error (e.g. mx = 255·Double.MinValue gives
+  * q = 127.5 → round 128) — the rounded magnitude is clamped to 127
+  * (ADVICE r14; unreachable with realistic embeddings, but the invariant
+  * now holds unconditionally rather than by corpus luck). */
 case class Int8Quantize(child: Expression) extends UnaryExpression {
 
   private def supported(dt: DataType): Boolean = dt match {
@@ -467,7 +474,7 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
       if (checkNulls && x.isNullAt(i)) return null
       val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val a = math.abs(v)
-      if (a > mx) mx = a
+      if (!(a <= mx)) mx = a // NaN-propagating max: NaN fails <=, lands in mx
       i += 1
     }
     val scale = mx / 127.0
@@ -478,7 +485,8 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
       val q = (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) / scale
       val a = math.abs(q)
       val f = math.floor(a)
-      val r = if (a - f >= 0.5) f + 1.0 else f
+      val r0 = if (a - f >= 0.5) f + 1.0 else f
+      val r = if (r0 > 127.0) 127.0 else r0 // subnormal-scale wrap guard
       out(i) = (if (q < 0) -r else r).toByte
       i += 1
     }
@@ -507,7 +515,7 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
          |for (int $i = 0; $i < $n; $i++) {
          |  $nullCheck
          |  double $av = Math.abs((double) $a.$get($i));
-         |  if ($av > $mx) $mx = $av;
+         |  if (!($av <= $mx)) $mx = $av; // NaN-propagating max
          |}
          |final double $sc = $mx / 127.0;
          |if (${ev.isNull} || !($sc > 0)) {
@@ -519,6 +527,7 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
          |    double $av = Math.abs($q);
          |    double $fv = Math.floor($av);
          |    double $rv = ($av - $fv >= 0.5) ? $fv + 1.0 : $fv;
+         |    if ($rv > 127.0) $rv = 127.0; // subnormal-scale wrap guard
          |    $out[$i] = (byte) (long) ($q < 0 ? -$rv : $rv);
          |  }
          |  ${ev.value} = org.apache.spark.sql.catalyst.expressions

@@ -123,24 +123,39 @@ object AdaptivePlanRule extends Rule[LogicalPlan] {
     val key = probePlan.canonicalized
     if (probeCache.containsKey(key)) probeCache.get(key)
     else {
-      val amp =
-        try {
-          val row = org.apache.spark.sql.GraftSql.ofRows(spark, probePlan)
-            .collect().headOption
-          row.filter(!_.isNullAt(0)).map(_.getDouble(0)).getOrElse(0.0)
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            logWarning(s"AmpProbe failed, falling back to byte stats: $e")
-            0.0
-        }
-      probeCache.put(key, amp)
-      amp
+      try {
+        val t0 = System.nanoTime()
+        val row = org.apache.spark.sql.GraftSql.ofRows(spark, probePlan)
+          .collect().headOption
+        probeRuns.incrementAndGet()
+        probeNanos.addAndGet(System.nanoTime() - t0)
+        val amp = row.filter(!_.isNullAt(0)).map(_.getDouble(0)).getOrElse(0.0)
+        probeCache.put(key, amp)
+        amp
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // deliberately NOT cached: a transient failure (executor hiccup,
+          // dropped block) must not pin "small branch" for the JVM's
+          // lifetime — the next optimization of this frame retries
+          // (VERDICT r14 #3). The current query still gets a correct
+          // plan: both branches are exact, byte stats stay in charge.
+          logWarning(s"AmpProbe failed, falling back to byte stats " +
+            s"(uncached — will retry on next optimization): $e")
+          0.0
+      }
     }
   }
 
   /** Test hook: number of cached probe results (probe-once evidence). */
   private[graft] def probeCacheSize: Int =
     probeCache.synchronized(probeCache.size())
+
+  /** Probe-cost telemetry (cumulative over the JVM): how many probe JOBS
+    * actually ran (cache misses that reached execution) and their total
+    * wall time. Lets a bench run report the measured probe share of a
+    * query instead of estimating it (VERDICT r14 directive 4). */
+  private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val probeNanos = new java.util.concurrent.atomic.AtomicLong
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case AdaptivePlan(small, large, statsChild, thresholdBytes, out, probe) =>

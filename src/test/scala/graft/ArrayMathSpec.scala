@@ -216,4 +216,51 @@ class ArrayMathSpec extends SparkSpec {
       .toDF("v").select(ArrayMath.int8Codes(col("v"))).head()
     assert(nullInput.isNullAt(0))
   }
+
+  test("int8Codes: NaN element NULLs the row, matching the unfused " +
+    "array_max form (ADVICE r14)") {
+    // Spark's array_max treats NaN as greater than every value, so the
+    // unfused `scale > 0` guard dropped [5.0, NaN]; the fused kernel must
+    // too — `av > mx` alone would silently keep it with NaN quantized to 0
+    val df = Seq(Array(5.0, Double.NaN), Array(Double.NaN), Array(5.0, 1.0))
+      .toDF("v")
+    def run() = df.select(ArrayMath.int8Codes(col("v"))).collect()
+    val gen = run()
+    assert(gen(0).isNullAt(0), "mixed-NaN row must be NULL")
+    assert(gen(1).isNullAt(0), "all-NaN row must be NULL")
+    assert(gen(2).getSeq[Byte](0) == Seq[Byte](127, 25))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(interp(0).isNullAt(0) && interp(1).isNullAt(0))
+    assert(interp(2).getSeq[Byte](0) == Seq[Byte](127, 25))
+  }
+
+  test("int8Codes: subnormal scale cannot wrap the byte cast (ADVICE r14)") {
+    // mx = 255·Double.MinValue makes scale = mx/127.0 round DOWN to
+    // 2·MinValue (subnormal division has unbounded relative error), so
+    // q = 127.5 rounds to 128 — without the clamp, (byte) wraps to -128.
+    // The no-wrap invariant must hold unconditionally: codes stay in
+    // [-127, 127].
+    val tiny = java.lang.Double.MIN_VALUE
+    val df = Seq(Array(255 * tiny, -255 * tiny, tiny)).toDF("v")
+    def run() = df.select(ArrayMath.int8Codes(col("v"))).head()
+    val gen = run()
+    assert(!gen.isNullAt(0))
+    val codes = gen.getSeq[Byte](0)
+    assert(codes(0) == 127.toByte, s"clamped max code, got ${codes(0)}")
+    assert(codes(1) == (-127).toByte, s"clamped min code, got ${codes(1)}")
+    assert(codes.forall(c => c >= -127 && c <= 127),
+      s"no code may wrap past ±127: $codes")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(interp.getSeq[Byte](0) == codes, "codegen == interpreted")
+  }
 }

@@ -757,4 +757,45 @@ class TextOpsSpec extends SparkSpec {
       spark.sparkContext.removeSparkListener(l)
     }
   }
+
+  test("amp probe: a FAILING probe is not cached — next optimization " +
+    "retries and a later success repopulates (VERDICT r14 #3)") {
+    // drive measuredAmp directly with an injectable-failure plan: the
+    // production path (AdaptivePlanRule.apply) only controls failure via
+    // real executor faults, which local[*] can't stage deterministically
+    FlakyProbeState.failNext = true
+    FlakyProbeState.calls.set(0)
+    val flaky = udf { () =>
+      FlakyProbeState.calls.incrementAndGet()
+      if (FlakyProbeState.failNext)
+        throw new RuntimeException("injected transient probe failure")
+      else 2.5
+    }
+    val plan = spark.range(1).select(flaky().as("amp"))
+      .queryExecution.logical
+    val before = graft.plans.AdaptivePlanRule.probeCacheSize
+    assert(graft.plans.AdaptivePlanRule.measuredAmp(spark, plan) == 0.0,
+      "failed probe must fall back to amp 0 (byte stats stay in charge)")
+    assert(graft.plans.AdaptivePlanRule.probeCacheSize == before,
+      "a probe FAILURE must not be cached — it would pin the small " +
+        "branch for the JVM's lifetime")
+    FlakyProbeState.failNext = false // the transient fault clears
+    assert(graft.plans.AdaptivePlanRule.measuredAmp(spark, plan) == 2.5,
+      "the next optimization must re-run the probe, not recall 0.0")
+    assert(graft.plans.AdaptivePlanRule.probeCacheSize == before + 1,
+      "the successful retry must repopulate the cache")
+    val ranBefore = FlakyProbeState.calls.get()
+    assert(graft.plans.AdaptivePlanRule.measuredAmp(spark, plan) == 2.5)
+    assert(FlakyProbeState.calls.get() == ranBefore,
+      "after a success the cache serves — no third probe job")
+  }
+}
+
+/** Shared mutable state for the flaky-probe spec above. A top-level object
+  * (not a captured closure field) so the local-mode task, which
+  * deserializes its own closure copy, still reads/writes the SAME state
+  * the driver-side assertions observe. */
+object FlakyProbeState {
+  @volatile var failNext = false
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -61,6 +61,7 @@ for name in sorted(oracle):
 # a latent precision trap) = WARN; everything else non-equal = WARN.
 import pandas as pd
 n_dfail = n_dwarn = 0
+dwarns = []  # "<query>.<column>" keys, diffed against the committed allowlist
 for name in sorted(oracle):
     qdir = f"{out_dir}/{name}"
     if not os.path.isdir(qdir):
@@ -83,7 +84,7 @@ for name in sorted(oracle):
             if lt.startswith(("DECIMAL", "HUGEINT")):
                 print(f"DTYPE-WARN {name}.{c}: oracle {lt} coerced to pandas "
                       f"'{tk}' happens to match spark '{mk}' — cast explicitly")
-                n_dwarn += 1
+                n_dwarn += 1; dwarns.append(f"{name}.{c}")
             continue
         # benign: DuckDB DATE fetches as datetime64 while pandas reads
         # parquet date32 as object-of-datetime.date — isoformat-equal
@@ -98,9 +99,32 @@ for name in sorted(oracle):
         else:
             print(f"DTYPE-WARN {name}.{c}: oracle {lt} -> pandas '{tk}' vs "
                   f"spark '{mk}'")
-            n_dwarn += 1
+            n_dwarn += 1; dwarns.append(f"{name}.{c}")
 print(f"dtype gate: {n_dfail} fail, {n_dwarn} warn")
 n_fail += n_dfail
+
+# WARN ratchet (VERDICT r14 #5): a WARN is a latent trap (DECIMAL/HUGEINT
+# coercion luck), and a print-only gate lets new ones land silently. The
+# committed allowlist pins the accepted set (currently EMPTY — every known
+# coercion got an explicit cast in round 13/14); any warn not on it FAILS,
+# so the q300 class can't re-enter even at WARN level.
+_allow_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "dtype_warn_allowlist.txt")
+_allowed = set()
+if os.path.exists(_allow_path):
+    with open(_allow_path) as fh:
+        _allowed = {ln.strip() for ln in fh
+                    if ln.strip() and not ln.lstrip().startswith("#")}
+_new_warns = sorted(set(dwarns) - _allowed)
+if _new_warns:
+    for w in _new_warns:
+        print(f"DTYPE-NEW-WARN {w}: not in tools/dtype_warn_allowlist.txt — "
+              f"cast explicitly or (deliberately) allowlist it")
+    n_fail += len(_new_warns)
+_stale = sorted(_allowed - set(dwarns))
+if _stale:
+    print(f"dtype allowlist: {len(_stale)} stale entrie(s) no longer "
+          f"warning (prune): {_stale}")
 
 # rows-only queries
 import pathlib
