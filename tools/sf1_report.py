@@ -11,6 +11,7 @@ should cost <= ~10x on a linear operator; ML fits and fixed-floor streaming
 queries are annotated).
 """
 import json
+import os
 import re
 import sys
 
@@ -32,11 +33,17 @@ for line in open(log_path, encoding="utf-8", errors="replace"):
         machine = json.loads(line)
 
 r9 = json.load(open(r9_path))
-r9q = (r9.get("parsed") or r9).get("queries", {})
+_ref = (r9.get("parsed") or r9)
 
 
 def num(name):
     return str(int(name.split("_")[0].lstrip("q")))
+
+
+# reference per-query keys may be bare numbers (driver machine line) or
+# full qNN_name keys (BENCH_COOLED_*.json) — normalize both to bare numbers
+r9q = {num(k) if k.startswith("q") else k: v
+       for k, v in _ref.get("queries", {}).items()}
 
 
 rows = []
@@ -62,6 +69,8 @@ def tag(name):
 total = sum(t for t in sf1.values() if t > 0)
 out = []
 out.append("# BENCH_SF1 — 10x scale smoke\n")
+if len(sys.argv) > 4:  # provenance: which run this table is from
+    out.append(f"Run: {sys.argv[4]}\n\n")
 out.append("Corpus: `/tmp/sf1` = GenScale 10x key-shifted replication of "
            "`/root/testdata/sf0.1` (6M lineitem rows, 1.5M orders, 1M "
            "events, 50k documents, 20k embeddings; FK spot-checks clean). "
@@ -73,9 +82,9 @@ if machine:
                "errors\n")
 out.append(f"- stderr-accounted sf1 total: {total:.1f}s over {len(sf1)} "
            "queries\n")
-r9total = (r9.get("parsed") or r9).get("value")
-out.append(f"- reference point: driver sf0.1 reference-round total {r9total}s "
-           "(290 queries)\n")
+r9total = _ref.get("value", _ref.get("total_sec"))
+out.append(f"- reference point: sf0.1 total {r9total}s over {len(r9q)} "
+           f"queries ({os.path.basename(r9_path)})\n")
 if errors:
     out.append(f"\n## ERRORS ({len(errors)})\n")
     for k, v in sorted(errors.items()):
