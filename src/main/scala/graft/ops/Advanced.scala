@@ -577,15 +577,26 @@ object Advanced {
           .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
-    // Blocked fuzzy matching (record linkage): the scalable shape for
-    // edit-distance dedup — block on cheap equality keys first (brand ×
-    // size), THEN run the quadratic comparator only within blocks. The
-    // equi-key join keeps the plan a hash join at any scale (never an
-    // all-pairs cartesian; blocks bound the per-task quadratic work), and
-    // the key-ordered pair predicate halves the comparisons. Output stays
-    // in exact-integer space (pair counts + summed distances — avg is
-    // derivable, but a rounded rational would be the one engine-divergence
-    // risk in the query).
+    // Blocked fuzzy matching (record linkage): block on cheap equality
+    // keys (brand × size), then — the round-15 scale fix — collapse each
+    // block to its DISTINCT names with multiplicities before running the
+    // quadratic comparator. The old row-level pair join was quadratic in
+    // SF (block keys are a FIXED domain, so per-block row count grows
+    // linearly with the corpus: measured 0.69 s sf0.1 → 19.7 s sf1,
+    // 28.7×, and sf3 would have been ~9× that); the value domain is what
+    // is actually bounded (64 part names at ANY SF — TPC-H composes them
+    // from a fixed vocabulary), so the comparator now runs once per
+    // distinct (block, name-pair) — ≤ |V|²/2 levenshteins per block,
+    // CONSTANT in SF — and pair counts multiply back exactly:
+    // cnt_x·cnt_y for x ≠ y (each unordered row pair appears once under
+    // the oracle's partkey ordering), C(cnt,2) at distance 0 for x = y.
+    // The SF-dependent cost left is the one scan feeding a map-side
+    // combined groupBy. Output stays in exact-integer space (pair counts
+    // + summed distances — avg is derivable, but a rounded rational would
+    // be the one engine-divergence risk in the query). The comparator
+    // keeps the threshold form (abandons a pair as soon as the running
+    // distance exceeds 3, returning -1 — O(k·n) per pair, not O(m·n));
+    // same kept set as the oracle's unbounded levenshtein <= 3.
     Q("q116_fuzzy_match",
       """SELECT a.p_brand AS brand, count(*) AS n_pairs,
         |       CAST(sum(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS sum_dist
@@ -594,21 +605,28 @@ object Advanced {
         | AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size", "p_name")
-      val a = p.toDF("key_a", "p_brand", "p_size", "name_a")
-      val b = p.toDF("key_b", "p_brand", "p_size", "name_b")
+      val g = Tables.part(s, d)
+        .groupBy(col("p_brand"), col("p_size"), col("p_name"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = g.toDF("p_brand", "p_size", "name_a", "cnt_a")
+      val b = g.toDF("p_brand", "p_size", "name_b", "cnt_b")
       a.join(b, Seq("p_brand", "p_size"))
-        .filter(col("key_a") < col("key_b"))
-        // bounded comparator, projected once: the threshold form abandons a
-        // pair as soon as the running distance exceeds 3 (O(k·n) per pair,
-        // not O(m·n)) and returns -1 — at blocking-key scale that early
-        // exit is most of the comparator's work. Same kept set as the
-        // oracle's unbounded levenshtein <= 3.
+        // one row per unordered DISTINCT-NAME pair per block (g is unique
+        // on (block, name)); the diagonal carries the same-name multiset
+        .filter(col("name_a") <= col("name_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
         .filter(col("dist") >= 0)
+        .withColumn("npairs",
+          when(col("name_a") === col("name_b"),
+            expr("cnt_a * (cnt_a - 1) div 2")) // C(cnt, 2), exact integer
+            .otherwise(col("cnt_a") * col("cnt_b")))
+        // a singleton diagonal (cnt = 1) is not a pair: without this, a
+        // brand with zero qualifying pairs would surface as a (brand,0,0)
+        // row the oracle's pair-level GROUP BY never emits
+        .filter(col("npairs") > 0)
         .groupBy(col("p_brand").as("brand"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("dist")).cast("long").as("sum_dist"))
+        .agg(sum(col("npairs")).cast("long").as("n_pairs"),
+          sum(col("dist") * col("npairs")).cast("long").as("sum_dist"))
         .orderBy(col("brand"))
     },
 
@@ -1111,12 +1129,21 @@ object Advanced {
     // is the native codegen'd expression graft.functions.JaroWinklerSim —
     // Spark has levenshtein but no Jaro-Winkler — pinned bit-for-bit to
     // DuckDB's jaro_winkler_similarity (JaroWinklerSpec + this oracle over
-    // every scored pair). Scale shape = q34's bounded-query-slice contract:
-    // the ≤64-row query batch BROADCASTS, the catalog side scans in place
-    // (never shuffles, never collides in a cartesian), and the per-query
-    // argmax is a partial-aggregated max-struct — similarity is rounded to
-    // 6 BEFORE the argmax so float noise below the round grain can never
-    // flip a cross-engine tie (ties break to the lower candidate key).
+    // every scored pair). Scale shape = q34's bounded-query-slice contract
+    // PLUS the q116 value-domain collapse (round 15): the ≤64-row query
+    // batch broadcasts, and the catalog side first reduces to its
+    // DISTINCT names with each name's minimum partkey (64 names at any
+    // SF — a map-side combined groupBy, the only SF-dependent cost).
+    // That representative is exact, not approximate: equal names score
+    // identical sims, and the argmax breaks sim ties to the LOWER
+    // candidate key, so no non-minimal partkey of a name can ever win —
+    // the scorer then runs |queries|·|names| ≈ 4096 times, CONSTANT in
+    // SF, where the old catalog-side scan ran it per row (12.8M sims at
+    // sf1, 16.4 s measured — the board's last avoidable superlinear-
+    // looking tail entry). The per-query argmax is a partial-aggregated
+    // max-struct — similarity is rounded to 6 BEFORE the argmax so float
+    // noise below the round grain can never flip a cross-engine tie
+    // (ties break to the lower candidate key).
     Q("q216_jw_reconcile",
       """WITH q AS (
         |  SELECT p_partkey AS qk, translate(p_name, 'aeiou', '') AS qn
@@ -1138,11 +1165,16 @@ object Advanced {
       val q = p.filter(col("p_partkey") < 64)
         .select(col("p_partkey").as("qk"),
           translate(col("p_name"), "aeiou", "").as("qn"))
-      p.join(broadcast(q), lit(true))
+      // the value-domain collapse: one candidate row per distinct catalog
+      // name, carrying the name's minimum partkey (the only partkey that
+      // can win the lower-key tie-break among equal-sim equal-name rows)
+      val cand = p.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("min_pk"))
+      cand.join(broadcast(q), lit(true))
         .withColumn("sim", round(jaroWinkler(col("qn"), col("p_name")), 6))
         .groupBy(col("qk"), col("qn"))
         .agg(max(struct(col("sim").as("sim"),
-          (-col("p_partkey")).as("negk"),
+          (-col("min_pk")).as("negk"),
           col("p_name").as("cn"))).as("best"))
         .select(col("qk").as("q_partkey"), col("qn").as("query_name"),
           (-col("best.negk")).as("match_partkey"),
