@@ -97,8 +97,8 @@ object GenBlob {
     val st = Tables.documents(spark, out).agg(
       count(lit(1)).as("docs"),
       sum(length(col("text"))).as("bytes"),
-      min(length(col("text"))).as("minb"),
-      max(length(col("text"))).as("maxb"),
+      min(length(col("text"))).cast("long").as("minb"),
+      max(length(col("text"))).cast("long").as("maxb"),
       count_distinct(col("text")).as("distinct_payloads")).head()
     println(s"[genblob] ${st.getLong(0)} docs, ${st.getLong(1)} payload " +
       s"bytes (per-doc ${st.getLong(2)}..${st.getLong(3)}), " +

@@ -911,7 +911,16 @@ object Profiling {
         concat(lit(" "),
           array_join(filter(split(col("tok"), ""), x => x =!= ""), "  "),
           lit(" ")).as("s"))
-      .coalesce(1).eagerCkpt
+      // spread the vocabulary across the session's parallelism, do NOT
+      // coalesce(1): "the vocabulary is small" is a NATURAL-text property,
+      // and the blob shape board (round 15) broke it — high-entropy token
+      // streams (hex blobs: ~2.3M distinct 64-char tokens from 200 MB of
+      // payload) put the per-merge char-pair explode, an interpreted HOF
+      // whose CPU-per-byte dwarfs the scan, onto ONE core for 20+ min per
+      // merge. For a natural-text vocab the extra partitions are empty-ish
+      // ~ms tasks; for an adversarial vocab they are the difference
+      // between serial and parallel training.
+      .repartition(s.sparkContext.defaultParallelism).eagerCkpt
     var vocab = words
     val out = Seq.newBuilder[(Int, String, String, Long)]
     for (k <- 1 to merges) {

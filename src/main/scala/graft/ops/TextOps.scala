@@ -325,20 +325,31 @@ object TextOps {
     * five SQL texts while the Spark side shares `shingles`/
     * `exactJaccardPairsFrom`. Yields CTEs `sh(doc_id, shingle)`,
     * `cnt(doc_id, n_sh)`, `p(doc_a, doc_b, inter)`; jaccard =
-    * inter / (na + nb − inter). */
+    * inter / (na + nb − inter).
+    *
+    * `sh`/`cnt`/`p` are AS MATERIALIZED (round 15): DuckDB may INLINE a
+    * CTE per reference, and the iterated-consumer oracles (q314's r0…r5
+    * PageRank chain, the RECURSIVE closure walks) then re-expand the
+    * whole tokenize→shingle→self-join pipeline once per level —
+    * exponentially. Measured on the blob shape (3.1M shingles of ~194
+    * chars): each chain level multiplied the runtime ~8× (r0 25 s →
+    * r1 207 s) and q314/q259 died after spilling 79 GB of DuckDB temp,
+    * while the same prefix probed alone runs in 13 s and yields 10
+    * pairs. The hint pins the evaluate-once semantics the Spark side
+    * gets from eagerCkpt. */
   val jaccardCtes: String =
     """toks AS (
       |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS w
       |  FROM documents
       |  WHERE len(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) >= 3),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id,
       |           unnest(list_transform(range(1, len(w) - 1),
       |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
       |    FROM toks)),
-      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |p AS (
+      |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |p AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
