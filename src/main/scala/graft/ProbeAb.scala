@@ -39,6 +39,7 @@ object ProbeAb {
 
     def runs = graft.plans.AdaptivePlanRule.probeRuns.get()
     def nanos = graft.plans.AdaptivePlanRule.probeNanos.get()
+    def fails = graft.plans.AdaptivePlanRule.probeFailures.get()
     def secs(n: Long): Double = n / 1e9
 
     // the q27/q44 frame: checkpointed word-3-gram shingles
@@ -77,7 +78,7 @@ object ProbeAb {
       f""""warm_optimize_sec":$warmSec%.3f,"warm_probe_runs":$warmProbeRuns,""" +
       f""""warm_probe_sec":$warmProbeSec%.3f,""" +
       f""""exec_sec":$execSec%.3f,"exec_probe_runs":$execProbeRuns,""" +
-      f""""pairs":$nPairs}""")
+      f""""probe_failures":$fails,"pairs":$nPairs}""")
     spark.stop()
   }
 }

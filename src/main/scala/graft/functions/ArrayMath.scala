@@ -427,10 +427,15 @@ case class SquaredL2(left: Expression, right: Expression)
   *
   * NULL semantics: null input → NULL; all-zero (or empty) vector → NULL —
   * the callers' `WHERE scale > 0` guard, fused. Any NaN element NULLs the
-  * row too: the max uses a NaN-propagating compare (`!(a <= mx)`), so
-  * scale becomes NaN and `NaN > 0` is false — matching the unfused form,
-  * where Spark's `array_max` treats NaN as greater than every value and
-  * the scale guard dropped the row (ADVICE r14). A null ELEMENT nulls the
+  * row too: the scan tests `a != a` per element and bails to NULL on the
+  * spot — matching the unfused form, where Spark's `array_max` treats NaN
+  * as greater than every value, so scale becomes NaN and the `scale > 0`
+  * guard dropped the row (ADVICE r14). The first cut used a
+  * NaN-propagating compare (`!(a <= mx)`) instead, but that max is not
+  * sticky — once mx is NaN, `!(finite <= NaN)` is also true, so a LATER
+  * finite element overwrote the NaN and `[NaN, 5.0]` quantized with the
+  * NaN element casting to byte 0 (ADVICE r15); the direct per-element
+  * test has no such state to lose. A null ELEMENT nulls the
   * whole result like the kernels above (the unfused form would emit a
   * null element inside the code array instead; the corpus carries no null
   * elements, and one NULL contract across the kernel family beats two).
@@ -474,7 +479,8 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
       if (checkNulls && x.isNullAt(i)) return null
       val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val a = math.abs(v)
-      if (!(a <= mx)) mx = a // NaN-propagating max: NaN fails <=, lands in mx
+      if (a != a) return null // NaN element: NULL immediately (ADVICE r15)
+      if (a > mx) mx = a
       i += 1
     }
     val scale = mx / 127.0
@@ -515,7 +521,8 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
          |for (int $i = 0; $i < $n; $i++) {
          |  $nullCheck
          |  double $av = Math.abs((double) $a.$get($i));
-         |  if (!($av <= $mx)) $mx = $av; // NaN-propagating max
+         |  if ($av != $av) { ${ev.isNull} = true; break; } // NaN: NULL row
+         |  if ($av > $mx) $mx = $av;
          |}
          |final double $sc = $mx / 127.0;
          |if (${ev.isNull} || !($sc > 0)) {

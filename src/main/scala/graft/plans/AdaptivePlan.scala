@@ -123,12 +123,10 @@ object AdaptivePlanRule extends Rule[LogicalPlan] {
     val key = probePlan.canonicalized
     if (probeCache.containsKey(key)) probeCache.get(key)
     else {
+      val t0 = System.nanoTime()
       try {
-        val t0 = System.nanoTime()
         val row = org.apache.spark.sql.GraftSql.ofRows(spark, probePlan)
           .collect().headOption
-        probeRuns.incrementAndGet()
-        probeNanos.addAndGet(System.nanoTime() - t0)
         val amp = row.filter(!_.isNullAt(0)).map(_.getDouble(0)).getOrElse(0.0)
         probeCache.put(key, amp)
         amp
@@ -139,9 +137,17 @@ object AdaptivePlanRule extends Rule[LogicalPlan] {
           // lifetime — the next optimization of this frame retries
           // (VERDICT r14 #3). The current query still gets a correct
           // plan: both branches are exact, byte stats stay in charge.
+          probeFailures.incrementAndGet()
           logWarning(s"AmpProbe failed, falling back to byte stats " +
             s"(uncached — will retry on next optimization): $e")
           0.0
+      } finally {
+        // Timing in `finally` so a FAILED probe job's wall time (it still
+        // burned it before throwing) shows up in the telemetry the bench
+        // reads — a catch-path-invisible probe under-reports the measured
+        // probe share exactly when probes flake (ADVICE r15).
+        probeRuns.incrementAndGet()
+        probeNanos.addAndGet(System.nanoTime() - t0)
       }
     }
   }
@@ -151,11 +157,14 @@ object AdaptivePlanRule extends Rule[LogicalPlan] {
     probeCache.synchronized(probeCache.size())
 
   /** Probe-cost telemetry (cumulative over the JVM): how many probe JOBS
-    * actually ran (cache misses that reached execution) and their total
-    * wall time. Lets a bench run report the measured probe share of a
-    * query instead of estimating it (VERDICT r14 directive 4). */
+    * were attempted (cache misses that reached execution, successful OR
+    * failed — failures burn wall time too, ADVICE r15), their total wall
+    * time, and how many of those attempts failed. Lets a bench run report
+    * the measured probe share of a query instead of estimating it
+    * (VERDICT r14 directive 4). */
   private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong
   private[graft] val probeNanos = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val probeFailures = new java.util.concurrent.atomic.AtomicLong
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case AdaptivePlan(small, large, statsChild, thresholdBytes, out, probe) =>

@@ -218,17 +218,24 @@ class ArrayMathSpec extends SparkSpec {
   }
 
   test("int8Codes: NaN element NULLs the row, matching the unfused " +
-    "array_max form (ADVICE r14)") {
+    "array_max form (ADVICE r14), including NaN-FIRST (ADVICE r15)") {
     // Spark's array_max treats NaN as greater than every value, so the
     // unfused `scale > 0` guard dropped [5.0, NaN]; the fused kernel must
-    // too — `av > mx` alone would silently keep it with NaN quantized to 0
-    val df = Seq(Array(5.0, Double.NaN), Array(Double.NaN), Array(5.0, 1.0))
+    // too — `av > mx` alone would silently keep it with NaN quantized to 0.
+    // [NaN, 5.0] is the case a NaN-propagating-max (`!(a <= mx)`) got
+    // WRONG: once mx was NaN, `!(5.0 <= NaN)` was also true, so the later
+    // finite element overwrote the NaN and the row quantized with the NaN
+    // element cast to byte 0 (ADVICE r15) — hence the per-element bail.
+    val df = Seq(Array(5.0, Double.NaN), Array(Double.NaN), Array(5.0, 1.0),
+        Array(Double.NaN, 5.0), Array(Double.NaN, 5.0, 1.0))
       .toDF("v")
     def run() = df.select(ArrayMath.int8Codes(col("v"))).collect()
     val gen = run()
     assert(gen(0).isNullAt(0), "mixed-NaN row must be NULL")
     assert(gen(1).isNullAt(0), "all-NaN row must be NULL")
     assert(gen(2).getSeq[Byte](0) == Seq[Byte](127, 25))
+    assert(gen(3).isNullAt(0), "NaN-FIRST row must be NULL (sticky)")
+    assert(gen(4).isNullAt(0), "NaN-first-then-finite row must be NULL")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     val interp = try run() finally {
@@ -237,6 +244,8 @@ class ArrayMathSpec extends SparkSpec {
     }
     assert(interp(0).isNullAt(0) && interp(1).isNullAt(0))
     assert(interp(2).getSeq[Byte](0) == Seq[Byte](127, 25))
+    assert(interp(3).isNullAt(0), "NaN-FIRST row must be NULL (interpreted)")
+    assert(interp(4).isNullAt(0))
   }
 
   test("int8Codes: subnormal scale cannot wrap the byte cast (ADVICE r14)") {

@@ -774,11 +774,22 @@ class TextOpsSpec extends SparkSpec {
     val plan = spark.range(1).select(flaky().as("amp"))
       .queryExecution.logical
     val before = graft.plans.AdaptivePlanRule.probeCacheSize
+    val runsBefore = graft.plans.AdaptivePlanRule.probeRuns.get()
+    val nanosBefore = graft.plans.AdaptivePlanRule.probeNanos.get()
+    val failsBefore = graft.plans.AdaptivePlanRule.probeFailures.get()
     assert(graft.plans.AdaptivePlanRule.measuredAmp(spark, plan) == 0.0,
       "failed probe must fall back to amp 0 (byte stats stay in charge)")
     assert(graft.plans.AdaptivePlanRule.probeCacheSize == before,
       "a probe FAILURE must not be cached — it would pin the small " +
         "branch for the JVM's lifetime")
+    // ADVICE r15: the failed attempt burned wall time, so the telemetry
+    // must see it — run counted, nanos accumulated, failure counted
+    assert(graft.plans.AdaptivePlanRule.probeRuns.get() == runsBefore + 1,
+      "a FAILED probe attempt must still count as a run")
+    assert(graft.plans.AdaptivePlanRule.probeNanos.get() > nanosBefore,
+      "a FAILED probe attempt's wall time must reach probeNanos")
+    assert(graft.plans.AdaptivePlanRule.probeFailures.get() == failsBefore + 1,
+      "the failure counter must record the failed attempt")
     FlakyProbeState.failNext = false // the transient fault clears
     assert(graft.plans.AdaptivePlanRule.measuredAmp(spark, plan) == 2.5,
       "the next optimization must re-run the probe, not recall 0.0")

@@ -121,10 +121,14 @@ if _new_warns:
         print(f"DTYPE-NEW-WARN {w}: not in tools/dtype_warn_allowlist.txt — "
               f"cast explicitly or (deliberately) allowlist it")
     n_fail += len(_new_warns)
+# Stale entries FAIL too (ADVICE r15): a dead allowlist line would mask a
+# future reintroduction of the same <query>.<column> warn, so the list
+# must stay exact, not merely monotone.
 _stale = sorted(_allowed - set(dwarns))
 if _stale:
-    print(f"dtype allowlist: {len(_stale)} stale entrie(s) no longer "
-          f"warning (prune): {_stale}")
+    print(f"dtype allowlist: {len(_stale)} STALE entrie(s) no longer "
+          f"warning — prune from tools/dtype_warn_allowlist.txt: {_stale}")
+    n_fail += len(_stale)
 
 # rows-only queries
 import pathlib
