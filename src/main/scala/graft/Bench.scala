@@ -49,6 +49,9 @@ object Bench {
     // library init: SQL functions + the injected plan rules (incl.
     // honest checkpoint statistics) on this live session
     GraftExtensions.register(spark)
+    // payload corpora (100 KB+ rows): bound the vectorized reader's batch
+    // before the first scan — footer-only, no-op on narrow corpora
+    Tables.tuneVectorBatch(spark, sfDir)
     // Contention tripwire: a bench sharing the box with another heavy JVM
     // measures the weather, not the code (BENCH_r10 was contaminated by a
     // stray 32-thread sf1 run). Warn loudly when the 1-min load average

@@ -93,7 +93,12 @@ object GenBlob {
     }
 
     // shape report: byte mass is the design — and the 1% duplicate
-    // families must be EXACT (distinct payloads == nDocs - nDocs/100)
+    // families must be EXACT (distinct payloads == nDocs - nDocs/100).
+    // The scan MUST be batch-bounded: at mult=10 the default 4096-row
+    // vector wants ~a row group's 100+ MB of payload contiguous per task
+    // and the reserve-doubling kills a default-heap JVM (round-16 find —
+    // the engine-level fix below is what every graft main now applies)
+    Tables.tuneVectorBatch(spark, out)
     val st = Tables.documents(spark, out).agg(
       count(lit(1)).as("docs"),
       sum(length(col("text"))).as("bytes"),

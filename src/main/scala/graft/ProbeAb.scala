@@ -36,6 +36,7 @@ object ProbeAb {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
+    Tables.tuneVectorBatch(spark, dir)
 
     def runs = graft.plans.AdaptivePlanRule.probeRuns.get()
     def nanos = graft.plans.AdaptivePlanRule.probeNanos.get()

@@ -61,4 +61,88 @@ object Tables {
   /** Register every table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Vectorized-batch row budget: 4 MiB of decoded bytes per column batch.
+    * The reserve path transiently doubles, so a 32-task executor peaks at
+    * ~2 × 4 MiB × tasks ≈ 256 MB — safe even in a 4–8 GB executor JVM. */
+  private val TargetBatchBytes = 4L << 20
+  private val MinBatchRows = 32
+  private val DefaultBatchRows = 4096 // Spark's columnarReaderBatchSize default
+
+  /** Payload-aware vectorized-reader batch sizing (round 16).
+    *
+    * Spark's vectorized parquet reader decodes `columnarReaderBatchSize`
+    * rows (default 4096) into ONE contiguous on-heap byte array per string/
+    * binary column. That default is tuned for ~100-byte rows (~0.4 MB per
+    * batch); on a payload-dominated table (multimodal blobs, 100–300 KB
+    * per row) the same 4096 rows demand ~0.8 GB contiguous per column —
+    * and the reserve path transiently DOUBLES arrays while growing, so an
+    * executor JVM with a few GB per task dies with "Cannot reserve
+    * additional contiguous bytes" long before the data itself is large
+    * (found when GenBlob's own report scan at 10× blob mass killed a
+    * default-heap JVM; any 100 TB-cluster executor with 4–8 GB heap hits
+    * the identical wall). There is no per-read knob — the capacity is read
+    * from the session conf at scan build (ParquetFileFormat →
+    * SQLConf.parquetVectorizedReaderBatchSize) — so the right move is to
+    * size the SESSION's batch from the corpus's actual row widths.
+    *
+    * Footer-only measurement: parquet column-chunk metadata carries
+    * `total_uncompressed_size` (decoded bytes) per column per row group, so
+    * avg decoded bytes/row needs NO data scan — exactly the statistic the
+    * compressed FILE size cannot stand in for (natural text compresses
+    * 2–4×; the openCostInBytes note above documents the same trap on the
+    * scan-split side). The widest column across all tables bounds the
+    * batch: rows = TargetBatchBytes / maxAvgColBytes, clamped to
+    * [MinBatchRows, 4096]. Narrow corpora (driver testdata: widest column
+    * ~300 B/row) stay at the 4096 default — the conf is only written when
+    * shrinking, so the classic path is untouched.
+    *
+    * Returns the chosen batch size (4096 = left at default). Call once per
+    * session after `SparkSession.builder` and before the first scan; all
+    * graft mains (Bench, Verify, RunOne, ProbeAb) and GenBlob do. */
+  def tuneVectorBatch(spark: SparkSession, dir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sessionState.newHadoopConf()
+    var maxAvg = 0.0
+    for (t <- names) {
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = root.getFileSystem(hconf)
+      if (fs.exists(root)) {
+        // single file or a directory of part files — footers of each
+        val files =
+          if (fs.getFileStatus(root).isDirectory)
+            fs.listStatus(root).toSeq.map(_.getPath)
+              .filter(_.getName.endsWith(".parquet"))
+          else Seq(root)
+        var rows = 0L
+        val perCol = scala.collection.mutable.Map.empty[String, Long]
+        for (f <- files) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f, hconf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            for (b <- reader.getFooter.getBlocks.asScala) {
+              rows += b.getRowCount
+              for (c <- b.getColumns.asScala) {
+                val k = c.getPath.toDotString
+                perCol(k) = perCol.getOrElse(k, 0L) + c.getTotalUncompressedSize
+              }
+            }
+          } finally reader.close()
+        }
+        if (rows > 0 && perCol.nonEmpty)
+          maxAvg = math.max(maxAvg, perCol.values.max.toDouble / rows)
+      }
+    }
+    val batch =
+      if (maxAvg <= 0) DefaultBatchRows
+      else math.max(MinBatchRows,
+        math.min(DefaultBatchRows.toLong, (TargetBatchBytes / maxAvg).toLong).toInt)
+    if (batch < DefaultBatchRows) {
+      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", batch)
+      System.err.println(f"[tables] payload-aware vector batch: widest column " +
+        f"${maxAvg / 1024}%.0f KB/row -> columnarReaderBatchSize=$batch")
+    }
+    batch
+  }
 }

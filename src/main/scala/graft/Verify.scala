@@ -32,6 +32,9 @@ object Verify {
     // library init: SQL functions + the injected plan rules (incl.
     // honest checkpoint statistics) on this live session
     GraftExtensions.register(spark)
+    // payload corpora (100 KB+ rows): bound the vectorized reader's batch
+    // before the first scan — footer-only, no-op on narrow corpora
+    Tables.tuneVectorBatch(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // per-query Spark result schema, dumped alongside the parquet so the
     // dtype-symmetry gate (tools/check.py) can diff it against the DuckDB

@@ -282,4 +282,38 @@ class ScalePatternsSpec extends SparkSpec {
       s"pre-filter reduced $factN rows to $prunedN (matches=$exact) — " +
         "either dropped members or pruned nothing")
   }
+
+  test("tuneVectorBatch: payload tables shrink the vectorized batch from " +
+    "footer stats; narrow corpora stay at the 4096 default (round 16)") {
+    val key = "spark.sql.parquet.columnarReaderBatchSize"
+    // narrow corpus: widest column is a few hundred bytes/row -> no-op
+    val before = spark.conf.getOption(key)
+    assert(Tables.tuneVectorBatch(spark, sf0001) == 4096,
+      "driver corpus must keep the default batch")
+    assert(spark.conf.getOption(key) == before,
+      "no-op path must not write the conf")
+    // payload corpus: ~500 KB rows -> 4 MiB budget / 500 KB = 8, clamped
+    // to the 32-row floor. The helper reads total_uncompressed_size from
+    // the footers only — build the table as a DIRECTORY of part files to
+    // cover the multi-file branch too.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_blobtune")
+    try {
+      import spark.implicits._
+      val big = "x" * (500 * 1024)
+      spark.range(16).map(i => (i, big)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      try {
+        assert(Tables.tuneVectorBatch(spark, tmp.toString) == 32,
+          "500 KB rows must clamp the batch to the 32-row floor")
+        assert(spark.conf.get(key) == "32", "shrunk batch must reach the conf")
+      } finally {
+        before match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    } finally {
+      graft.streaming.EventStreams.wipe(tmp)
+    }
+  }
 }
