@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, DotProduct, HyperplaneBands, JaroWinklerSim, QuantizedDot, SimHash64, Winnow, WordShingles}
+import graft.functions.{BpeSymbolSum, CosineSim, DotProduct, HyperplaneBands, JaroWinklerSim, QuantizedDot, SimHash64, Winnow, WordShingles}
 
 /** SparkSessionExtensions injector exposing the custom Catalyst expressions
   * (SURVEY.md §8 "custom Catalyst surface") as first-class SQL functions, so
@@ -26,6 +26,8 @@ import graft.functions.{CosineSim, DotProduct, HyperplaneBands, JaroWinklerSim, 
   *  - `graft_hyperplane_bands(array, bands, bits, dim): array<bigint>`
   *  - `graft_jaro_winkler(string, string): double`
   *  - `graft_qdot(array<tinyint>, array<tinyint>): bigint`
+  *  - `graft_bpe_symsum(array<string>, array<string>): bigint` (second
+  *    argument: FOLDABLE flattened merge pairs `[l1, r1, l2, r2, …]`)
   *
   * Beyond functions, the injector also installs the whole-plan surface:
   * the [[graft.plans.BoundLevenshtein]] optimizer rule and the
@@ -104,7 +106,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_qdot"),
       info("graft_qdot", classOf[QuantizedDot]),
       args => { val a = arity("graft_qdot", 2)(args)
-        QuantizedDot(a(0), a(1)) }))
+        QuantizedDot(a(0), a(1)) }),
+    (FunctionIdentifier("graft_bpe_symsum"),
+      info("graft_bpe_symsum", classOf[BpeSymbolSum]),
+      args => { val a = arity("graft_bpe_symsum", 2)(args)
+        BpeSymbolSum(a(0), a(1)) }))
 
   /** Install the functions on an already-built session (the path for users
     * who didn't set `spark.sql.extensions`). Idempotent. */

@@ -99,9 +99,22 @@ object Tables {
     *
     * Returns the chosen batch size (4096 = left at default). Call once per
     * session after `SparkSession.builder` and before the first scan; all
-    * graft mains (Bench, Verify, RunOne, ProbeAb) and GenBlob do. */
+    * graft mains (Bench, Verify, RunOne, ProbeAb) and GenBlob do.
+    *
+    * `SPARK_GRAFT_VECTOR_BATCH` overrides the computed size verbatim
+    * (clamped to ≥1) — the ops/measurement knob behind the batch-size A/B
+    * (BENCH_NOTES round 17): an operator who knows the workload only
+    * touches narrow tables of a mixed corpus can pin 4096 back. */
   def tuneVectorBatch(spark: SparkSession, dir: String): Int = {
     import scala.jdk.CollectionConverters._
+    sys.env.get("SPARK_GRAFT_VECTOR_BATCH").map(_.trim.toInt) match {
+      case Some(forced) if forced >= 1 =>
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", forced)
+        System.err.println(
+          s"[tables] vector batch FORCED by SPARK_GRAFT_VECTOR_BATCH=$forced")
+        return forced
+      case _ => ()
+    }
     val hconf = spark.sessionState.newHadoopConf()
     var maxAvg = 0.0
     for (t <- names) {
@@ -117,18 +130,30 @@ object Tables {
         var rows = 0L
         val perCol = scala.collection.mutable.Map.empty[String, Long]
         for (f <- files) {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(f, hconf)
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          // a zero-byte part, a stray non-parquet file, or a subdirectory
+          // named *.parquet must degrade to "no stats from this file", not
+          // abort the main before the first query — this is a tuning
+          // helper, never a correctness dependency. Missing stats can only
+          // leave the batch LARGER (toward the 4096 default), never wrong.
           try {
-            for (b <- reader.getFooter.getBlocks.asScala) {
-              rows += b.getRowCount
-              for (c <- b.getColumns.asScala) {
-                val k = c.getPath.toDotString
-                perCol(k) = perCol.getOrElse(k, 0L) + c.getTotalUncompressedSize
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f, hconf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              for (b <- reader.getFooter.getBlocks.asScala) {
+                rows += b.getRowCount
+                for (c <- b.getColumns.asScala) {
+                  val k = c.getPath.toDotString
+                  perCol(k) = perCol.getOrElse(k, 0L) + c.getTotalUncompressedSize
+                }
               }
-            }
-          } finally reader.close()
+            } finally reader.close()
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[tables] tuneVectorBatch: skipping " +
+                s"unreadable footer $f (${e.getClass.getSimpleName}: " +
+                s"${e.getMessage})")
+          }
         }
         if (rows > 0 && perCol.nonEmpty)
           maxAvg = math.max(maxAvg, perCol.values.max.toDouble / rows)

@@ -310,24 +310,22 @@ object Profiling {
     // wrapped and the rules applied as 6 sequential greedy replaces (the
     // q142 encoding lemma, byte-identical in both engines), so nothing but
     // per-source partials ever shuffles. n_symbols = n_tokens·chars −
-    // merge hits, all integers — a FULL hash oracle.
+    // merge hits, all integers — a FULL hash oracle. The per-token merge
+    // application is the codegen'd BpeSymbolSum kernel (round 17) —
+    // value-identical to the space-wrapped replace chain the oracle runs
+    // (BpeOpsSpec pins the equivalence on adversarial unicode), without
+    // the 3×-inflated per-token strings and interpreted HOF boundary that
+    // made this the largest number on the blob board (218 s, BENCH_r16).
     Q("q155_bpe_encode", bpeEncodeOracle(6)) { (s, d) =>
       val rules = bpeMerges(s, d, 6).collect()
         .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("lhs"),
           r.getAs[String]("rhs")))
         .sortBy(_._1).map(t => (t._2, t._3)).toSeq
-      def encoded(t: Column) = concat(lit(" "),
-        array_join(filter(split(t, ""), c => c =!= ""), "  "), lit(" "))
-      def symbols(t: Column) = size(split(trim(
-        rules.foldLeft(encoded(t)) { case (acc, (a, b)) =>
-          replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
-        }), "  "))
       Tables.documents(s, d)
         .select(col("source"),
           filter(toks(col("text")), t => t =!= "").as("tk"))
         .select(col("source"), size(col("tk")).as("nt"),
-          aggregate(transform(col("tk"), symbols _), lit(0L),
-            (acc, x) => acc + x).as("ns"))
+          graft.functions.BpeOps.symbolSum(col("tk"), rules).as("ns"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt")).cast("long").as("n_tokens"),
@@ -900,7 +898,24 @@ object Profiling {
     * count and a map-side replace. Only the 6 argmax rows (one scalar
     * merge decision per iteration) ever cross the driver — the same
     * scalar-bound exception as q140's node count. Deterministic
-    * tie-break: max count, then lexicographically smallest pair. */
+    * tie-break: max count, then lexicographically smallest pair.
+    *
+    * INCREMENTAL pair counts (round 17): the pair table is built from the
+    * full vocabulary ONCE, then maintained by delta — merging (a, b) only
+    * changes the bigram multisets of words whose encoding CONTAINS the
+    * space-wrapped pattern `' a  b '` (the encoding lemma makes that
+    * containment test exact symbol adjacency; untouched words are
+    * byte-identical under the replace). Per merge: one map-side contains
+    * filter over the vocabulary, the bigram explode over ONLY the hit
+    * words (before and after rewrite, subtract/add), and a union-sum on
+    * the small pair table. Counts are maintained exactly — same argmax,
+    * same tie-break, same FULL-hash oracle — but the per-merge explode
+    * drops from every word to the hit set, which is what the adversarial
+    * blob vocabulary (2.3M unique 64-char hex types, no pair ever reaches
+    * count 2, so ~1 hit word per merge) needs: the r16 board spent 145 s
+    * re-exploding 145M unchanged bigrams per iteration (classic BPE
+    * trainers maintain pair counts incrementally for exactly this
+    * reason — Sennrich et al. 2016's reference implementation does). */
   private[graft] def bpeMerges(s: SparkSession, d: String,
       merges: Int): DataFrame = {
     val words = Tables.documents(s, d)
@@ -921,22 +936,35 @@ object Profiling {
       // ~ms tasks; for an adversarial vocab they are the difference
       // between serial and parallel training.
       .repartition(s.sparkContext.defaultParallelism).eagerCkpt
+    // weighted bigram counts of a vocabulary slice (shared by the initial
+    // build and every delta)
+    def pairsOf(df: DataFrame): DataFrame = df
+      .select(col("freq"), split(trim(col("s")), "  ").as("a"))
+      .filter(size(col("a")) > 1)
+      .select(col("freq"), explode(bigrams(col("a"))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).cast("long").as("c"))
     var vocab = words
+    var counts = pairsOf(words).eagerCkpt
     val out = Seq.newBuilder[(Int, String, String, Long)]
     for (k <- 1 to merges) {
-      val best = vocab
-        .select(col("freq"), split(trim(col("s")), "  ").as("a"))
-        .filter(size(col("a")) > 1)
-        .select(col("freq"), explode(bigrams(col("a"))).as("pair"))
-        .groupBy("pair").agg(sum(col("freq")).cast("long").as("c"))
-        .orderBy(col("c").desc, col("pair")).limit(1)
-        .head()
+      val best = counts.orderBy(col("c").desc, col("pair")).limit(1).head()
       val Array(a, b) = best.getAs[String]("pair").split(" ", 2)
       out += ((k, a, b, best.getAs[Long]("c")))
-      vocab = vocab
-        .withColumn("s", replace(col("s"),
-          lit(s" $a  $b "), lit(s" $a$b ")))
-        .eagerCkpt
+      if (k < merges) { // the last rule needs no maintenance
+        val pat = s" $a  $b "
+        val hit = vocab.filter(col("s").contains(pat)).eagerCkpt
+        val rewritten = hit.withColumn("s",
+          replace(col("s"), lit(pat), lit(s" $a$b ")))
+        counts = counts
+          .union(pairsOf(rewritten))
+          .union(pairsOf(hit).select(col("pair"), (-col("c")).as("c")))
+          .groupBy("pair").agg(sum(col("c")).cast("long").as("c"))
+          .filter(col("c") > 0)
+          .eagerCkpt
+        vocab = vocab
+          .withColumn("s", replace(col("s"), lit(pat), lit(s" $a$b ")))
+          .eagerCkpt
+      }
     }
     val sq = s
     import sq.implicits._

@@ -112,6 +112,26 @@ class ProfilingSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("bpe: all-hapax corpus — every pair count 1, lexicographic argmax, " +
+    "incremental counts stay exact (round 17)") {
+    // the blob-shape adversary in miniature: every pair occurs exactly
+    // once, so no merge ever helps and the argmax is decided purely by
+    // the lexicographic tie-break. The incremental pair-count maintenance
+    // must return the same trace a full recompute would: count-1 rules in
+    // pair-string order, one per iteration, never exhausting early.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_hapax")
+    try {
+      Seq("zy xw vu").toDF("text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = ops.Profiling.bpeMerges(spark, dir.toString, 3).collect()
+      assert(rows.map(r => (r.getAs[Int]("merge_rank"),
+        r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count"))).toSeq ==
+        Seq((1, "v", "u", 1L), (2, "x", "w", 1L), (3, "z", "y", 1L)))
+    } finally graft.streaming.EventStreams.wipe(dir)
+  }
+
   test("triangles: K4 has 4, a chain has 0, counts match closed forms") {
     import spark.implicits._
     // K4 on {1,2,3,4}: C(4,3) = 4 triangles, wedges = 4·C(3,2) = 12,

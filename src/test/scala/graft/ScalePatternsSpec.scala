@@ -286,12 +286,17 @@ class ScalePatternsSpec extends SparkSpec {
   test("tuneVectorBatch: payload tables shrink the vectorized batch from " +
     "footer stats; narrow corpora stay at the 4096 default (round 16)") {
     val key = "spark.sql.parquet.columnarReaderBatchSize"
-    // narrow corpus: widest column is a few hundred bytes/row -> no-op
+    // Pin the session state first: the shared-session suite order must not
+    // decide what "unchanged conf" means (a prior test setting a sub-4096
+    // batch would otherwise mask the no-op assertion — ADVICE round 16).
     val before = spark.conf.getOption(key)
+    spark.conf.unset(key) // getOption then yields the registered default
+    assert(spark.conf.get(key) == "4096")
+    // narrow corpus: widest column is a few hundred bytes/row -> no-op
     assert(Tables.tuneVectorBatch(spark, sf0001) == 4096,
       "driver corpus must keep the default batch")
-    assert(spark.conf.getOption(key) == before,
-      "no-op path must not write the conf")
+    assert(spark.conf.get(key) == "4096",
+      "no-op path must leave the conf at the default")
     // payload corpus: ~500 KB rows -> 4 MiB budget / 500 KB = 8, clamped
     // to the 32-row floor. The helper reads total_uncompressed_size from
     // the footers only — build the table as a DIRECTORY of part files to
@@ -306,6 +311,14 @@ class ScalePatternsSpec extends SparkSpec {
         assert(Tables.tuneVectorBatch(spark, tmp.toString) == 32,
           "500 KB rows must clamp the batch to the 32-row floor")
         assert(spark.conf.get(key) == "32", "shrunk batch must reach the conf")
+        // a zero-byte stray *.parquet inside the table dir must be skipped
+        // (footer unreadable), not abort the tuning pass — the good part
+        // files still drive the clamp (ADVICE round 16)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/documents.parquet/junk.parquet"),
+          Array.emptyByteArray)
+        assert(Tables.tuneVectorBatch(spark, tmp.toString) == 32,
+          "an unreadable stray part file must degrade, not crash")
       } finally {
         before match {
           case Some(v) => spark.conf.set(key, v)
