@@ -169,6 +169,92 @@ case class BpeSymbolSum(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact weighted adjacent-pair counts over space-wrapped symbol strings —
+  * the q142 trainer's pair-statistics pass as ONE mergeable typed
+  * aggregate: `(s: ' a  b  c ', freq) → map<'a b', Σfreq>`.
+  *
+  * Why an Aggregator (SURVEY.md §2 extension surface, the SpaceSavingTopK
+  * economics): the declarative form — `split` the encoded string, HOF-zip
+  * adjacent slices into pair strings, `explode`, `groupBy(pair).sum(freq)`
+  * — is exact but materializes one ROW per symbol adjacency before the
+  * hash aggregate collapses them. On the blob-shape vocabulary (3.1M
+  * unique 64-char hex types → ~190M pair rows feeding a 256-entry result)
+  * that interpreted explode chain was 102 s of q142's 129 s, measured
+  * phase by phase (ProbeBpe). This aggregate walks each encoded string
+  * once, updating a per-partition hash map in place — the pair stream
+  * never exists as rows; only the ≤|symbols|² partial maps merge across
+  * partitions. Value-identical to the explode form: same Σfreq per
+  * adjacent pair, every occurrence counted (a word 'aaa' contributes
+  * (a,a) twice), longs throughout.
+  *
+  * Parse contract: input strings are the bpeMerges encoding — single
+  * space at both ends, exactly two spaces between symbols, symbols
+  * non-empty and space-free (the encoding lemma). Null inputs are ignored
+  * (Spark aggregate convention); single-symbol words contribute nothing.
+  */
+class BpePairCounts
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (String, Long), java.util.HashMap[String, Array[Long]],
+      Map[String, Long]]
+    with Serializable {
+
+  override def zero: java.util.HashMap[String, Array[Long]] =
+    new java.util.HashMap[String, Array[Long]]()
+
+  private def add(m: java.util.HashMap[String, Array[Long]],
+      pair: String, freq: Long): Unit = {
+    val cur = m.get(pair)
+    if (cur == null) m.put(pair, Array(freq)) else cur(0) += freq
+  }
+
+  override def reduce(m: java.util.HashMap[String, Array[Long]],
+      in: (String, Long)): java.util.HashMap[String, Array[Long]] = {
+    val (s, freq) = in
+    if (s != null && s.length > 2) {
+      // scan ' a  b  c ': a symbol ends where a double space (or the
+      // final single space) begins; symbols never contain spaces
+      var start = 1
+      var prev: String = null
+      var i = 1
+      val end = s.length - 1
+      while (i < end) {
+        if (s.charAt(i) == ' ' && i + 1 < end && s.charAt(i + 1) == ' ') {
+          val sym = s.substring(start, i)
+          if (prev != null) add(m, prev + " " + sym, freq)
+          prev = sym
+          start = i + 2
+          i += 2
+        } else i += 1
+      }
+      val last = s.substring(start, end)
+      if (prev != null && last.nonEmpty) add(m, prev + " " + last, freq)
+    }
+    m
+  }
+
+  override def merge(a: java.util.HashMap[String, Array[Long]],
+      b: java.util.HashMap[String, Array[Long]])
+      : java.util.HashMap[String, Array[Long]] = {
+    val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+    small.forEach { (k, v) => add(big, k, v(0)) }
+    big
+  }
+
+  override def finish(m: java.util.HashMap[String, Array[Long]])
+      : Map[String, Long] = {
+    val out = Map.newBuilder[String, Long]
+    m.forEach { (k, v) => out += k -> v(0) }
+    out.result()
+  }
+
+  override def bufferEncoder
+      : org.apache.spark.sql.Encoder[java.util.HashMap[String, Array[Long]]] =
+    org.apache.spark.sql.Encoders.kryo[java.util.HashMap[String, Array[Long]]]
+
+  override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}
+
 /** Column-level API over the BPE kernels. */
 object BpeOps {
 

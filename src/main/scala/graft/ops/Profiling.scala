@@ -937,12 +937,19 @@ object Profiling {
       // between serial and parallel training.
       .repartition(s.sparkContext.defaultParallelism).eagerCkpt
     // weighted bigram counts of a vocabulary slice (shared by the initial
-    // build and every delta)
-    def pairsOf(df: DataFrame): DataFrame = df
-      .select(col("freq"), split(trim(col("s")), "  ").as("a"))
-      .filter(size(col("a")) > 1)
-      .select(col("freq"), explode(bigrams(col("a"))).as("pair"))
-      .groupBy("pair").agg(sum(col("freq")).cast("long").as("c"))
+    // build and every delta) — ONE mergeable typed aggregate walking each
+    // encoded string in place; the explode/groupBy form materialized ~190M
+    // interpreted pair rows on the blob vocabulary and was 102 s of the
+    // 129 s trainer, measured phase by phase (ProbeBpe, BENCH_NOTES r17)
+    def pairsOf(df: DataFrame): DataFrame = {
+      val pc = udaf(new graft.functions.BpePairCounts(),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+      df.agg(pc(col("s"), col("freq")).as("m"))
+        .select(explode(col("m")))
+        .select(col("key").as("pair"), col("value").as("c"))
+    }
     var vocab = words
     var counts = pairsOf(words).eagerCkpt
     val out = Seq.newBuilder[(Int, String, String, Long)]
@@ -952,6 +959,14 @@ object Profiling {
       out += ((k, a, b, best.getAs[Long]("c")))
       if (k < merges) { // the last rule needs no maintenance
         val pat = s" $a  $b "
+        // hit words are read twice (pre- and post-rewrite pair counts) →
+        // checkpoint them. The full vocabulary IS still checkpointed per
+        // merge: an A/B at blob shape (ProbeBpe) showed the lazily-chained
+        // alternative — re-applying k pending replaces over the one words
+        // checkpoint per scan — measures SLOWER end-to-end (100 s vs 60 s
+        // trainer) and far noisier: the chain re-allocates every encoded
+        // string k times per pass, and two passes consume each snapshot
+        // (HIT filter + next merge), so materializing once wins.
         val hit = vocab.filter(col("s").contains(pat)).eagerCkpt
         val rewritten = hit.withColumn("s",
           replace(col("s"), lit(pat), lit(s" $a$b ")))

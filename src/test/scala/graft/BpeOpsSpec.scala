@@ -92,6 +92,39 @@ class BpeOpsSpec extends SparkSpec {
       "(the HOF aggregate's acc + NULL)")
   }
 
+  test("BpePairCounts aggregator equals the explode/groupBy pair counts") {
+    // the q142 trainer's pair-statistics pass: the one-pass mergeable
+    // aggregate must produce the identical weighted adjacent-pair counts
+    // as the declarative explode form it replaced (same Σfreq per pair,
+    // every occurrence counted — 'aaa' contributes (a,a) twice)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alpha = Vector("a", "b", "c", "ab", "丁", "x")
+    val vocab = Seq.fill(300) {
+      val syms = Seq.fill(1 + rnd.nextInt(8))(alpha(rnd.nextInt(alpha.size)))
+      (" " + syms.mkString("  ") + " ", 1L + rnd.nextInt(9))
+    } :+ ((" a ", 5L)) // single-symbol word: contributes nothing
+    val df = vocab.toDF("s", "freq")
+    val pc = udaf(new graft.functions.BpePairCounts(),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val got = df.agg(pc(col("s"), col("freq")).as("m"))
+      .select(explode(col("m"))).as[(String, Long)].collect().toMap
+    val bigrams = (a: Column) =>
+      zip_with(slice(a, lit(1), greatest(size(a) - 1, lit(0))),
+        slice(a, lit(2), greatest(size(a) - 1, lit(0))),
+        (x, y) => concat_ws(" ", x, y))
+    val want = df
+      .select(col("freq"), split(trim(col("s")), "  ").as("a"))
+      .filter(size(col("a")) > 1)
+      .select(col("freq"), explode(bigrams(col("a"))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"aggregator=${got.size} pairs, explode=${want.size}")
+    assert(got.nonEmpty && got.values.forall(_ >= 1))
+  }
+
   test("SQL registration: graft_bpe_symsum reaches the same kernel") {
     GraftExtensions.register(spark)
     val n = spark.sql(
