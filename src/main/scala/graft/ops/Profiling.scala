@@ -916,8 +916,87 @@ object Profiling {
     * re-exploding 145M unchanged bigrams per iteration (classic BPE
     * trainers maintain pair counts incrementally for exactly this
     * reason — Sennrich et al. 2016's reference implementation does). */
+  /** Adaptive-path bounds for [[bpeMerges]]: a vocabulary PROVEN (by a
+    * one-row aggregate over the checkpointed vocab) to be at most this
+    * many types and this many encoded chars runs the merge loop on the
+    * driver instead of as ~4 scheduled jobs per merge. The distributed
+    * loop is correct at any size but pays ~1.5 s of pure job-launch +
+    * checkpoint overhead PER MERGE on a tiny table (measured: the driver
+    * corpus has 31 types / 82 distinct pairs, and the round-17 incremental
+    * trainer regressed q142 from 1.7 s to 2.9 s on the sf0.1 board —
+    * ProbeBpe put HIT+DELTA+VOCAB at 0.9–2.1 s per merge on 31 rows, all
+    * scheduling). The bound keeps the collect trivially driver-safe
+    * (≤64Ki rows, ≤16M chars ≈ ≤64 MB) while any Heaps-law 100 TB
+    * vocabulary (blob shape: 3.06M types) stays on the distributed
+    * incremental path. Guide §1.2: the distributed algorithm is the thing
+    * to fix first — and "don't distribute a 31-row loop" is that fix. */
+  private[graft] val LocalVocabMaxTypes = 65536L
+  private[graft] val LocalVocabMaxChars = 16L << 20
+
+  /** Driver-local exact BPE merge loop over a bounded vocabulary — the
+    * SAME counting walk (the [[graft.functions.BpePairCounts]] reduce),
+    * the SAME argmax order (count desc, then UTF-8-byte-lexicographic
+    * pair asc — Spark string sort is UTF8String binary order, which is
+    * UTF-8 byte order, NOT Java's UTF-16 compareTo; they diverge on
+    * supplementary-plane symbols), and the SAME left-to-right
+    * non-overlapping literal replace (Java String.replace ≡ Spark
+    * StringReplace). Pair counts are recomputed from the rewritten
+    * vocabulary each iteration — exact, and at ≤16M chars the full
+    * recount is microseconds. Equality with the distributed path is
+    * pinned in ProfilingSpec on both fixture and random vocabularies. */
+  private[graft] def localBpeMerges(vocab: Array[(Long, String)],
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def utf8Less(x: String, y: String): Boolean = {
+      val a = x.getBytes(utf8); val b = y.getBytes(utf8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val counter = new graft.functions.BpePairCounts()
+    var words = vocab
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to merges) {
+      val m = new java.util.HashMap[String, Array[Long]]()
+      words.foreach { case (freq, enc) => counter.reduce(m, (enc, freq)) }
+      var bestPair: String = null
+      var bestC = 0L
+      m.forEach { (pair, c) =>
+        if (bestPair == null || c(0) > bestC ||
+            (c(0) == bestC && utf8Less(pair, bestPair))) {
+          bestPair = pair
+          bestC = c(0)
+        }
+      }
+      // identical failure mode to the distributed `.limit(1).head()` on an
+      // exhausted pair table (a corpus of single-symbol words)
+      if (bestPair == null)
+        throw new NoSuchElementException("next on empty iterator")
+      val Array(a, b) = bestPair.split(" ", 2)
+      out += ((k, a, b, bestC))
+      if (k < merges) {
+        val pat = s" $a  $b "
+        val rep = s" $a$b "
+        words = words.map { case (f, enc) => (f, enc.replace(pat, rep)) }
+      }
+    }
+    out.result()
+  }
+
   private[graft] def bpeMerges(s: SparkSession, d: String,
-      merges: Int): DataFrame = {
+      merges: Int): DataFrame =
+    bpeMergesImpl(s, d, merges, LocalVocabMaxTypes)
+
+  /** [[bpeMerges]] with the local-path type bound exposed for the
+    * ProfilingSpec path-equality pin (0 forces the distributed loop,
+    * Long.MaxValue forces local whenever the char bound also holds). */
+  private[graft] def bpeMergesImpl(s: SparkSession, d: String,
+      merges: Int, localMaxTypes: Long): DataFrame = {
     val words = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
@@ -936,6 +1015,21 @@ object Profiling {
       // ~ms tasks; for an adversarial vocab they are the difference
       // between serial and parallel training.
       .repartition(s.sparkContext.defaultParallelism).eagerCkpt
+    // adaptive probe (one tiny aggregate over the checkpointed vocab —
+    // the AdaptivePlan byte-stats pattern): a PROVEN-small vocabulary
+    // runs the merge loop driver-local; see LocalVocabMaxTypes
+    val st = words.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("s"))), lit(0L)).as("chars")).head()
+    if (st.getLong(0) <= localMaxTypes &&
+        st.getLong(1) <= LocalVocabMaxChars) {
+      val local = localBpeMerges(
+        words.select(col("freq"), col("s")).collect()
+          .map(r => (r.getLong(0), r.getString(1))), merges)
+      val sq = s
+      import sq.implicits._
+      return local.toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .orderBy("merge_rank")
+    }
     // weighted bigram counts of a vocabulary slice (shared by the initial
     // build and every delta) — ONE mergeable typed aggregate walking each
     // encoded string in place; the explode/groupBy form materialized ~190M

@@ -132,6 +132,45 @@ class ProfilingSpec extends SparkSpec {
     } finally graft.streaming.EventStreams.wipe(dir)
   }
 
+  test("bpe: driver-local and distributed merge loops return the identical " +
+    "trace (round 17 adaptive path)") {
+    // the adaptive small-vocab path (Profiling.localBpeMerges) must be
+    // value-identical to the distributed incremental loop: same counts,
+    // same argmax, same tie-break — including UTF-8-byte-order ties on
+    // supplementary-plane symbols, where Java's UTF-16 compareTo and
+    // Spark's UTF8String binary order would diverge if the local
+    // comparator were naive
+    import spark.implicits._
+    val rng = new scala.util.Random(4217)
+    val alphabet = "abcxyz" + "😀😁" // incl. 2 emoji
+    def randDoc(): String = Seq.fill(3 + rng.nextInt(5)) {
+      val cps = alphabet.codePoints().toArray
+      Seq.fill(2 + rng.nextInt(4))(
+        new String(Character.toChars(cps(rng.nextInt(cps.length))))).mkString
+    }.mkString(" ")
+    // merges per corpus stay below pair exhaustion (BOTH paths throw on an
+    // exhausted pair table by contract — that equality isn't under test)
+    val corpora = Seq(
+      (Seq.fill(30)(randDoc()), 4),      // random mixed-plane tokens
+      (Seq("zy xw vu"), 3),              // the all-hapax adversary
+      (Seq("aa aa ab", "ab ba aa"), 3))  // heavy ties
+    corpora.zipWithIndex.foreach { case ((docs, merges), i) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_bpe_ab_$i")
+      try {
+        docs.toDF("text")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val dist = ops.Profiling
+          .bpeMergesImpl(spark, dir.toString, merges, localMaxTypes = 0L)
+          .collect().map(_.toSeq).toSeq
+        val local = ops.Profiling
+          .bpeMergesImpl(spark, dir.toString, merges,
+            localMaxTypes = Long.MaxValue)
+          .collect().map(_.toSeq).toSeq
+        assert(dist == local, s"corpus $i: distributed $dist != local $local")
+      } finally graft.streaming.EventStreams.wipe(dir)
+    }
+  }
+
   test("triangles: K4 has 4, a chain has 0, counts match closed forms") {
     import spark.implicits._
     // K4 on {1,2,3,4}: C(4,3) = 4 triangles, wedges = 4·C(3,2) = 12,
