@@ -221,7 +221,12 @@ object Ml {
         .withColumn("label", col("cents").cast("double"))
         .cache()
       try {
-        val rows = windows.flatMap { case (w, lo, cut, hi) =>
+        // the 3 window backtests are independent (disjoint date slices of
+        // the one cached scan, separate seeded fits) — run them
+        // concurrently (guide §2.6): each window's aggregate/fit jobs
+        // back-fill the others' straggler tails. Output order is pinned
+        // by the explicit orderBy(w) below either way.
+        val rows = graft.Par.run(windows.map { case (w, lo, cut, hi) => () =>
           val train = o.filter(col("o_orderdate") >= to_date(lit(lo)) &&
             col("o_orderdate") < to_date(lit(cut)))
           val test = o.filter(col("o_orderdate") >= to_date(lit(cut)) &&
@@ -258,7 +263,7 @@ object Ml {
           Some((w, java.sql.Date.valueOf(cut), nTrain, nTest, baseErr, rfOk))
           }
           }
-        }
+        }).flatten
         val sq = s
         import sq.implicits._
         rows.toDF("w", "cutoff", "n_train", "n_test",

@@ -1349,7 +1349,12 @@ object Similarity {
       .eagerCkpt
     val spark = s
     import spark.implicits._
-    val books = (0 until m).map { sub =>
+    // the m codebook fits are independent seeded computations on disjoint
+    // slices of the checkpointed subspace frame — run them concurrently
+    // (guide §2.6) so each fit's tiny jobs back-fill the others' idle
+    // slots instead of serializing m × (init + 5 iterations) job waves.
+    // Results land in `sub` order regardless of completion order.
+    val books = graft.Par.run((0 until m).map { sub => () =>
       val vecs = subs.filter(col("sub") === sub)
         .select(array_to_vector(col("svec")).as("features")).cache()
       val model = new KMeans().setK(k).setSeed(42L + sub).setMaxIter(5)
@@ -1357,7 +1362,7 @@ object Similarity {
       vecs.unpersist(blocking = false)
       model.clusterCenters.zipWithIndex.map { case (v, i) =>
         (sub, i, v.toArray.toSeq.map(_.toFloat)) }
-    }
+    })
     val codebook = books.flatten.toDF("sub", "code", "cvec")
       .coalesce(1).eagerCkpt
     // encode: argmin squared-L2 over the sub's k centroids, deterministic
