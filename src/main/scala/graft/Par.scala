@@ -21,8 +21,11 @@ object Par {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(parallelism, thunks.size))
     try {
+      // toVector forces strict submission BEFORE any blocking get — a lazy
+      // caller collection (view/LazyList) would otherwise interleave
+      // submit with get and silently serialize the work (ADVICE r17)
       val futures = thunks.map(t => pool.submit(
-        new java.util.concurrent.Callable[A] { def call(): A = t() }))
+        new java.util.concurrent.Callable[A] { def call(): A = t() })).toVector
       futures.map { f =>
         try f.get()
         catch { // unwrap: callers expect the computation's own exception
@@ -31,5 +34,11 @@ object Par {
         }
       }
     } finally pool.shutdownNow()
+    // NOTE (ADVICE r17): on first failure shutdownNow() only interrupts
+    // sibling THREADS — Spark jobs those threads already submitted may run
+    // to completion after the exception propagates. Fine for the current
+    // call sites (idempotent fits/writes on fail-fast queries); a caller
+    // with non-idempotent side effects should run its thunks under
+    // sc.setJobGroup and cancel the group on failure.
   }
 }

@@ -37,8 +37,11 @@ object PlanDump {
         // queryExecution.explainString == df.explain("formatted"), captured
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
-      } catch { case e: Throwable =>
-        println(s"EXPLAIN FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      } catch { // NonFatal only (ADVICE r17): an OOM/linkage error must
+        // kill the run, not produce misleading partial dumps from a
+        // corrupted JVM
+        case scala.util.control.NonFatal(e) =>
+          println(s"EXPLAIN FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       spark.catalog.clearCache()
     }

@@ -69,7 +69,11 @@ object Ml {
         // a bench-bounded cost (tree-stat aggregation scales with
         // trees × nodes × bins).
         val Array(train, valid) = li.randomSplit(Array(0.8, 0.2), 42L)
-        val (transformers, scored, r2, rmse) = graft.pipeline.Model.fitScore(
+        // fitMetrics (round 18): one uncached two-column aggregation pass
+        // over the holdout yields n + r2 + rmse together — the fitScore
+        // form cached the full scored frame (vector column included) only
+        // to count it again (guide §5)
+        val (transformers, n, r2, rmse) = graft.pipeline.Model.fitMetrics(
           train, valid, "l_extendedprice",
           Seq("l_quantity", "l_discount", "l_tax", "l_returnflag", "l_linestatus"),
           q40Regressor())
@@ -80,12 +84,6 @@ object Ml {
             Tables.lineitem(s, d))),
           new org.apache.spark.ml.Pipeline()
             .setStages(transformers.toArray).fit(li))
-        // drain the cached validation frame eagerly and unpersist it HERE:
-        // fitPredict's contract makes the caller owner of `scored`, and a
-        // library caller (Verify, REPL) has no Bench-style clearCache sweep
-        // to fall back on. The result is a literal row — no live lineage
-        // back to the unpersisted frame.
-        val n = try scored.count() finally scored.unpersist(blocking = false)
         li.agg(count(lit(1)).as("n_total"),
             stddev(col("l_extendedprice")).as("label_sd"))
           .select(
@@ -148,15 +146,23 @@ object Ml {
         })
         val dir = java.nio.file.Files.createTempDirectory("graft_q152")
         try {
-          model.write.overwrite().save(dir.toString)
-          val reloaded = org.apache.spark.ml.PipelineModel.load(dir.toString)
           def digest(m: org.apache.spark.ml.PipelineModel) = m.transform(li)
             .select(xxhash64(struct(
               (Seq("l_orderkey", "l_linenumber") ++ feats :+ "prediction")
                 .map(col): _*)).as("h"))
             .agg(expr("bit_xor(h)").as("digest"), count(lit(1)).as("n"))
             .head()
-          val (d1, d2) = (digest(model), digest(reloaded))
+          // the in-memory model's digest is independent of the save→load
+          // →re-digest chain — overlap the two lanes (guide §2.6, the
+          // q153/q158 Par.run pattern): the digest jobs back-fill the
+          // driver-side save/load work instead of serializing behind it
+          val Seq((d1, _), (d2, Some(reloaded))) = graft.Par.run(Seq(
+            () => (digest(model), None),
+            () => {
+              model.write.overwrite().save(dir.toString)
+              val r = org.apache.spark.ml.PipelineModel.load(dir.toString)
+              (digest(r), Some(r))
+            }))
           val parityOk = d1.getLong(1) > 0 && d1.getLong(1) == d2.getLong(1) &&
             d1.getLong(0) == d2.getLong(0)
           val rf = reloaded.stages.last
@@ -293,9 +299,9 @@ object Ml {
         val gbt = new org.apache.spark.ml.regression.GBTRegressor()
           .setMaxIter(4).setMaxDepth(3).setStepSize(0.1)
           .setMaxBins(8).setSubsamplingRate(0.5).setSeed(42L)
-        val (_, scored, r2, rmse) = graft.pipeline.Model.fitScore(
+        // fitMetrics, not fitScore: see q40 — one uncached holdout pass
+        val (_, n, r2, rmse) = graft.pipeline.Model.fitMetrics(
           train, valid, "l_extendedprice", feats, gbt)
-        val n = try scored.count() finally scored.unpersist(blocking = false)
         li.agg(count(lit(1)).as("n_total"),
             stddev(col("l_extendedprice")).as("label_sd"))
           .select(
@@ -460,10 +466,21 @@ object Ml {
           // balances next to single-digit counts condition the AFT
           // log-likelihood badly enough that L-BFGS line searches fail
           (col("c_acctbal") / 1000.0).as("bal_k"))
+      // Right-size the fit input (guide §2, the fitTransformers rule): the
+      // AFT fit below runs 25 sequential L-BFGS iterations, each ONE
+      // treeAggregate job over this frame — at the inherited groupBy width
+      // (session shuffle partitions, 32 locally) every iteration pays 32
+      // task launches for a per-customer frame that is a few MB at sf0.1
+      // (measured: the fit alone was 12.3 s of q234's 10 s board entry,
+      // ~0.5 s/iteration of almost pure scheduling). An eighth of the
+      // session's cores keeps the rule scale-proportional (a 1000-core
+      // cluster still fans out); coalesce, not repartition — no shuffle.
+      val fitParts = math.max(2, s.sparkContext.defaultParallelism / 8)
       val assembled = new VectorAssembler()
         .setInputCols(Array("n_orders", "lspend", "bal_k"))
         .setOutputCol("features")
         .transform(subj)
+        .coalesce(fitParts)
         .cache()
       try {
         val model = new AFTSurvivalRegression()

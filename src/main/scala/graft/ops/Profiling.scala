@@ -724,27 +724,7 @@ object Profiling {
         |$steps
         |SELECT node AS doc_id, deg, CAST(r AS BIGINT) AS rank_micro
         |FROM r5 ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-      val pairs = TextOps.exactJaccardPairs(s, d, 0.5)
-        .select(col("doc_a"), col("doc_b")).eagerCkpt
-      val e = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("u", "v").eagerCkpt // sparse; reused 5×
-      val n = e.groupBy(col("u").as("node"))
-        .agg(count(lit(1)).as("deg")).eagerCkpt
-      var r = n.select(col("node"), col("deg"), lit(1000000L).as("r"))
-      for (_ <- 1 to 5) {
-        val contrib = e
-          .join(r.select(col("node").as("u"), col("deg"), col("r")), "u")
-          .select(col("v").as("node"),
-            Ranks.intDiv(col("r") * 850000L, col("deg") * 1000000L).as("c"))
-          .groupBy(col("node")).agg(sum(col("c")).as("m"))
-        r = n.join(contrib, Seq("node"), "left")
-          .select(col("node"), col("deg"),
-            (lit(150000L) + coalesce(col("m"), lit(0L))).as("r"))
-      }
-      r.select(col("node").as("doc_id"), col("deg"),
-        col("r").as("rank_micro")).orderBy(col("doc_id"))
-    },
+    }) { (s, d) => dedupPagerankImpl(s, d, LocalGraphMaxEdges) },
 
     // k-anonymity / l-diversity audit — the privacy screen a corpus runs
     // before release: treating (source, lang) as the quasi-identifier and
@@ -875,6 +855,81 @@ object Profiling {
         when(col("n_wedges") === 0, lit(0.0))
           .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .as("global_cc"))
+  }
+
+  /** Adaptive-path bound for [[dedupPagerankImpl]] (q314): a near-dup
+    * graph PROVEN (by one count over the checkpointed directed edge list)
+    * to have at most this many directed edges runs the 5 power iterations
+    * on the driver instead of as ~15 scheduled join/aggregate jobs. Same
+    * rationale as the q142 [[LocalVocabMaxTypes]] bound (guide §1.2:
+    * "don't distribute a tiny loop"): the sf0.1 near-dup graph has ~160
+    * nodes, and each distributed iteration pays ~0.3 s of pure job-launch
+    * + shuffle machinery on it. 1M edges ≈ 16 MB of two longs — a
+    * trivially driver-safe collect; a corpus-sized dedup graph stays on
+    * the distributed path. */
+  private[graft] val LocalGraphMaxEdges = 1L << 20
+
+  /** Driver-local exact integer PageRank — the SAME millionth fixed-point
+    * arithmetic as the distributed loop (floor division on nonnegative
+    * longs, contributions summed per destination, 150000 + 0.85·mass),
+    * so the two paths are bit-identical; equality is pinned in
+    * ProfilingSpec on a fixture graph via the forced-path impl param. */
+  private[graft] def localPagerank(edges: Array[(Long, Long)])
+      : Seq[(Long, Long, Long)] = {
+    val deg = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (u, _) =>
+      deg.merge(u, 1L, (a, b) => a + b)
+    }
+    var r = new java.util.HashMap[Long, Long]()
+    deg.keySet.forEach(k => r.put(k, 1000000L))
+    for (_ <- 1 to 5) {
+      val m = new java.util.HashMap[Long, Long]()
+      edges.foreach { case (u, v) =>
+        val c = Math.floorDiv(r.get(u) * 850000L, deg.get(u) * 1000000L)
+        m.merge(v, c, (a, b) => a + b)
+      }
+      val next = new java.util.HashMap[Long, Long]()
+      deg.keySet.forEach(k =>
+        next.put(k, 150000L + m.getOrDefault(k, 0L)))
+      r = next
+    }
+    import scala.jdk.CollectionConverters._
+    deg.keySet.asScala.toSeq.sorted
+      .map(k => (k, deg.get(k), r.get(k)))
+  }
+
+  /** q314's engine with the local-path edge bound exposed for the
+    * ProfilingSpec path-equality pin (0 forces the distributed loop). */
+  private[graft] def dedupPagerankImpl(s: SparkSession, d: String,
+      localMaxEdges: Long): DataFrame = {
+    val pairs = TextOps.exactJaccardPairs(s, d, 0.5)
+      .select(col("doc_a"), col("doc_b")).eagerCkpt
+    val e = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").eagerCkpt // sparse; reused 5×
+    // adaptive probe (one count over the checkpointed edges — the q142
+    // pattern): a PROVEN-small graph iterates driver-local
+    if (e.count() <= localMaxEdges) {
+      val local = localPagerank(
+        e.collect().map(r => (r.getLong(0), r.getLong(1))))
+      val sq = s
+      import sq.implicits._
+      return local.toDF("doc_id", "deg", "rank_micro").orderBy("doc_id")
+    }
+    val n = e.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg")).eagerCkpt
+    var r = n.select(col("node"), col("deg"), lit(1000000L).as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = e
+        .join(r.select(col("node").as("u"), col("deg"), col("r")), "u")
+        .select(col("v").as("node"),
+          Ranks.intDiv(col("r") * 850000L, col("deg") * 1000000L).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      r = n.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(150000L) + coalesce(col("m"), lit(0L))).as("r"))
+    }
+    r.select(col("node").as("doc_id"), col("deg"),
+      col("r").as("rank_micro")).orderBy(col("doc_id"))
   }
 
   /** The q142 BPE trainer, parameterized on merge count (spec-visible).

@@ -1508,6 +1508,12 @@ object TextOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= expr("n_sh - (n_sh + 1) DIV 2 + 1"))
         .select(col("shingle"), col("doc_id"))
+        // materialized ONCE (round 18): the frame feeds BOTH sides of the
+        // candidate self-join below, and the dumped physical plan showed
+        // the whole df-join + double-window subtree planned TWICE (the
+        // post-projection aliases defeat exchange reuse) — the checkpoint
+        // makes the second side a block read (guide §2.4)
+        .eagerCkpt
       val cand = prefix.toDF("shingle", "doc_a")
         .join(prefix.toDF("shingle", "doc_b"), "shingle")
         .filter(col("doc_a") < col("doc_b"))

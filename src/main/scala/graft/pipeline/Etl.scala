@@ -41,15 +41,24 @@ object Etl {
   }
 
   /** Mode imputation (etl.py:25-32): per categorical column, most frequent
-    * non-null value (count desc, value asc tie-break) via TakeOrdered. */
-  def fillMode(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.foldLeft(df) { (d, c) =>
-      val top = d.filter(col(c).isNotNull)
+    * non-null value (count desc, value asc tie-break) via TakeOrdered.
+    * The per-column mode jobs are independent reads of the SAME input
+    * (filling column A's nulls never changes column B's value counts), so
+    * they run overlapped (guide §2.6) and the fills apply afterwards in
+    * one na.fill — same result as the old sequential foldLeft. */
+  def fillMode(df: DataFrame, cols: Seq[String]): DataFrame = {
+    if (cols.isEmpty) return df
+    val tops = graft.Par.run(cols.map { c => () =>
+      df.filter(col(c).isNotNull)
         .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc(c))
         .head(1)
-      if (top.isEmpty) d else d.na.fill(Map(c -> top(0).getAs[Any](0)))
-    }
+    })
+    val fill = cols.lazyZip(tops).collect {
+      case (c, top) if top.nonEmpty => c -> top(0).getAs[Any](0)
+    }.toMap
+    if (fill.isEmpty) df else df.na.fill(fill)
+  }
 
   /** Calendar features (etl.py:49-52): Year/Month/WeekOfYear/DayOfWeek
     * (Sunday=1, matching the reference's comment at etl.py:52). */

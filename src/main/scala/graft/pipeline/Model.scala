@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.ml.{Pipeline, PipelineModel, Transformer}
 import org.apache.spark.ml.evaluation.RegressionEvaluator
-import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.ml.feature.{StringIndexer, StringIndexerModel, VectorAssembler}
 import org.apache.spark.ml.regression.RandomForestRegressor
 import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
 import org.apache.spark.sql.DataFrame
@@ -17,6 +17,56 @@ import org.apache.spark.sql.types.StringType
   * CrossValidator runs with parallelism > 1 (model.py fits 81 candidate
   * pipelines strictly sequentially). */
 object Model {
+
+  /** The (categorical columns, assembled feature list) split shared by the
+    * Pipeline-building and direct-fit paths below. */
+  private def featureLayout(df: DataFrame, labelCol: String,
+      featureCols: Seq[String]): (Seq[String], Seq[String]) = {
+    val distinctFeatures = featureCols.distinct.filter(_ != labelCol)
+    val catCols = df.schema.fields
+      .collect { case f if f.dataType == StringType => f.name }
+      .filter(distinctFeatures.contains)
+    val assembled = distinctFeatures
+      .map(c => if (catCols.contains(c)) s"${c}_idx" else c)
+    (catCols, assembled)
+  }
+
+  /** Fit a multi-column StringIndexerModel with ONE codegen'd DataFrame
+    * aggregation instead of StringIndexer.fit's RDD treeAggregate
+    * (optimization guide §1.2 per-task work / §2.3 aggregate-before-
+    * shuffle): StringIndexer.fit deserializes every cached row out of the
+    * columnar cache into external Rows to feed a JVM OpenHashMap
+    * aggregator — measured 2.9 s of q40's 12 s board entry at sf0.1 on two
+    * 1-of-3-valued columns. The posexplode+groupBy form stays inside
+    * whole-stage codegen with map-side partial aggregation and collects
+    * only the (column, value, count) triples (bounded by the value
+    * domains). Label order replicates StringIndexer's frequencyDesc
+    * contract exactly — count desc, tie broken by value asc
+    * (StringIndexer.getSortFunc) over NON-NULL values per column — so the
+    * returned model is bit-identical to StringIndexer.fit's, and it IS a
+    * stock StringIndexerModel: same transform UDF, same ML persistence
+    * (q152's save→load round-trip), pinned by ModelSpec against
+    * StringIndexer.fit on a literal fixture. */
+  private[graft] def fitIndexerModel(df: DataFrame,
+      inCols: Seq[String]): StringIndexerModel = {
+    import org.apache.spark.sql.functions._
+    val counts = df
+      .select(posexplode(array(
+        inCols.map(c => col(c).cast(StringType)): _*)).as(Seq("ci", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy(col("ci"), col("v")).agg(count(lit(1)).as("c"))
+      .collect()
+    val labels = Array.tabulate(inCols.length) { i =>
+      counts.filter(_.getInt(0) == i)
+        .map(r => (r.getString(1), r.getLong(2)))
+        .sortBy { case (v, c) => (-c, v) }
+        .map(_._1)
+    }
+    new StringIndexerModel(labels)
+      .setInputCols(inCols.toArray)
+      .setOutputCols(inCols.map(c => s"${c}_idx").toArray)
+      .setHandleInvalid("keep")
+  }
 
   /** The feature half of the reference pipeline (model.py:24-42): ONE
     * multi-column StringIndexer(handleInvalid=keep) over the string
@@ -95,9 +145,17 @@ object Model {
     // the existential learner type out of the picture
     regressor.setLabelCol(labelCol)
     regressor.setFeaturesCol("features")
-    val featPipe = new Pipeline()
-      .setStages(featureStages(train, labelCol, featureCols))
-    val featModel = featPipe.fit(train)
+    // direct fitted-transformer construction (no Pipeline.fit wrapper):
+    // the indexer model comes from the one-aggregation fitIndexerModel
+    // above (bit-identical labels, stock StringIndexerModel) and
+    // VectorAssembler is already a Transformer — nothing else needs a fit
+    // pass over the data
+    val (catCols, assembled) = featureLayout(train, labelCol, featureCols)
+    val featModel: Seq[Transformer] =
+      (if (catCols.isEmpty) Seq.empty[Transformer]
+       else Seq(fitIndexerModel(train, catCols))) :+
+        new VectorAssembler()
+          .setInputCols(assembled.toArray).setOutputCol("features")
     // Right-size the fit input's partitioning: tree training makes
     // ~depth×nodeGroups aggregation passes, each paying per-task launch
     // overhead on every partition. Scale-proportional rule (partitions track
@@ -108,12 +166,55 @@ object Model {
     // task-launch overhead dominates it at this row size).
     val fitParts =
       math.max(2, train.sparkSession.sparkContext.defaultParallelism / 4)
-    val trainFeat = featModel.transform(train)
-      .select(col(labelCol), col("features")).coalesce(fitParts).cache()
+    // Materialize the featurized frame EAGERLY at FULL scan width, then
+    // hand the fit a coalesced view (round 18; guide §2). The old form
+    // coalesced BEFORE the cache, so the indexer/assembler UDF chain ran
+    // inside fitParts tasks — a quarter of the cores did the featurize
+    // while the rest idled (measured 2.9 s of q40's entry). Now the UDF
+    // chain runs once on every core into the checkpoint; the fit's
+    // ~depth×nodeGroups aggregation passes read it through a narrow
+    // coalesce at fitParts tasks, keeping their per-pass task-launch cost
+    // low (the reason fitParts exists). localCheckpoint (row blocks), not
+    // cache: the columnar cache pays VectorUDT struct re-encoding on both
+    // sides for a frame read a handful of times.
+    val trainFeat = {
+      import graft.Ckpt._
+      featModel.foldLeft(train)((df, t) => t.transform(df))
+        .select(col(labelCol), col("features")).eagerCkpt
+    }
     val regModel =
-      try regressor.fit(trainFeat).asInstanceOf[Transformer]
-      finally trainFeat.unpersist(blocking = false)
-    featModel.stages.toSeq :+ regModel
+      regressor.fit(trainFeat.coalesce(fitParts)).asInstanceOf[Transformer]
+    featModel :+ regModel
+  }
+
+  /** [[fitScore]] without materializing the scored frame: fit, then ONE
+    * uncached column-pruned aggregation pass over the holdout computing
+    * (n, r2, rmse) together. q40/q154 need exactly these scalars — the
+    * fitScore form cached the full scored frame (every lineitem column
+    * plus the assembled VECTOR, an expensive columnar-cache write) only to
+    * run a second count() job over it; measured 3.4 s + 0.5 s of q40's
+    * 12 s board entry at sf0.1 vs ~1 s for this single pass (guide §5:
+    * cache only what is reused; §2.3 project early — the agg reads two
+    * doubles per row). */
+  def fitMetrics(
+      train: DataFrame, valid: DataFrame, labelCol: String,
+      featureCols: Seq[String],
+      regressor: org.apache.spark.ml.Predictor[org.apache.spark.ml.linalg.Vector, _, _])
+      : (Seq[Transformer], Long, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    val transformers = fitTransformers(train, labelCol, featureCols, regressor)
+    val m = transformers.foldLeft(valid)((d, t) => t.transform(d))
+      .select(col(labelCol), col("prediction"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(pow(col(labelCol) - col("prediction"), 2)).as("ssr"),
+        sum(pow(col(labelCol), 2)).as("yy"),
+        sum(col(labelCol)).as("ysum")).head()
+    val (n, ssr) = (m.getLong(0), m.getDouble(1))
+    val sst = m.getDouble(2) - m.getDouble(3) * m.getDouble(3) / n
+    val r2 = 1.0 - ssr / sst
+    val rmse = math.sqrt(ssr / n)
+    (transformers, n, r2, rmse)
   }
 
   def fitScore(

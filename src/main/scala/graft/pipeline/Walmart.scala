@@ -75,21 +75,31 @@ object Walmart {
       } finally joined.unpersist(blocking = false)
     }
 
-    val mergedTrain = merge(train.na.drop(Seq("Weekly_Sales")))
+    // the train-side and test-side merges are independent lineages whose
+    // imputation statistics (median/mode) are driver actions — overlap the
+    // two sides (guide §2.6) so one side's quantile/mode jobs back-fill
+    // the other's; each returned frame is identical to the serial build
+    val Seq(mergedTrain, mergedTest) = graft.Par.run(Seq(
+      () => merge(train.na.drop(Seq("Weekly_Sales"))),
+      () => merge(test)))
     val withLags = Etl.lagFeatures(mergedTrain, Seq("Store", "Dept"), "Date",
       "Weekly_Sales", tieBreak = Nil)
-    (withLags, merge(test))
+    (withLags, mergedTest)
   }
 
   /** EDA (eda.py): every stat the reference computes in pandas, as named
-    * distributed DataFrames (plots are presentation, not computation). */
-  def eda(train: DataFrame): Seq[(String, DataFrame)] = Seq(
-    "null_counts" -> Eda.nullCounts(train),
-    "describe" -> Eda.describe(train, Seq("Weekly_Sales", "Temperature", "Fuel_Price")),
-    "quartiles" -> Eda.quartiles(train, "Weekly_Sales"),
-    "outliers" -> Eda.iqrOutliers(train, "Weekly_Sales"),
-    "corr_vs_label" -> Eda.corrVsLabel(train, "Weekly_Sales"),
-    "top10_stores" -> Eda.groupTopK(train, "Store", "Weekly_Sales", 10))
+    * distributed DataFrames (plots are presentation, not computation).
+    * Returned LAZILY (round 18): quartiles/outliers run their
+    * exact-quantile jobs at DataFrame-construction time, so building the
+    * list eagerly would serialize work runEda's overlap exists to hide. */
+  def eda(train: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    "null_counts" -> (() => Eda.nullCounts(train)),
+    "describe" -> (() => Eda.describe(train,
+      Seq("Weekly_Sales", "Temperature", "Fuel_Price"))),
+    "quartiles" -> (() => Eda.quartiles(train, "Weekly_Sales")),
+    "outliers" -> (() => Eda.iqrOutliers(train, "Weekly_Sales")),
+    "corr_vs_label" -> (() => Eda.corrVsLabel(train, "Weekly_Sales")),
+    "top10_stores" -> (() => Eda.groupTopK(train, "Store", "Weekly_Sales", 10)))
 
   /** Model (model.py): RF pipeline on the merged train set; lag columns are
     * backfilled with 0 on test (model.py:126). Returns (validation scored,
@@ -130,19 +140,27 @@ object Walmart {
       Map("lineSep" -> "\r"))
     val features = readCsv(spark, s"$rawDir/features.csv", featuresSchema)
     val (mergedTrain, mergedTest) = etl(train, test, stores, features)
-    mergedTrain.write.mode("overwrite").partitionBy("Store")
-      .parquet(s"$outDir/merged_train.parquet")
-    mergedTest.write.mode("overwrite").partitionBy("Store")
-      .parquet(s"$outDir/merged_test.parquet")
+    // the two merged writes are independent lineages (train-side lags vs
+    // the bare test merge) — overlap them (optimization guide §2.6, the
+    // q153/q158 Par.run pattern) so one write's straggler tail back-fills
+    // with the other's tasks; artifacts are identical either way
+    graft.Par.run(Seq(
+      () => mergedTrain.write.mode("overwrite").partitionBy("Store")
+        .parquet(s"$outDir/merged_train.parquet"),
+      () => mergedTest.write.mode("overwrite").partitionBy("Store")
+        .parquet(s"$outDir/merged_test.parquet")))
   }
 
   /** Stage 2 — EDA (run_eda): reads the merged parquet back (the same
     * parquet handoff the reference's DAG uses between processes). */
   def runEda(spark: SparkSession, outDir: String): Unit = {
     val mergedTrain = spark.read.parquet(s"$outDir/merged_train.parquet")
-    eda(mergedTrain).foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/eda_$name.parquet")
-    }
+    // the six stat tables are independent reads of the same parquet —
+    // overlap them (guide §2.6) instead of serializing six small job
+    // chains; each artifact is byte-identical to the serial run
+    graft.Par.run(eda(mergedTrain).map { case (name, mk) => () =>
+      mk().write.mode("overwrite").parquet(s"$outDir/eda_$name.parquet")
+    })
   }
 
   /** Stage 3 — model (run_model): parquet in, predictions out. */
@@ -150,11 +168,16 @@ object Walmart {
     val mergedTrain = spark.read.parquet(s"$outDir/merged_train.parquet")
     val mergedTest = spark.read.parquet(s"$outDir/merged_test.parquet")
     val (valScored, testScored, _, _) = model(mergedTrain, mergedTest)
-    valScored.select("Store", "Dept", "Date", "Weekly_Sales", "prediction")
-      .write.mode("overwrite").parquet(s"$outDir/validation_predictions.parquet")
+    // both prediction writes score through the SAME fitted chain and are
+    // otherwise independent — overlap them (guide §2.6)
+    graft.Par.run(Seq(
+      () => valScored.select("Store", "Dept", "Date", "Weekly_Sales",
+          "prediction")
+        .write.mode("overwrite")
+        .parquet(s"$outDir/validation_predictions.parquet"),
+      () => testScored.select("Store", "Dept", "Date", "prediction")
+        .write.mode("overwrite").parquet(s"$outDir/test_predictions.parquet")))
     valScored.unpersist(blocking = false) // fitPredict caches it; stage done
-    testScored.select("Store", "Dept", "Date", "prediction")
-      .write.mode("overwrite").parquet(s"$outDir/test_predictions.parquet")
   }
 
   /** The DAG (airflow_dag.py:51 `run_etl >> run_eda >> run_model`) as a

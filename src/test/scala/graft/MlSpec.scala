@@ -50,6 +50,33 @@ class MlSpec extends SparkSpec {
     assert(distinctVals("minInstancesPerNode") == 3)
   }
 
+  test("fitIndexerModel: bit-identical labels to StringIndexer.fit " +
+    "(round 18 codegen indexer fit)") {
+    // the one-aggregation indexer fit must replicate StringIndexer's
+    // frequencyDesc contract exactly: count desc, ties broken by value
+    // asc, nulls skipped per column — on a fixture with a frequency tie
+    // ("b"/"c" both ×2 in c1), a null, and a second column whose order
+    // differs from the first's
+    val df = Seq(
+      (Some("b"), "Y"), (Some("b"), "Y"), (Some("c"), "Y"),
+      (Some("c"), "Z"), (Some("a"), "Z"), (Some("a"), "Z"),
+      (Some("a"), "X"), (None, "X")).toDF("c1", "c2")
+    val viaSpark = new org.apache.spark.ml.feature.StringIndexer()
+      .setInputCols(Array("c1", "c2")).setOutputCols(Array("c1_idx", "c2_idx"))
+      .setHandleInvalid("keep").fit(df)
+    val viaAgg = Model.fitIndexerModel(df, Seq("c1", "c2"))
+    assert(viaAgg.labelsArray.map(_.toSeq).toSeq ==
+      viaSpark.labelsArray.map(_.toSeq).toSeq,
+      s"agg ${viaAgg.labelsArray.map(_.mkString(",")).mkString(" | ")} != " +
+        s"spark ${viaSpark.labelsArray.map(_.mkString(",")).mkString(" | ")}")
+    // and the transform output (the thing the fits consume) matches too
+    val a = viaAgg.transform(df).select("c1_idx", "c2_idx").collect()
+      .map(_.toSeq).toSeq
+    val b = viaSpark.transform(df).select("c1_idx", "c2_idx").collect()
+      .map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("model persistence (S5): save + load round-trips predictions") {
     val cv = Model.crossValidate(synth, "y", Seq("x1", "x2"),
       numTreesGrid = Array(5), maxDepthGrid = Array(3), folds = 2)

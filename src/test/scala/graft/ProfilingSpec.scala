@@ -171,6 +171,45 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("dedup pagerank: driver-local and distributed power iterations " +
+    "return the identical fixed-point trace (round 18 adaptive path)") {
+    // the adaptive small-graph path (Profiling.localPagerank) must be
+    // bit-identical to the distributed 5-iteration loop: same exact
+    // integer floor-division arithmetic, same per-destination sums, same
+    // node set (every node has deg ≥ 1 by construction). Fixture: a
+    // triple of identical docs, a superset doc 13 that near-dups all
+    // three, a doc 14 that near-dups ONLY 13 (J vs the triple = 3/7 <
+    // 0.5), a detached pair, and a singleton — a NON-regular graph
+    // (degrees 1, 2, 4, 5), so the rank values genuinely differ across
+    // nodes and iterations; a regular graph would sit at the 1000000
+    // fixed point and mask an arithmetic divergence.
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "aa bb cc dd ee ff gg"),
+      (11L, "aa bb cc dd ee ff gg"),
+      (12L, "aa bb cc dd ee ff gg"),
+      (13L, "aa bb cc dd ee ff gg hh ii"),
+      (14L, "cc dd ee ff gg hh ii"),
+      (20L, "pp qq rr ss tt uu"),
+      (21L, "pp qq rr ss tt uu"),
+      (30L, "xx yy zz ww vv uu ii jj"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_ab")
+    try {
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val dist = ops.Profiling
+        .dedupPagerankImpl(spark, dir.toString, localMaxEdges = 0L)
+        .collect().map(_.toSeq).toSeq
+      val local = ops.Profiling
+        .dedupPagerankImpl(spark, dir.toString, localMaxEdges = Long.MaxValue)
+        .collect().map(_.toSeq).toSeq
+      assert(dist.nonEmpty, "fixture produced no near-dup edges")
+      assert(local.map(_.last).distinct.size > 1,
+        s"fixture graph is rank-degenerate: $local")
+      assert(dist == local, s"distributed $dist != local $local")
+    } finally graft.streaming.EventStreams.wipe(dir)
+  }
+
   test("triangles: K4 has 4, a chain has 0, counts match closed forms") {
     import spark.implicits._
     // K4 on {1,2,3,4}: C(4,3) = 4 triangles, wedges = 4·C(3,2) = 12,
