@@ -1212,13 +1212,19 @@ object Events {
         .agg(count(lit(1)).cast("long").as("n_events"),
           sum(round(col("value") * 100, 0).cast("long")).cast("long")
             .as("sum_cents"))
-      def runOnce(name: String): Long = {
-        val q = agg.writeStream.outputMode("complete").format("memory")
-          .queryName(name).option("checkpointLocation", ckDir.toString)
-          .start()
-        try { q.processAllAvailable() } finally q.stop()
-        q.recentProgress.map(_.numInputRows).sum
-      }
+      def runOnce(name: String): Long =
+        // width 4 for BOTH the state stage and the micro-batch scan splits
+        // (withStreamWidth): 5 grouping keys, few-MB replay files — the
+        // session's 32-wide defaults are pure task-launch overhead here,
+        // and the checkpoint bakes the state width, so both runs must pin
+        // the same value
+        EventStreams.withStreamWidth(s, Some(4)) {
+          val q = agg.writeStream.outputMode("complete").format("memory")
+            .queryName(name).option("checkpointLocation", ckDir.toString)
+            .start()
+          try { q.processAllAvailable() } finally q.stop()
+          q.recentProgress.map(_.numInputRows).sum
+        }
       runOnce("q197_run1")
       // a late file lands while the stream is DOWN
       val delta = batch.filter(col("event_type") === "purchase")
@@ -1420,21 +1426,25 @@ object Events {
         .agg(count(lit(1)).cast("long").as("n_events"),
           sum(round(col("value") * 100, 0).cast("long")).cast("long")
             .as("sum_cents"))
-      val q = agg.writeStream.outputMode("update")
-        .foreachBatch { (delta: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          val next = version + 1
-          val merged =
-            if (version == 0) delta
-            else s.read.parquet(s"$stateRoot/v$version")
-              .join(delta.select(col("event_type")), Seq("event_type"),
-                "left_anti")
-              .unionByName(delta)
-          merged.write.mode("overwrite").parquet(s"$stateRoot/v$next")
-          version = next
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // width 4 (withStreamWidth): 5 grouping keys, a few-MB source —
+      // the session's 32-wide state + scan splits are launch overhead
+      EventStreams.withStreamWidth(s, Some(4)) {
+        val q = agg.writeStream.outputMode("update")
+          .foreachBatch { (delta: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            val next = version + 1
+            val merged =
+              if (version == 0) delta
+              else s.read.parquet(s"$stateRoot/v$version")
+                .join(delta.select(col("event_type")), Seq("event_type"),
+                  "left_anti")
+                .unionByName(delta)
+            merged.write.mode("overwrite").parquet(s"$stateRoot/v$next")
+            version = next
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       val ok = version >= 1
       s.read.parquet(s"$stateRoot/v$version")
         .withColumn("merged_ok", lit(ok))
@@ -1478,9 +1488,11 @@ object Events {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"))
         .agg(count(lit(1)).cast("long").as("n_events"))
-      val q = agg.writeStream.outputMode("append").format("memory")
-        .queryName("q213_wmk").start()
-      val (nLate, dropped) =
+      // width 4 (withStreamWidth): ~30 daily windows of state, few-MB
+      // replay files — see q208/q197
+      val (nLate, dropped) = EventStreams.withStreamWidth(s, Some(4)) {
+        val q = agg.writeStream.outputMode("append").format("memory")
+          .queryName("q213_wmk").start()
         try {
           q.processAllAvailable() // batch 1: fresh rows set the watermark
           EventStreams.landFile(late, inDir, "f2")
@@ -1489,6 +1501,7 @@ object Events {
           (n, q.recentProgress
             .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum)
         } finally q.stop()
+      }
       s.table("q213_wmk")
         .select(col("window.start").cast("timestamp_ntz").cast("timestamp")
           .as("day_start"), col("n_events"),

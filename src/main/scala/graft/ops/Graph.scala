@@ -30,15 +30,70 @@ import graft.Ckpt._
   */
 object Graph {
 
+  /** Adaptive-path bound (round 18, the q142/q314 pattern, guide §1.2
+    * "don't distribute a tiny loop"): a graph PROVEN by one count over
+    * the checkpointed edge list to have at most this many rows runs its
+    * iteration driver-local — each distributed round of the loops below
+    * costs ~3 scheduled jobs of pure launch/checkpoint machinery on the
+    * sf0.1-sized dedup graphs (~160 nodes), repeated O(log diameter) or
+    * O(depth) times. 1M edges ≈ 16 MB of two longs — trivially
+    * driver-safe; a corpus-scale graph stays on the distributed loop. */
+  private[graft] val LocalGraphMaxRows = 1L << 20
+
+  private def allLong(df: DataFrame): Boolean =
+    df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+
+  /** Driver-local union-find with min-id representatives — exactly the
+    * fixpoint of the distributed min-label propagation (component = the
+    * smallest node id; attaching the larger root under the smaller keeps
+    * every root the component minimum). Equality with the distributed
+    * loop is pinned in GraphSpec via the forced-path impl params. */
+  private[graft] def localComponents(
+      edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet.asScala.toSeq.sorted.map(n => (n, find(n)))
+  }
+
   /** Connected components of an undirected graph given as (src, dst) edge
     * rows (direction ignored, self-loops fine). Returns (node, component)
     * where component = min node id in the component. Isolated nodes absent
     * from the edge list are absent from the output. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponentsImpl(edges, maxIters, LocalGraphMaxRows)
+
+  /** [[connectedComponents]] with the local-path bound exposed for the
+    * GraphSpec path-equality pin (0 forces the distributed loop). */
+  private[graft] def connectedComponentsImpl(edges: DataFrame,
+      maxIters: Int, localMaxRows: Long): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .eagerCkpt
+    // adaptive probe (one count over the checkpointed symmetrized edges):
+    // a PROVEN-small long-keyed graph runs union-find on the driver
+    if (allLong(e) && e.count() <= localMaxRows) {
+      val local = localComponents(
+        e.collect().map(r => (r.getLong(0), r.getLong(1))))
+      val sq = e.sparkSession
+      import sq.implicits._
+      return local.toDF("node", "component")
+    }
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .eagerCkpt
@@ -95,11 +150,58 @@ object Graph {
     * the components convergence test) — on a shallow graph that saves
     * maxHop−depth full rounds of job overhead; `maxHop` stays the hard
     * bound. */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame =
+    bfsHopsImpl(edges, seeds, maxHop, LocalGraphMaxRows)
+
+  /** Driver-local BFS — the same min-hop frontier expansion as the
+    * distributed loop, hop 0 = seeds. GraphSpec pins path equality. */
+  private[graft] def localBfsHops(edges: Array[(Long, Long)],
+      seeds: Array[Long], maxHop: Int): Seq[(Long, Int)] = {
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    edges.foreach { case (a, b) =>
+      adj.computeIfAbsent(a, _ =>
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+    }
+    val hop = new java.util.HashMap[Long, Int]()
+    seeds.foreach(sd => hop.put(sd, 0))
+    var frontier: Seq[Long] = seeds.toSeq.distinct
+    var h = 1
+    while (h <= maxHop && frontier.nonEmpty) {
+      val next = scala.collection.mutable.LinkedHashSet.empty[Long]
+      frontier.foreach { n =>
+        val ns = adj.get(n)
+        if (ns != null) ns.foreach(m => if (!hop.containsKey(m)) next += m)
+      }
+      next.foreach(m => hop.put(m, h))
+      frontier = next.toSeq
+      h += 1
+    }
+    import scala.jdk.CollectionConverters._
+    hop.entrySet().asScala.toSeq
+      .map(en => (en.getKey.longValue(), en.getValue.intValue()))
+      .sortBy(_._1)
+  }
+
+  /** [[bfsHops]] with the local-path bound exposed for the GraphSpec
+    * path-equality pin (0 forces the distributed loop). */
+  private[graft] def bfsHopsImpl(edges: DataFrame, seeds: DataFrame,
+      maxHop: Int, localMaxRows: Long): DataFrame = {
     val e = edges.select(col("a"), col("b")).eagerCkpt
     var visited = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0))
       .eagerCkpt
+    // adaptive probe: BOTH the edge list and the seed set must prove
+    // small (the output is at least seed-sized, so a corpus-scale seed
+    // frame must stay distributed regardless of edge count)
+    if (allLong(e) && e.count() <= localMaxRows &&
+        visited.count() <= localMaxRows) {
+      val local = localBfsHops(
+        e.collect().map(r => (r.getLong(0), r.getLong(1))),
+        visited.collect().map(_.getLong(0)), maxHop)
+      val sq = e.sparkSession
+      import sq.implicits._
+      return local.toDF("node", "hop")
+    }
     var frontier = visited
     var h = 1
     var done = false

@@ -186,6 +186,34 @@ object EventStreams {
     * its sentinel-flush dance). `shufflePartitions` follows
     * [[runToMemory]]'s state-width note.
     */
+  /** Scope BOTH stream-width confs to a streaming run: the stateful
+    * width (`shuffle.partitions`) AND the scan-split floor
+    * (`files.minPartitionNum`, which defaults to the session's core count
+    * — so every micro-batch's file scan otherwise fans a few-MB replay
+    * file into 32 tiny tasks, pure launch overhead repeated per batch;
+    * the round-17 8-core board beating the 32-core board on exactly the
+    * streaming queries was this machinery, guide §2 right-size
+    * partitions). Both confs are captured by the stream's cloned session
+    * at query START, so set-around-start pins them for the query's life;
+    * session values restore after. At production replay scale the same
+    * lever sizes splits to the landed batch, not the cluster width. */
+  def withStreamWidth[T](spark: SparkSession,
+      width: Option[Int])(body: => T): T = {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.files.minPartitionNum")
+    width match {
+      case None => body
+      case Some(n) =>
+        val prev = keys.map(k => k -> spark.conf.getOption(k))
+        keys.foreach(k => spark.conf.set(k, n.toString))
+        try body
+        finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+    }
+  }
+
   def runFolded(spark: SparkSession, rows: DataFrame, aggs: Seq[Column],
       shufflePartitions: Option[Int] = None,
       feed: StreamingQuery => Unit = _.processAllAvailable(),
@@ -199,10 +227,7 @@ object EventStreams {
     val comb: Array[(Long, Long) => Long] =
       if (combine.isEmpty) Array.fill(aggs.size)(_ + _) else combine.toArray
     val totals = Array.fill(aggs.size)(0L)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
+    withStreamWidth(spark, shufflePartitions) {
       val q: StreamingQuery = rows.writeStream.outputMode("append")
         .foreachBatch { (bdf: org.apache.spark.sql.Dataset[Row], _: Long) =>
           val reduced = bdf.agg(aggs.head, aggs.tail: _*)
@@ -220,27 +245,24 @@ object EventStreams {
         }
         .start()
       try feed(q) finally q.stop()
-    } finally spark.conf.set(key, prev)
+    }
     totals.toSeq
   }
 
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
       outputMode: String = "complete",
       shufflePartitions: Option[Int] = None): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
-    // restore only after the run completes: the width is captured when the
-    // FIRST micro-batch is planned on the stream thread, which races a
-    // restore placed right after start()
-    try {
+    // width confs restore only after the run completes: they are captured
+    // when the stream's session is CLONED at query start, which races a
+    // restore placed right after start() — see withStreamWidth
+    withStreamWidth(spark, shufflePartitions) {
       val q: StreamingQuery = agg.writeStream
         .outputMode(outputMode)
         .format("memory")
         .queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set(key, prev)
+    }
     spark.table(name)
   }
 }

@@ -36,10 +36,40 @@ class GraphSpec extends SparkSpec {
     // path must resolve well inside 16 rounds (plain propagation would need
     // 1000 and trip the cap — the cap IS the round-budget assertion here)
     val edges = (0L until 1000L).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = Graph.connectedComponents(edges, maxIters = 16)
+    // forced DISTRIBUTED path (localMaxRows = 0): the round-18 adaptive
+    // local path would otherwise absorb this graph and the round-budget
+    // assertion (the maxIters cap) would pin nothing
+    val got = Graph.connectedComponentsImpl(edges, maxIters = 16,
+        localMaxRows = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 1001)
     assert(got.values.toSet == Set(0L))
+  }
+
+  test("cc + bfs: driver-local and distributed paths return identical " +
+    "frames (round 18 adaptive path)") {
+    // chains, cliques, self-loops, duplicate/reversed edges, an island —
+    // the same fixture family the behavioral tests above use, compared
+    // path against path
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (5L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (11L, 10L), (20L, 21L),
+      (21L, 20L), (30L, 31L))
+    val df = edges.toDF("src", "dst")
+    val dist = Graph.connectedComponentsImpl(df, 50, localMaxRows = 0L)
+      .collect().map(_.toSeq).toSet
+    val local = Graph.connectedComponentsImpl(df, 50,
+        localMaxRows = Long.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(dist == local, s"cc: distributed $dist != local $local")
+    val raw = df.toDF("a", "b")
+    val bEdges = raw.union(raw.select(col("b").as("a"), col("a").as("b")))
+    val seeds = Seq(1L, 30L).toDF("node")
+    val bDist = Graph.bfsHopsImpl(bEdges, seeds, 3, localMaxRows = 0L)
+      .collect().map(_.toSeq).toSet
+    val bLocal = Graph.bfsHopsImpl(bEdges, seeds, 3,
+        localMaxRows = Long.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(bDist == bLocal, s"bfs: distributed $bDist != local $bLocal")
   }
 
   test("property: components match a reference union-find on random graphs") {
