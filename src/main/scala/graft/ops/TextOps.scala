@@ -1508,12 +1508,13 @@ object TextOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= expr("n_sh - (n_sh + 1) DIV 2 + 1"))
         .select(col("shingle"), col("doc_id"))
-        // materialized ONCE (round 18): the frame feeds BOTH sides of the
-        // candidate self-join below, and the dumped physical plan showed
-        // the whole df-join + double-window subtree planned TWICE (the
-        // post-projection aliases defeat exchange reuse) — the checkpoint
-        // makes the second side a block read (guide §2.4)
-        .eagerCkpt
+        // NOT checkpointed, deliberately (round 18): the initial plan
+        // shows the df-join + double-window subtree planned twice (both
+        // self-join sides), and an eagerCkpt here measured 6.5→5.3 s at
+        // sf0.1 — but 31→64 s at sf1, where AQE's runtime stage reuse
+        // already dedupes the identical exchanges and the checkpoint is
+        // pure extra materialization of a shingle-scale frame. The lazy
+        // duplicate is the scale-correct shape (BENCH_NOTES round 18).
       val cand = prefix.toDF("shingle", "doc_a")
         .join(prefix.toDF("shingle", "doc_b"), "shingle")
         .filter(col("doc_a") < col("doc_b"))

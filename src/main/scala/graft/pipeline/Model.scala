@@ -166,24 +166,21 @@ object Model {
     // task-launch overhead dominates it at this row size).
     val fitParts =
       math.max(2, train.sparkSession.sparkContext.defaultParallelism / 4)
-    // Materialize the featurized frame EAGERLY at FULL scan width, then
-    // hand the fit a coalesced view (round 18; guide §2). The old form
-    // coalesced BEFORE the cache, so the indexer/assembler UDF chain ran
-    // inside fitParts tasks — a quarter of the cores did the featurize
-    // while the rest idled (measured 2.9 s of q40's entry). Now the UDF
-    // chain runs once on every core into the checkpoint; the fit's
-    // ~depth×nodeGroups aggregation passes read it through a narrow
-    // coalesce at fitParts tasks, keeping their per-pass task-launch cost
-    // low (the reason fitParts exists). localCheckpoint (row blocks), not
-    // cache: the columnar cache pays VectorUDT struct re-encoding on both
-    // sides for a frame read a handful of times.
-    val trainFeat = {
-      import graft.Ckpt._
-      featModel.foldLeft(train)((df, t) => t.transform(df))
-        .select(col(labelCol), col("features")).eagerCkpt
-    }
+    // coalesce BEFORE the cache, and hand the fit the cached frame
+    // ITSELF: MLlib's tree learners check dataset.storageLevel and skip
+    // their internal MEMORY_AND_DISK persist only when the exact input
+    // frame is cached — a checkpointed or coalesced-view input reports
+    // NONE and the learner re-materializes the whole vector frame a
+    // second time. Round 18 measured the full-width-checkpoint variant
+    // (featurize on every core, fit on a coalesced view): ~0.6 s better
+    // at sf0.1, but q40 +17 s / q154 +18 s at sf1 from exactly that
+    // double materialization — the narrow featurize is the right trade
+    // at every scale that matters (BENCH_NOTES round 18).
+    val trainFeat = featModel.foldLeft(train)((df, t) => t.transform(df))
+      .select(col(labelCol), col("features")).coalesce(fitParts).cache()
     val regModel =
-      regressor.fit(trainFeat.coalesce(fitParts)).asInstanceOf[Transformer]
+      try regressor.fit(trainFeat).asInstanceOf[Transformer]
+      finally trainFeat.unpersist(blocking = false)
     featModel :+ regModel
   }
 
